@@ -1,0 +1,440 @@
+"""Graph construction: normalize → symmetrize → renumber → partition → CSR blocks.
+
+M2 of the build plan (SURVEY.md §7.1).  Semantics mirror the reference's
+``simpleGraphImpl.__from_edgelist`` pipeline (``simpleGraph.py:110-244``):
+
+* **normalize** — map arbitrary source/destination/weight column names to the
+  canonical fixed schema ``(src, dst, weight:float64)``; unweighted graphs get
+  implicit weight 1.0 (``link_analysis/pagerank.py:73``).
+* **renumber** — external string/int keys → dense int64 vids 0..V-1 via a
+  distinct-union + deterministic id assignment (``number_map.py:47-171``).
+  Determinism (required for resume): ids are assigned as
+  ``bucket_offset[crc32(key) % B] + rank_of_key_within_sorted_bucket`` — a
+  pure function of the key set, independent of parallelism.
+* **symmetrize** — undirected graphs append the reversed edge list and dedup
+  ``(src,dst)`` keeping the **min** of the weight (``structure/symmetrize.py:78-93``;
+  duplicate-weight rule documented at :32-35).
+* **partition** — edges placed by ``splitmix64(src) % P`` (the reference's
+  MurmurHash3 placement, ``cpp/src/detail/graph_utils.cuh:69-81``), written as
+  sorted-by-(src,dst) "CSR-blocked" Arrow/Parquet partitions, one hive
+  directory per partition (resumable layout; workers read only their own
+  partition).
+
+The on-disk layout *is* the graph object: ``{dir}/meta.json``,
+``{dir}/edges/part={p}/*.parquet``, ``{dir}/vmap/*.parquet`` — so a Graph is
+shareable across processes and survives restarts (unlike the reference, which
+keeps the built graph device-resident only: ``serialization/serializer.cu`` is
+its whole-graph escape hatch).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import tempfile
+import uuid
+from typing import Optional
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from raygraph import joins
+from raygraph.hashing import hash_int64, hash_str_array
+
+CANON = ("src", "dst", "weight")
+DEFAULT_BROADCAST_LIMIT = 20_000_000  # keys; above this, renumber uses a shuffle join
+
+
+def _rd():
+    import ray.data as rd
+
+    return rd
+
+
+# ---------------------------------------------------------------------------
+# normalize
+
+
+def normalize_edges(ds, src: str, dst: str, weight: Optional[str] = None):
+    """Rename/project to canonical columns; fill weight=1.0 when absent."""
+
+    def fn(t: pa.Table) -> pa.Table:
+        cols = {"src": t.column(src), "dst": t.column(dst)}
+        if weight is not None:
+            cols["weight"] = t.column(weight).cast(pa.float64())
+        else:
+            cols["weight"] = pa.array(
+                np.ones(t.num_rows, dtype=np.float64), pa.float64()
+            )
+        return pa.table(cols)
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# ---------------------------------------------------------------------------
+# symmetrize
+
+
+def symmetrize(ds, dedup: Optional[str] = "min"):
+    """Append reversed edges; dedup (src,dst) by min/sum of weight.
+
+    ``structure/symmetrize.py:78-93`` (SG) / :164-186 (MG groupby.min).
+    ``dedup=None`` keeps parallel edges (multigraph, :88-89).
+    """
+    def both_directions(t: pa.Table) -> pa.Table:
+        swapped = pa.table(
+            {"src": t.column("dst"), "dst": t.column("src"), "weight": t.column("weight")}
+        )
+        return pa.concat_tables([t.select(["src", "dst", "weight"]), swapped])
+
+    u = ds.map_batches(both_directions, batch_format="pyarrow", zero_copy_batch=True)
+    if dedup is None:
+        return u
+    return dedup_edges(u, dedup)
+
+
+def dedup_edges(ds, how: str = "min"):
+    """Exact (src,dst) dedup: hash-partitioned groupby + per-group aggregate."""
+    from ray.data.aggregate import Min, Sum
+
+    agg = {"min": Min, "sum": Sum}[how]("weight", alias_name="weight")
+    return ds.groupby(["src", "dst"]).aggregate(agg)
+
+
+# ---------------------------------------------------------------------------
+# renumber
+
+
+def _distinct_keys(edges_ds, src_col: str, dst_col: str, key_is_str: bool):
+    rd = _rd()
+
+    def project(col):
+        def fn(t: pa.Table) -> pa.Table:
+            c = t.column(col)
+            if key_is_str:
+                c = c.cast(pa.string())
+            else:
+                c = c.cast(pa.int64())
+            return pa.table({"vertex_key": c})
+
+        return fn
+
+    s = edges_ds.map_batches(project(src_col), batch_format="pyarrow")
+    d = edges_ds.map_batches(project(dst_col), batch_format="pyarrow")
+    both = s.union(d)
+    # distinct via groupby-count (partial + final hash aggregate under the hood)
+    return both.groupby("vertex_key").count().drop_columns(["count()"])
+
+
+def build_vertex_map(edges_ds, src_col="src_key", dst_col="dst_key",
+                     key_is_str=True, num_buckets: int = 64):
+    """Distinct(src ∪ dst) → (vertex_key, vid) with dense deterministic vids.
+
+    Mirrors ``NumberMap.SingleGPU.indirection_map`` (``number_map.py:138-171``)
+    but with a scale-safe id assignment: no global sort / zipWithIndex —
+    keys are hashed into B buckets, sorted *within* bucket (local work), and
+    vids are ``cumulative_bucket_offset + local_rank``.  Deterministic for a
+    given key set regardless of parallelism.
+
+    Returns (vmap_dataset, num_vertices).
+    """
+    distinct = _distinct_keys(edges_ds, src_col, dst_col, key_is_str)
+
+    def bucketize(df: pd.DataFrame) -> pd.DataFrame:
+        k = df["vertex_key"]
+        if key_is_str:
+            h = hash_str_array(k.to_numpy())
+        else:
+            h = hash_int64(k.to_numpy())
+        df = df.copy()
+        df["__bucket"] = (h % np.uint64(num_buckets)).astype(np.int32)
+        return df
+
+    bucketed = distinct.map_batches(bucketize, batch_format="pandas")
+
+    def rank_within(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values("vertex_key").reset_index(drop=True)
+        g["__local"] = np.arange(len(g), dtype=np.int64)
+        return g
+
+    ranked = bucketed.groupby("__bucket").map_groups(rank_within, batch_format="pandas")
+    ranked = ranked.materialize()  # small (distinct keys); reused twice below
+
+    counts = ranked.groupby("__bucket").count().to_pandas()
+    counts = counts.sort_values("__bucket")
+    offsets = np.zeros(num_buckets, dtype=np.int64)
+    offsets[counts["__bucket"].to_numpy()] = counts["count()"].to_numpy()
+    total = int(offsets.sum())
+    offsets = np.concatenate([[0], np.cumsum(offsets)[:-1]])
+
+    def assign(df: pd.DataFrame) -> pd.DataFrame:
+        vid = offsets[df["__bucket"].to_numpy()] + df["__local"].to_numpy()
+        return pd.DataFrame({"vertex_key": df["vertex_key"], "vid": vid.astype(np.int64)})
+
+    vmap = ranked.map_batches(assign, batch_format="pandas")
+    return vmap, total
+
+
+def translate_edges(edges_ds, vmap_ds, num_vertices: int,
+                    src_col="src_key", dst_col="dst_key",
+                    broadcast_limit: int = DEFAULT_BROADCAST_LIMIT,
+                    num_buckets: int = 64):
+    """(src_key,dst_key,weight) → (src,dst,weight) via the vertex map.
+
+    Small maps are broadcast once via ``ray.put`` and looked up with
+    vectorized searchsorted inside every map task (no shuffle, never
+    re-shipped per batch); large maps fall back to two bucketed hash joins
+    (``joins.hash_join``).
+    """
+    if num_vertices <= broadcast_limit:
+        vdf = vmap_ds.to_pandas()
+        ref = joins.broadcast_map_ref(vdf, "vertex_key", "vid")
+
+        def fn(df: pd.DataFrame) -> pd.DataFrame:
+            import ray
+
+            karr_varr = ray.get(ref)
+            src = joins.lookup_broadcast(df[src_col].to_numpy(), karr_varr)
+            dst = joins.lookup_broadcast(df[dst_col].to_numpy(), karr_varr)
+            return pd.DataFrame(
+                {
+                    "src": src.astype(np.int64),
+                    "dst": dst.astype(np.int64),
+                    "weight": df["weight"].to_numpy(),
+                }
+            )
+
+        return edges_ds.map_batches(fn, batch_format="pandas")
+
+    # large-map path: two shuffle joins (temp vid columns avoid name clashes
+    # with the canonical src/dst names)
+    smap = vmap_ds.map_batches(
+        lambda df: df.rename(columns={"vertex_key": src_col, "vid": "__vid_s"}),
+        batch_format="pandas",
+    )
+    e1 = joins.hash_join(edges_ds, smap, on=src_col, num_buckets=num_buckets)
+    dmap = vmap_ds.map_batches(
+        lambda df: df.rename(columns={"vertex_key": dst_col, "vid": "__vid_d"}),
+        batch_format="pandas",
+    )
+    e2 = joins.hash_join(e1, dmap, on=dst_col, num_buckets=num_buckets)
+    return e2.map_batches(
+        lambda df: pd.DataFrame(
+            {
+                "src": df["__vid_s"].to_numpy(np.int64),
+                "dst": df["__vid_d"].to_numpy(np.int64),
+                "weight": df["weight"].to_numpy(np.float64),
+            }
+        ),
+        batch_format="pandas",
+    )
+
+
+# ---------------------------------------------------------------------------
+# partition + persist
+
+
+def partition_and_write(edges_ds, out_dir: str, num_partitions: int):
+    """Hash-partition edges by src, sort each partition by (src,dst), persist.
+
+    The per-partition sort is block-local work inside ``map_groups`` (the
+    reference sorts per edge-partition when compressing COO→CSR,
+    ``cpp/src/structure/detail/structure_utils.cuh:173-238``); there is no
+    global sort.
+    """
+
+    def add_part(t: pa.Table) -> pa.Table:
+        part = (hash_int64(t.column("src").to_numpy()) % np.uint64(num_partitions)).astype(np.int32)
+        return t.append_column("part", pa.array(part, pa.int32()))
+
+    withpart = edges_ds.map_batches(add_part, batch_format="pyarrow", zero_copy_batch=True)
+
+    def sort_block(t: pa.Table) -> pa.Table:
+        return t.sort_by([("src", "ascending"), ("dst", "ascending")])
+
+    sorted_parts = withpart.groupby("part").map_groups(sort_block, batch_format="pyarrow")
+    sorted_parts.write_parquet(os.path.join(out_dir, "edges"), partition_cols=["part"])
+
+
+# ---------------------------------------------------------------------------
+# Graph handle
+
+
+class Graph:
+    """Handle to a built, partitioned graph on disk.
+
+    The analogue of ``cugraph.Graph`` (``structure/graph_classes.py:39-657``):
+    properties + renumber map + partitioned physical edges, minus any
+    device-resident state — workers page in only their own partition.
+    """
+
+    def __init__(self, base_dir: str, meta: dict):
+        self.base_dir = base_dir
+        self.meta = meta
+
+    # -- properties -------------------------------------------------------
+    @property
+    def num_vertices(self) -> int:
+        return self.meta["num_vertices"]
+
+    @property
+    def num_edges(self) -> int:
+        return self.meta["num_edges"]
+
+    @property
+    def num_partitions(self) -> int:
+        return self.meta["num_partitions"]
+
+    @property
+    def directed(self) -> bool:
+        return self.meta["directed"]
+
+    @property
+    def renumbered(self) -> bool:
+        return self.meta["renumbered"]
+
+    # -- accessors --------------------------------------------------------
+    def edges_dir(self) -> str:
+        return os.path.join(self.base_dir, "edges")
+
+    def part_dir(self, p: int) -> str:
+        return os.path.join(self.base_dir, "edges", f"part={p}")
+
+    def edges_dataset(self, columns=None):
+        return _rd().read_parquet(self.edges_dir(), columns=columns)
+
+    def vmap_dataset(self):
+        return _rd().read_parquet(os.path.join(self.base_dir, "vmap"))
+
+    def vertices_dataset(self):
+        """Dataset of (vid:int64) for all vertices — derived, not stored."""
+        rd = _rd()
+        v = self.num_vertices
+        return rd.range(v).map_batches(
+            lambda t: pa.table({"vertex": t.column("id").cast(pa.int64())}),
+            batch_format="pyarrow",
+        )
+
+    def unrenumber(self, ds, col: str):
+        """Map internal vids in ``ds[col]`` back to external keys.
+
+        ``graph_classes.py:412-451`` — inverse of the renumber translate.
+        """
+        if not self.renumbered:
+            return ds
+        vdf = self.vmap_dataset().to_pandas().sort_values("vid")
+        import ray
+
+        ref = ray.put((vdf["vid"].to_numpy(), vdf["vertex_key"].to_numpy()))
+
+        def fn(df: pd.DataFrame) -> pd.DataFrame:
+            karr, varr = ray.get(ref)
+            pos = np.searchsorted(karr, df[col].to_numpy())
+            df = df.copy()
+            df[col] = varr[pos]
+            return df
+
+        return ds.map_batches(fn, batch_format="pandas")
+
+    # -- persistence ------------------------------------------------------
+    @staticmethod
+    def load(base_dir: str) -> "Graph":
+        with open(os.path.join(base_dir, "meta.json")) as f:
+            return Graph(base_dir, json.load(f))
+
+    def _save_meta(self):
+        with open(os.path.join(self.base_dir, "meta.json"), "w") as f:
+            json.dump(self.meta, f, indent=1)
+
+    # -- construction -----------------------------------------------------
+    @staticmethod
+    def from_edges(
+        edges_ds,
+        src: str = "src_key",
+        dst: str = "dst_key",
+        weight: Optional[str] = "weight",
+        directed: bool = True,
+        renumber: bool = True,
+        dedup: Optional[str] = None,
+        num_partitions: int = 16,
+        out_dir: Optional[str] = None,
+        broadcast_limit: int = DEFAULT_BROADCAST_LIMIT,
+    ) -> "Graph":
+        """Build a partitioned Graph from an edge Dataset.
+
+        ``dedup``: None keeps parallel edges; "min"/"sum" combines them.
+        Undirected graphs are symmetrized with min-dedup unless overridden
+        (reference default, ``symmetrize.py:78-93``).
+        """
+        if out_dir is None:
+            out_dir = os.path.join(
+                tempfile.gettempdir(), "raygraph", f"graph-{uuid.uuid4().hex[:12]}"
+            )
+        os.makedirs(out_dir, exist_ok=True)
+
+        ds = normalize_edges(edges_ds, src=src, dst=dst, weight=weight)
+
+        if renumber:
+            # detect key type from schema
+            sch = ds.schema()
+            src_type = sch.types[sch.names.index("src")]
+            key_is_str = pa.types.is_string(src_type) or pa.types.is_large_string(src_type)
+            vmap, V = build_vertex_map(ds, src_col="src", dst_col="dst", key_is_str=key_is_str)
+            vmap = vmap.materialize()
+            ds = translate_edges(
+                ds, vmap, V, src_col="src", dst_col="dst", broadcast_limit=broadcast_limit
+            )
+            vmap.write_parquet(os.path.join(out_dir, "vmap"))
+        else:
+            cast = lambda t: pa.table(
+                {
+                    "src": t.column("src").cast(pa.int64()),
+                    "dst": t.column("dst").cast(pa.int64()),
+                    "weight": t.column("weight"),
+                }
+            )
+            ds = ds.map_batches(cast, batch_format="pyarrow")
+            mx = ds.map_batches(
+                lambda t: pa.table(
+                    {
+                        "m": pa.array(
+                            [
+                                max(
+                                    pa.compute.max(t.column("src")).as_py() or -1,
+                                    pa.compute.max(t.column("dst")).as_py() or -1,
+                                )
+                            ],
+                            pa.int64(),
+                        )
+                    }
+                ),
+                batch_format="pyarrow",
+            ).to_pandas()
+            V = int(mx["m"].max()) + 1 if len(mx) else 0
+
+        if not directed:
+            ds = symmetrize(ds, dedup=dedup or "min")
+        elif dedup is not None:
+            ds = dedup_edges(ds, dedup)
+
+        partition_and_write(ds, out_dir, num_partitions)
+
+        # edge count from parquet metadata (no data read)
+        import pyarrow.dataset as pads
+
+        E = pads.dataset(os.path.join(out_dir, "edges")).count_rows()
+
+        meta = {
+            "num_vertices": V,
+            "num_edges": E,
+            "num_partitions": num_partitions,
+            "directed": directed,
+            "renumbered": renumber,
+            "dedup": dedup if directed else (dedup or "min"),
+            "weighted": weight is not None,
+            "schema_version": 1,
+        }
+        g = Graph(out_dir, meta)
+        g._save_meta()
+        return g

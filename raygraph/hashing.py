@@ -1,0 +1,82 @@
+"""Deterministic, run-stable hash functions for partitioning.
+
+The reference partitions edges to GPUs with MurmurHash3_32(vertex) % P
+(``cpp/src/detail/graph_utils.cuh:69-81``).  We need the same property —
+a fixed, seedless, vectorizable integer hash that is identical across
+processes and runs (required for checkpoint *resume*: a restarted job must
+route every vertex to the same partition).  We use the splitmix64 finalizer
+(public domain, Steele et al., "Fast splittable pseudorandom number
+generators") for int64 vertex ids, and zlib.crc32 for string keys.
+
+Python's builtin ``hash()`` is salted per-process (PYTHONHASHSEED) and MUST
+NOT be used anywhere in the engine.
+"""
+
+from __future__ import annotations
+
+import zlib
+
+import numpy as np
+
+_U64 = np.uint64
+
+
+def splitmix64(x: np.ndarray) -> np.ndarray:
+    """Vectorized splitmix64 finalizer over a uint64 array."""
+    z = x.astype(_U64, copy=True)
+    z += _U64(0x9E3779B97F4A7C15)
+    z = (z ^ (z >> _U64(30))) * _U64(0xBF58476D1CE4E5B9)
+    z = (z ^ (z >> _U64(27))) * _U64(0x94D049BB133111EB)
+    z = z ^ (z >> _U64(31))
+    return z
+
+
+def hash_int64(a) -> np.ndarray:
+    """Stable uint64 hash of an int64 array (accepts array-likes)."""
+    arr = np.asarray(a, dtype=np.int64)
+    return splitmix64(arr.view(_U64) if arr.flags.c_contiguous else arr.astype(_U64))
+
+
+def part_of_vertex(vids, num_parts: int) -> np.ndarray:
+    """Partition id of each vertex id: splitmix64(v) % P  (int32).
+
+    This single function defines BOTH edge placement (partition of an edge =
+    part_of_vertex(src)) and vertex-state ownership (owner of v's score) —
+    keeping src-aligned vertex state co-located with the CSR block, the 1D
+    analogue of the reference's 2D hash placement (SURVEY.md §4.4).
+    """
+    return (hash_int64(vids) % _U64(num_parts)).astype(np.int32)
+
+
+def hash_str(key: str) -> int:
+    """Stable uint32 hash of one string key (crc32)."""
+    return zlib.crc32(key.encode("utf-8"))
+
+
+def hash_str_array(keys) -> np.ndarray:
+    """Stable uint32 hashes of a sequence of string keys.
+
+    crc32 is a C loop per key — fine for renumber-scale distinct key sets;
+    at 1e12-row scale this stage runs distributed inside ``map_batches`` so
+    the per-key cost is parallelized across the cluster.
+    """
+    crc = zlib.crc32
+    return np.fromiter(
+        (crc(k.encode("utf-8")) for k in keys), dtype=np.uint32, count=len(keys)
+    )
+
+
+def owned_vertices(num_vertices: int, part: int, num_parts: int, chunk: int = 1 << 22) -> np.ndarray:
+    """Sorted array of vertex ids owned by ``part`` (hash-mod ownership).
+
+    Computed chunked so a worker never materializes hash values for all V
+    vertices at once.
+    """
+    out = []
+    for lo in range(0, num_vertices, chunk):
+        hi = min(lo + chunk, num_vertices)
+        vids = np.arange(lo, hi, dtype=np.int64)
+        out.append(vids[part_of_vertex(vids, num_parts) == part])
+    if not out:
+        return np.empty(0, dtype=np.int64)
+    return np.concatenate(out)

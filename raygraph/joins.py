@@ -1,0 +1,130 @@
+"""Distributed join / lookup primitives.
+
+The reference's analogues are the renumber translate merges
+(``structure/number_map.py:60-136``) and the kv-store lookups inside prims
+(``prims/per_v_transform_reduce_dst_key_aggregated_outgoing_e.cuh`` uses a
+cuco static_map).  In Ray Data we provide two strategies and pick by size:
+
+* **broadcast join** — small side placed in the object store once with
+  ``ray.put`` and read zero-copy by every map task (never re-shipped per
+  batch).  This is the right shape for dimension tables / renumber maps that
+  fit in a worker's heap.
+* **bucketed hash join** — both sides get a ``__bucket = hash(key) % B``
+  column, are unioned with a side tag, grouped by bucket, and merged
+  per-bucket with pandas inside ``map_groups``.  All-to-all cost = one
+  shuffle of each side; B sized ≈ 2–4× cluster cores.  Skewed keys can be
+  salted by raising B (each bucket only needs to fit in one task's heap).
+
+Ray ≥2.47 also ships ``Dataset.join``; we keep these explicit versions so
+the partitioning assumptions are visible and controllable.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from raygraph.hashing import hash_int64, hash_str_array
+
+
+def _key_hash(df: pd.DataFrame, keys: Sequence[str]) -> np.ndarray:
+    h = np.zeros(len(df), dtype=np.uint64)
+    for k in keys:
+        col = df[k]
+        if col.dtype.kind in "iu":
+            h ^= hash_int64(col.to_numpy())
+        else:
+            h ^= hash_str_array(col.astype(str).to_numpy()).astype(np.uint64)
+        # mix between columns so (a,b) != (b,a)
+        h = hash_int64(h.view(np.int64))
+    return h
+
+
+def _np_dtypes(ds) -> dict:
+    sch = ds.schema()
+    out = {}
+    for name, t in zip(sch.names, sch.types):
+        try:
+            out[name] = t.to_pandas_dtype() if isinstance(t, pa.DataType) else t
+        except Exception:
+            out[name] = object
+    return out
+
+
+def hash_join(
+    left,
+    right,
+    on: Sequence[str] | str,
+    how: str = "inner",
+    num_buckets: int = 64,
+    suffixes=("", "_r"),
+):
+    """Bucketed distributed hash join of two Datasets on equal-named keys.
+
+    The two sides are tagged and unioned; Ray's union NaN-pads mismatched
+    schemas when blocks mix, so each side's own columns (and dtypes) are
+    re-selected/restored inside the per-bucket merge.
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+    left_cols, left_dtypes = list(left.columns()), _np_dtypes(left)
+    right_cols, right_dtypes = list(right.columns()), _np_dtypes(right)
+
+    def tag(side_val):
+        def fn(df: pd.DataFrame) -> pd.DataFrame:
+            df = df.copy()
+            df["__side"] = np.uint8(side_val)
+            df["__bucket"] = (_key_hash(df, keys) % np.uint64(num_buckets)).astype(
+                np.int32
+            )
+            return df
+
+        return fn
+
+    lt = left.map_batches(tag(0), batch_format="pandas")
+    rt = right.map_batches(tag(1), batch_format="pandas")
+    both = lt.union(rt)
+
+    def _restore(df: pd.DataFrame, cols, dtypes) -> pd.DataFrame:
+        df = df[cols]
+        casts = {
+            c: dtypes[c]
+            for c in cols
+            if c in dtypes and df[c].dtype != dtypes[c] and dtypes[c] is not object
+        }
+        return df.astype(casts) if casts else df
+
+    def merge(group: pd.DataFrame) -> pd.DataFrame:
+        l = _restore(group[group["__side"] == 0], left_cols, left_dtypes)
+        r = _restore(group[group["__side"] == 1], right_cols, right_dtypes)
+        return l.merge(r, on=keys, how=how, suffixes=suffixes)
+
+    return both.groupby("__bucket").map_groups(merge, batch_format="pandas")
+
+
+def broadcast_map_ref(mapping_df: pd.DataFrame, key: str, value: str):
+    """ray.put a key→value mapping once; returns the object ref.
+
+    Stored as (sorted key array, value array) for vectorized searchsorted
+    lookup — far faster than a Python dict for millions of keys.
+    """
+    import ray
+
+    d = mapping_df[[key, value]].sort_values(key)
+    karr = d[key].to_numpy()
+    varr = d[value].to_numpy()
+    return ray.put((karr, varr))
+
+
+def lookup_broadcast(keys: np.ndarray, kv) -> np.ndarray:
+    """Vectorized lookup of keys against a broadcast (karr, varr) pair."""
+    karr, varr = kv
+    pos = np.searchsorted(karr, keys)
+    pos = np.clip(pos, 0, len(karr) - 1)
+    found = karr[pos] == keys
+    if not found.all():
+        missing = np.asarray(keys)[~found][:5]
+        raise KeyError(f"lookup_broadcast: keys not in map, e.g. {missing!r}")
+    return varr[pos]

@@ -1,0 +1,129 @@
+"""M2 tests: normalize / symmetrize / renumber / partition / Graph persistence."""
+
+import glob
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow.parquet as pq
+import pytest
+import ray.data as rd
+
+from raygraph.graph import Graph, build_vertex_map, normalize_edges, symmetrize
+from raygraph.hashing import hash_int64
+
+
+def _edges_df():
+    # string-keyed toy graph with a duplicate edge (different weights)
+    return pd.DataFrame(
+        {
+            "s": ["a", "a", "b", "c", "d", "a"],
+            "d": ["b", "c", "c", "d", "a", "b"],
+            "w": [2.0, 1.0, 5.0, 1.0, 3.0, 7.0],
+        }
+    )
+
+
+def test_build_vertex_map_bijection_dense_deterministic():
+    ds = normalize_edges(rd.from_pandas(_edges_df()), src="s", dst="d", weight="w")
+    vmap, V = build_vertex_map(ds, src_col="src", dst_col="dst", key_is_str=True)
+    df = vmap.to_pandas()
+    assert V == 4
+    assert sorted(df["vertex_key"]) == ["a", "b", "c", "d"]
+    assert sorted(df["vid"]) == [0, 1, 2, 3]
+    # deterministic across rebuilds
+    vmap2, _ = build_vertex_map(ds, src_col="src", dst_col="dst", key_is_str=True)
+    df2 = vmap2.to_pandas()
+    m1 = dict(zip(df["vertex_key"], df["vid"]))
+    m2 = dict(zip(df2["vertex_key"], df2["vid"]))
+    assert m1 == m2
+
+
+def test_symmetrize_min_dedup():
+    df = pd.DataFrame({"src": [0, 1, 0], "dst": [1, 0, 1], "weight": [5.0, 2.0, 9.0]})
+    out = symmetrize(rd.from_pandas(df), dedup="min").to_pandas()
+    out = out.sort_values(["src", "dst"]).reset_index(drop=True)
+    # (0,1) appears as 5.0, 9.0 and reversed 2.0 → min over all = 2.0 both dirs
+    assert list(out["src"]) == [0, 1]
+    assert list(out["dst"]) == [1, 0]
+    assert list(out["weight"]) == [2.0, 2.0]
+
+
+@pytest.mark.parametrize("broadcast_limit", [20_000_000, 0])
+def test_from_edges_roundtrip(tmp_path, broadcast_limit):
+    g = Graph.from_edges(
+        rd.from_pandas(_edges_df()),
+        src="s",
+        dst="d",
+        weight="w",
+        directed=True,
+        dedup="min",
+        num_partitions=4,
+        out_dir=str(tmp_path / f"g{broadcast_limit}"),
+        broadcast_limit=broadcast_limit,
+    )
+    assert g.num_vertices == 4
+    # 6 input edges, (a,b) duplicated → 5 distinct directed edges
+    assert g.num_edges == 5
+    edges = g.edges_dataset().to_pandas()
+    assert len(edges) == 5
+    # duplicate (a,b) kept min weight 2.0
+    vmap = g.vmap_dataset().to_pandas()
+    key2vid = dict(zip(vmap["vertex_key"], vmap["vid"]))
+    ab = edges[(edges["src"] == key2vid["a"]) & (edges["dst"] == key2vid["b"])]
+    assert ab["weight"].iloc[0] == 2.0
+    # partition placement: every edge in part hash(src)%P
+    for p in range(4):
+        pdir = g.part_dir(p)
+        if not os.path.isdir(pdir):
+            continue
+        for f in glob.glob(os.path.join(pdir, "*.parquet")):
+            t = pq.read_table(f)
+            srcs = t.column("src").to_numpy()
+            assert ((hash_int64(srcs) % np.uint64(4)).astype(int) == p).all()
+            # sorted by (src, dst) within file
+            d = t.to_pandas()
+            assert d[["src", "dst"]].equals(
+                d[["src", "dst"]].sort_values(["src", "dst"]).reset_index(drop=True)
+            )
+    # reload from disk
+    g2 = Graph.load(g.base_dir)
+    assert g2.num_vertices == 4 and g2.num_edges == 5
+
+
+def test_from_edges_undirected_symmetrizes(tmp_path):
+    df = pd.DataFrame({"s": ["x", "y"], "d": ["y", "z"], "w": [1.0, 1.0]})
+    g = Graph.from_edges(
+        rd.from_pandas(df),
+        src="s", dst="d", weight="w",
+        directed=False, num_partitions=2,
+        out_dir=str(tmp_path / "und"),
+    )
+    e = g.edges_dataset().to_pandas()
+    assert g.num_edges == 4  # both directions of both edges
+    assert len(e) == 4
+    pairs = set(zip(e["src"], e["dst"]))
+    assert all((b, a) in pairs for a, b in pairs)
+
+
+def test_unrenumber_roundtrip(tmp_path):
+    g = Graph.from_edges(
+        rd.from_pandas(_edges_df()),
+        src="s", dst="d", weight="w",
+        directed=True, dedup="min", num_partitions=2,
+        out_dir=str(tmp_path / "ur"),
+    )
+    res = rd.from_pandas(pd.DataFrame({"vertex": [0, 1, 2, 3], "score": [0.1, 0.2, 0.3, 0.4]}))
+    back = g.unrenumber(res, "vertex").to_pandas()
+    assert sorted(back["vertex"]) == ["a", "b", "c", "d"]
+
+
+def test_from_edges_int_keys_no_renumber(tmp_path):
+    df = pd.DataFrame({"src": [0, 5, 3], "dst": [5, 3, 0], "weight": [1.0, 1.0, 1.0]})
+    g = Graph.from_edges(
+        rd.from_pandas(df), src="src", dst="dst", weight="weight",
+        directed=True, renumber=False, num_partitions=2,
+        out_dir=str(tmp_path / "int"),
+    )
+    assert g.num_vertices == 6
+    assert g.num_edges == 3
