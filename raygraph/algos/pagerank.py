@@ -1,0 +1,158 @@
+"""PageRank — pull-model power iteration with dangling redistribution.
+
+Semantics mirror ``cpp/src/link_analysis/pagerank_impl.cuh:48-293`` exactly:
+
+* init ``pr = 1/V`` or a caller-provided normalized ``nstart`` (:166-183)
+* per iteration:
+  - ``dangling_sum = Σ pr[v] over out_wsum[v]==0``            (:218-227)
+  - no personalization: ``unvarying = (α·dangling_sum + (1-α)) / V``
+    with personalization p: ``unvarying_v = (α·dangling_sum + (1-α))·p_v``
+    (:243-276, personalization values normalized to sum 1)
+  - ``pr'[v] = unvarying_v + α · Σ_{(u,v)∈E} pr[u]·w(u,v)/out_wsum[u]``
+* converge when ``Σ_v |pr' - pr| < tol`` (L1)                 (:278-287)
+* **raise** if max_iter is hit without convergence            (:289-290)
+
+Output: Dataset ``(vertex:int64, pagerank:float64)``
+(``link_analysis/pagerank.py:150-153``).
+
+Checkpoint/resume (beyond the reference): every ``checkpoint_every``
+supersteps the per-partition ``pr`` state is written with lineage metadata;
+``resume=True`` restarts from the latest complete superstep.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+
+from raygraph.superstep import SuperstepEngine
+
+
+class ConvergenceError(RuntimeError):
+    """Raised when max_iter is exceeded (pagerank_impl.cuh:289-290)."""
+
+
+def pagerank(
+    graph,
+    alpha: float = 0.85,
+    tol: float = 1e-6,
+    max_iter: int = 100,
+    nstart=None,
+    personalization=None,
+    num_workers: Optional[int] = None,
+    checkpoint_dir: Optional[str] = None,
+    checkpoint_every: int = 1,
+    resume: bool = False,
+    out_dir: Optional[str] = None,
+):
+    """Run PageRank on a built Graph; returns Dataset (vertex, pagerank).
+
+    ``nstart`` / ``personalization``: dicts or (vids, values) pairs over
+    internal vertex ids; values are normalized here (pagerank.py:175-203
+    renumbers+normalizes the aux frames the same way).
+    """
+    engine = SuperstepEngine(
+        graph, num_workers=num_workers,
+        checkpoint_dir=checkpoint_dir, checkpoint_every=checkpoint_every,
+    )
+    V = graph.num_vertices
+
+    def _pair(d):
+        if d is None:
+            return None
+        if isinstance(d, dict):
+            vids = np.fromiter(d.keys(), dtype=np.int64, count=len(d))
+            vals = np.fromiter(d.values(), dtype=np.float64, count=len(d))
+        else:
+            vids, vals = np.asarray(d[0], np.int64), np.asarray(d[1], np.float64)
+        s = vals.sum()
+        return (vids, vals / s if s != 0 else vals)
+
+    import ray
+
+    try:
+        return _run(engine, graph, alpha, tol, max_iter, _pair(nstart),
+                    _pair(personalization), personalization is not None,
+                    checkpoint_dir, resume, out_dir)
+    finally:
+        engine.shutdown()
+
+
+def _run(engine, graph, alpha, tol, max_iter, nstart, personalization,
+         has_pers, checkpoint_dir, resume, out_dir):
+    import ray
+
+    V = graph.num_vertices
+    ray.get([
+        w.pagerank_init.remote(nstart=nstart, personalization=personalization)
+        for w in engine.workers
+    ])
+
+    start_iter = 0
+    if resume and checkpoint_dir:
+        latest = engine.latest_complete_iteration("pagerank")
+        if latest is not None:
+            engine._restore("pagerank", latest, ["pr"])
+            start_iter = latest + 1
+
+    converged = False
+    for it in range(start_iter, max_iter):
+        import time
+
+        t0 = time.perf_counter()
+        scatter_stats, update_stats = _iteration(engine, alpha, has_pers, V)
+        l1 = sum(s["l1"] for s in update_stats)
+        wall = time.perf_counter() - t0
+        if checkpoint_dir and (it % engine.checkpoint_every == 0 or l1 < tol):
+            engine._checkpoint(
+                "pagerank", it, ["pr"],
+                {
+                    "l1": l1,
+                    "wall_sec": wall,
+                    "rows_out": sum(s["rows_out"] for s in scatter_stats),
+                    "rows_in": sum(s["rows_in"] for s in update_stats),
+                    "shuffle_bytes": sum(s["bytes_out"] for s in scatter_stats),
+                },
+            )
+        if l1 < tol:
+            converged = True
+            break
+    if not converged:
+        raise ConvergenceError(
+            f"PageRank failed to converge in {max_iter} iterations (L1 tol {tol})"
+        )
+
+    ds = engine.result_dataset(["pr"], out_dir=out_dir)
+    import pyarrow as pa
+
+    return ds.map_batches(
+        lambda t: pa.table(
+            {"vertex": t.column("vertex"), "pagerank": t.column("pr")}
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def _iteration(engine, alpha, has_personalization, V):
+    import ray
+
+    W = engine.W
+    nret = W + 1
+    outs = [
+        w.pagerank_scatter.options(num_returns=nret).remote() for w in engine.workers
+    ]
+    scatter_stats = ray.get([o[W] for o in outs])
+    dangling = sum(s["dangling"] for s in scatter_stats)
+    if has_personalization:
+        unvarying = alpha * dangling + (1.0 - alpha)
+    else:
+        unvarying = (alpha * dangling + (1.0 - alpha)) / V
+    upd = [
+        engine.workers[q].pagerank_update.remote(
+            alpha, unvarying, [outs[s][q] for s in range(W)]
+        )
+        for q in range(W)
+    ]
+    update_stats = ray.get(upd)
+    return scatter_stats, update_stats

@@ -1,0 +1,431 @@
+"""Iterative superstep (BSP) engine: stateful workers over CSR-blocked partitions.
+
+This is the engine behind PageRank / WCC / LPA — the Ray analogue of the
+reference's prim layer:
+
+* ``per_v_transform_reduce_incoming_e`` (``prims/per_v_transform_reduce_
+  incoming_outgoing_e.cuh:1082``) — the gather–scatter superstep: each worker
+  maps over its CSR block emitting (dst, partial) messages **pre-aggregated
+  per block** (the combiner), the dst-owner reduces them, and vertex state is
+  updated — exactly the NCCL reduce-scatter the reference pays per iteration
+  (``SURVEY.md §3.2``), paid here as a direct worker→worker object exchange.
+* ``update_edge_src_property`` (``prims/update_edge_src_dst_property.cuh``) —
+  free here: edges are partitioned by owner(src), so the src-side vertex
+  state is resident in the same worker (SURVEY.md §4.4's 1D placement).
+* ``host_scalar_allreduce`` (used at ``pagerank_impl.cuh:77-80,193-196``) —
+  driver-side sum of per-worker scalars between phases.
+
+Why raw actors and not a per-iteration Dataset pipeline: the Dataset API has
+no way to pin a block to an actor across iterations, so a Dataset-expressed
+superstep re-ships the immutable CSR blocks through the object store every
+iteration (SURVEY.md §7.3.1).  Workers here read their partitions once
+(from the graph's hash-partitioned parquet), hold them as numpy columns, and
+only the small message tables move per superstep.
+
+Scale/skew notes:
+* Messages are combined per worker before the exchange (block-local
+  pre-aggregation), so per-iteration traffic is O(distinct dst per worker),
+  not O(E) — the salted two-stage reduce of SURVEY.md §4.3.3 falls out of
+  this: a hot dst receives ≤ W partials, one per worker, regardless of
+  in-degree.
+* dst→owner routing tables are precomputed once (dst ids never change), so
+  the per-iteration cost is a bincount over edges + slicing.
+* Every ``checkpoint_every`` supersteps each worker writes per-*graph-
+  partition* vertex state parquet plus the driver appends lineage metadata
+  (partition id, iteration, rows in/out, shuffle bytes) — resume works even
+  with a different worker count, because state files are keyed by graph
+  partition, not by worker (the reference has no mid-algorithm checkpoint
+  at all: SURVEY.md §4.1 "Checkpoint / resume: none").
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import time
+from typing import Optional
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+import ray
+
+from raygraph.hashing import owned_vertices, part_of_vertex
+
+
+@ray.remote
+class PartitionWorker:
+    """Holds a set of graph partitions (CSR blocks) + the vertex state they own.
+
+    Worker ``wid`` of ``W`` owns graph partitions {p : p % W == wid} and the
+    vertex ids v with part_of_vertex(v, P) in that set — so the src endpoint
+    of every resident edge is locally owned (1D co-partitioning).
+    """
+
+    def __init__(self, graph_dir: str, wid: int, num_workers: int,
+                 num_parts: int, num_vertices: int):
+        self.wid = wid
+        self.W = num_workers
+        self.P = num_parts
+        self.V = num_vertices
+        self.parts = [p for p in range(num_parts) if p % num_workers == wid]
+
+        tables = []
+        for p in self.parts:
+            pdir = os.path.join(graph_dir, "edges", f"part={p}")
+            if os.path.isdir(pdir):
+                files = sorted(glob.glob(os.path.join(pdir, "*.parquet")))
+                for f in files:
+                    tables.append(pq.read_table(f, columns=["src", "dst", "weight"]))
+        if tables:
+            t = pa.concat_tables(tables)
+            self.src = t.column("src").to_numpy()
+            self.dst = t.column("dst").to_numpy()
+            self.w = t.column("weight").to_numpy()
+        else:
+            self.src = np.empty(0, np.int64)
+            self.dst = np.empty(0, np.int64)
+            self.w = np.empty(0, np.float64)
+
+        owned = [owned_vertices(num_vertices, p, num_parts) for p in self.parts]
+        self.owned = (
+            np.sort(np.concatenate(owned)) if owned else np.empty(0, np.int64)
+        )
+        self.n_owned = len(self.owned)
+        # local index of each edge's src in the owned array (all srcs owned here)
+        self.src_local = np.searchsorted(self.owned, self.src)
+        # dst message routing, precomputed once: unique dsts, inverse index,
+        # and per-destination-worker slices
+        self.dst_unique, self.dst_inverse = np.unique(self.dst, return_inverse=True)
+        ow = part_of_vertex(self.dst_unique, self.P) % self.W
+        self.route = [np.flatnonzero(ow == q) for q in range(self.W)]
+        # graph partition id of each owned vertex (for per-partition checkpoints)
+        self.owned_part = part_of_vertex(self.owned, self.P)
+        self.state: dict[str, np.ndarray] = {}
+
+    # -- bookkeeping ------------------------------------------------------
+    def info(self):
+        return {
+            "wid": self.wid,
+            "parts": self.parts,
+            "edges": len(self.src),
+            "owned": self.n_owned,
+        }
+
+    def set_state(self, name: str, arr_or_scalar):
+        if np.isscalar(arr_or_scalar):
+            self.state[name] = np.full(self.n_owned, arr_or_scalar)
+        else:
+            self.state[name] = np.asarray(arr_or_scalar)
+
+    def get_state(self, names):
+        out = {"vertex": self.owned}
+        for n in names:
+            out[n] = self.state[n]
+        return pd.DataFrame(out)
+
+    def write_state(self, out_dir: str, names, file_tag: Optional[str] = None):
+        """Write owned vertex state, one parquet file per graph partition."""
+        os.makedirs(out_dir, exist_ok=True)
+        written = []
+        for p in self.parts:
+            mask = self.owned_part == p
+            cols = {"vertex": self.owned[mask]}
+            for n in names:
+                cols[n] = self.state[n][mask]
+            path = os.path.join(out_dir, f"part-{p:05d}.parquet")
+            pq.write_table(pa.table(cols), path)
+            written.append((p, int(mask.sum())))
+        return written
+
+    def load_state(self, in_dir: str, names):
+        frames = []
+        for p in self.parts:
+            path = os.path.join(in_dir, f"part-{p:05d}.parquet")
+            frames.append(pq.read_table(path).to_pandas())
+        df = pd.concat(frames).sort_values("vertex")
+        assert np.array_equal(df["vertex"].to_numpy(), self.owned)
+        for n in names:
+            self.state[n] = df[n].to_numpy()
+
+    # -- PageRank ---------------------------------------------------------
+    # semantics: cpp/src/link_analysis/pagerank_impl.cuh:156-292
+    def pagerank_init(self, nstart=None, personalization=None):
+        # out-weight sums: complete locally because all out-edges of an owned
+        # vertex live in this worker (graph_view.hpp:671-683 analogue)
+        ows = np.zeros(self.n_owned)
+        np.add.at(ows, self.src_local, self.w)
+        self.state["out_wsum"] = ows
+        self.state["dangling"] = ows == 0.0
+        if nstart is not None:
+            vids, vals = nstart
+            pr = np.zeros(self.n_owned)
+            idx = np.searchsorted(self.owned, vids)
+            pr[idx] = vals
+            self.state["pr"] = pr
+        else:
+            self.state["pr"] = np.full(self.n_owned, 1.0 / self.V)
+        if personalization is not None:
+            vids, vals = personalization
+            pv = np.zeros(self.n_owned)
+            sel = part_of_vertex(np.asarray(vids, np.int64), self.P) % self.W == self.wid
+            idx = np.searchsorted(self.owned, np.asarray(vids, np.int64)[sel])
+            pv[idx] = np.asarray(vals, np.float64)[sel]
+            self.state["pers"] = pv
+        return float(self.state["pr"].sum())
+
+    def pagerank_scatter(self):
+        """Returns [msg_0, ..., msg_{W-1}, stats]; msg_q = (dst vids, partials)."""
+        pr = self.state["pr"]
+        ows = self.state["out_wsum"]
+        src_l = self.src_local
+        with np.errstate(divide="ignore", invalid="ignore"):
+            coef = np.where(ows > 0, pr / np.where(ows > 0, ows, 1.0), 0.0)
+        contrib = coef[src_l] * self.w
+        partial = np.bincount(self.dst_inverse, weights=contrib,
+                              minlength=len(self.dst_unique))
+        out = []
+        rows_out = 0
+        bytes_out = 0
+        for q in range(self.W):
+            idx = self.route[q]
+            m = (self.dst_unique[idx], partial[idx])
+            rows_out += len(idx)
+            bytes_out += m[0].nbytes + m[1].nbytes
+            out.append(m)
+        dangling_sum = float(pr[self.state["dangling"]].sum())
+        out.append({"dangling": dangling_sum, "rows_out": rows_out,
+                    "bytes_out": bytes_out})
+        return out
+
+    def pagerank_update(self, alpha: float, unvarying: float, msgs):
+        """Apply gathered mass: pr'[v] = unvarying(+pers) + α·gather[v]."""
+        msgs = ray.get(list(msgs))
+        gather = np.zeros(self.n_owned)
+        rows_in = 0
+        for vids, partials in msgs:
+            idx = np.searchsorted(self.owned, vids)
+            np.add.at(gather, idx, partials)
+            rows_in += len(vids)
+        pr_old = self.state["pr"]
+        if "pers" in self.state:
+            pr_new = unvarying * self.state["pers"] + alpha * gather
+        else:
+            pr_new = unvarying + alpha * gather
+        l1 = float(np.abs(pr_new - pr_old).sum())
+        self.state["pr"] = pr_new
+        return {"l1": l1, "pr_sum": float(pr_new.sum()), "rows_in": rows_in}
+
+    # -- WCC: min-label propagation to fixpoint ---------------------------
+    # semantics: cpp/src/components/legacy/weak_cc.cuh:60-130 (atomicMin
+    # fixpoint); output contract components/connectivity.py:152-159
+    def cc_init(self):
+        self.state["labels"] = self.owned.copy()
+        self.state["active"] = np.ones(self.n_owned, dtype=bool)
+
+    def cc_scatter(self):
+        labels = self.state["labels"]
+        emask = self.state["active"][self.src_local]
+        nmsg = len(self.dst_unique)
+        best = np.full(nmsg, np.iinfo(np.int64).max, dtype=np.int64)
+        np.minimum.at(best, self.dst_inverse[emask], labels[self.src_local[emask]])
+        live = best != np.iinfo(np.int64).max
+        out = []
+        rows_out = bytes_out = 0
+        for q in range(self.W):
+            idx = self.route[q]
+            sel = idx[live[idx]]
+            m = (self.dst_unique[sel], best[sel])
+            rows_out += len(sel)
+            bytes_out += m[0].nbytes + m[1].nbytes
+            out.append(m)
+        out.append({"rows_out": rows_out, "bytes_out": bytes_out})
+        return out
+
+    def cc_update(self, msgs):
+        msgs = ray.get(list(msgs))
+        labels = self.state["labels"]
+        incoming = np.full(self.n_owned, np.iinfo(np.int64).max, dtype=np.int64)
+        rows_in = 0
+        for vids, best in msgs:
+            idx = np.searchsorted(self.owned, vids)
+            np.minimum.at(incoming, idx, best)
+            rows_in += len(vids)
+        new = np.minimum(labels, incoming)
+        changed = new != labels
+        self.state["labels"] = new
+        self.state["active"] = changed
+        return {"changed": int(changed.sum()), "rows_in": rows_in}
+
+    # -- Label propagation (sync, weighted-majority, min-label ties) ------
+    # contract: SURVEY.md §2.4 (absent in reference; kin weak_cc.cuh:60-130
+    # and Louvain's assign step louvain_impl.cuh:119-139)
+    def lpa_init(self):
+        self.state["labels"] = self.owned.copy()
+
+    def lpa_scatter(self):
+        labels = self.state["labels"]
+        lab_e = labels[self.src_local]
+        # combine per (dst, label): composite 64-bit key (assumes V < 2^32;
+        # at larger V split into a two-pass lexsort)
+        key = (self.dst_inverse.astype(np.int64) << np.int64(32)) | lab_e
+        uk, inv = np.unique(key, return_inverse=True)
+        wsum = np.bincount(inv, weights=self.w, minlength=len(uk))
+        di = (uk >> np.int64(32)).astype(np.int64)
+        lab = (uk & np.int64(0xFFFFFFFF)).astype(np.int64)
+        ow = part_of_vertex(self.dst_unique[di], self.P) % self.W
+        out = []
+        rows_out = bytes_out = 0
+        for q in range(self.W):
+            sel = np.flatnonzero(ow == q)
+            m = (self.dst_unique[di[sel]], lab[sel], wsum[sel])
+            rows_out += len(sel)
+            bytes_out += m[0].nbytes + m[1].nbytes + m[2].nbytes
+            out.append(m)
+        out.append({"rows_out": rows_out, "bytes_out": bytes_out})
+        return out
+
+    def lpa_update(self, msgs):
+        msgs = ray.get(list(msgs))
+        vids = np.concatenate([m[0] for m in msgs]) if msgs else np.empty(0, np.int64)
+        labs = np.concatenate([m[1] for m in msgs]) if msgs else np.empty(0, np.int64)
+        ws = np.concatenate([m[2] for m in msgs]) if msgs else np.empty(0)
+        labels = self.state["labels"]
+        rows_in = len(vids)
+        if rows_in:
+            idx = np.searchsorted(self.owned, vids)
+            key = (idx.astype(np.int64) << np.int64(32)) | labs
+            uk, inv = np.unique(key, return_inverse=True)
+            wsum = np.bincount(inv, weights=ws, minlength=len(uk))
+            vi = (uk >> np.int64(32)).astype(np.int64)
+            lab = (uk & np.int64(0xFFFFFFFF)).astype(np.int64)
+            # per vertex: argmax weight, ties -> min label. uk is sorted, so
+            # within a vertex labels ascend; lexsort by (vi, -wsum) stable
+            # keeps min label first among equal weights.
+            order = np.lexsort((lab, -wsum, vi))
+            vi_s, lab_s = vi[order], lab[order]
+            first = np.ones(len(vi_s), dtype=bool)
+            first[1:] = vi_s[1:] != vi_s[:-1]
+            winner_v = vi_s[first]
+            winner_l = lab_s[first]
+            new = labels.copy()
+            new[winner_v] = winner_l
+        else:
+            new = labels
+        changed = int((new != labels).sum())
+        self.state["labels"] = new
+        return {"changed": changed, "rows_in": rows_in}
+
+
+class SuperstepEngine:
+    """Driver-side BSP loop + checkpoint/lineage/resume over PartitionWorkers."""
+
+    def __init__(self, graph, num_workers: Optional[int] = None,
+                 checkpoint_dir: Optional[str] = None, checkpoint_every: int = 1):
+        self.graph = graph
+        P = graph.num_partitions
+        if num_workers is None:
+            cpus = int(ray.available_resources().get("CPU", 4))
+            num_workers = max(1, min(P, cpus))
+        self.W = num_workers
+        self.checkpoint_dir = checkpoint_dir
+        self.checkpoint_every = max(1, checkpoint_every)
+        self.workers = [
+            PartitionWorker.options(num_cpus=1).remote(
+                graph.base_dir, wid, self.W, P, graph.num_vertices
+            )
+            for wid in range(self.W)
+        ]
+        ray.get([w.info.remote() for w in self.workers])
+
+    # -- checkpoint plumbing ---------------------------------------------
+    def _lineage_path(self):
+        return os.path.join(self.checkpoint_dir, "lineage.jsonl")
+
+    def latest_complete_iteration(self, algo: str) -> Optional[int]:
+        """Largest iteration with a lineage entry marked complete."""
+        if not self.checkpoint_dir or not os.path.exists(self._lineage_path()):
+            return None
+        best = None
+        with open(self._lineage_path()) as f:
+            for line in f:
+                rec = json.loads(line)
+                if rec.get("algo") == algo and rec.get("complete"):
+                    best = max(best or -1, rec["iteration"])
+        return best
+
+    def _checkpoint(self, algo: str, iteration: int, names, stats: dict):
+        if not self.checkpoint_dir:
+            return
+        it_dir = os.path.join(self.checkpoint_dir, algo, f"iter={iteration:06d}")
+        written = ray.get(
+            [w.write_state.remote(it_dir, names) for w in self.workers]
+        )
+        per_part = {p: n for wlist in written for p, n in wlist}
+        rec = {
+            "algo": algo,
+            "iteration": iteration,
+            "complete": True,
+            "partitions": [
+                {"partition_id": p, "rows": n} for p, n in sorted(per_part.items())
+            ],
+            **stats,
+        }
+        os.makedirs(self.checkpoint_dir, exist_ok=True)
+        with open(self._lineage_path(), "a") as f:
+            f.write(json.dumps(rec) + "\n")
+
+    def _restore(self, algo: str, iteration: int, names):
+        it_dir = os.path.join(self.checkpoint_dir, algo, f"iter={iteration:06d}")
+        ray.get([w.load_state.remote(it_dir, names) for w in self.workers])
+
+    # -- generic BSP round ------------------------------------------------
+    def _exchange(self, scatter_name: str, update_name: str, update_args=()):
+        """One superstep: scatter on all workers, route refs, update on all."""
+        nret = self.W + 1
+        outs = [
+            getattr(w, scatter_name).options(num_returns=nret).remote()
+            for w in self.workers
+        ]
+        scatter_stats = ray.get([o[self.W] for o in outs])
+        upd = [
+            getattr(self.workers[q], update_name).remote(
+                *update_args, [outs[s][q] for s in range(self.W)]
+            )
+            for q in range(self.W)
+        ]
+        update_stats = ray.get(upd)
+        return scatter_stats, update_stats
+
+    def shutdown(self):
+        """Release worker actors (and their CPU reservations).
+
+        Must run before any Dataset job that needs the CPUs the pool holds —
+        a pool sized to the whole node would otherwise starve the read/write
+        stages and deadlock the pipeline.
+        """
+        for w in self.workers:
+            ray.kill(w)
+        self.workers = []
+
+    def result_dataset(self, names, out_dir: Optional[str] = None):
+        """Final vertex state as a Dataset (per-partition parquet on disk).
+
+        Writes through the workers, then releases them so downstream Dataset
+        stages can schedule.
+        """
+        import tempfile
+        import uuid
+
+        import ray.data as rd
+
+        if out_dir is None:
+            out_dir = os.path.join(
+                tempfile.gettempdir(), "raygraph", f"result-{uuid.uuid4().hex[:12]}"
+            )
+        ray.get([w.write_state.remote(out_dir, names) for w in self.workers])
+        self.shutdown()
+        return rd.read_parquet(out_dir)

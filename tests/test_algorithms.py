@@ -1,0 +1,160 @@
+"""M4/M5 tests: PageRank / WCC / LPA vs sequential oracles on golden graphs."""
+
+import numpy as np
+import pandas as pd
+import pytest
+import ray.data as rd
+
+from raygraph.algos import (
+    ConvergenceError,
+    label_propagation,
+    pagerank,
+    weakly_connected_components,
+)
+from raygraph.graph import Graph
+
+from tests import fixtures, oracles
+
+
+def build(df, directed, tmp_path, name, num_partitions=4):
+    return Graph.from_edges(
+        rd.from_pandas(df),
+        src="src", dst="dst", weight="weight",
+        directed=directed, renumber=False,
+        num_partitions=num_partitions,
+        out_dir=str(tmp_path / name),
+    )
+
+
+def pr_vec(ds, V):
+    df = ds.to_pandas().sort_values("vertex")
+    assert len(df) == V
+    return df.iloc[:, 1].to_numpy()
+
+
+# ---------------------------------------------------------------- PageRank
+
+
+def test_pagerank_karate_undirected(tmp_path):
+    g = build(fixtures.karate_df(), False, tmp_path, "k")
+    got = pr_vec(pagerank(g, alpha=0.85, tol=1e-6, max_iter=200), fixtures.KARATE_V)
+    want = oracles.ref_pagerank(
+        fixtures.karate_sym_arrays(), fixtures.KARATE_V,
+        alpha=0.85, tol=1e-6, max_iter=200,
+    )
+    assert np.allclose(got, want, atol=1e-6)
+    assert abs(got.sum() - 1.0) < 1e-9
+
+
+def test_pagerank_directed_line_dangling(tmp_path):
+    # line 0->1->...->9: vertex 9 dangling; exercises dangling redistribution
+    g = build(fixtures.line_df(10), True, tmp_path, "line")
+    got = pr_vec(pagerank(g, tol=1e-10, max_iter=500), 10)
+    df = fixtures.line_df(10)
+    want = oracles.ref_pagerank(
+        (df["src"].to_numpy(), df["dst"].to_numpy(), df["weight"].to_numpy()),
+        10, tol=1e-10, max_iter=500,
+    )
+    assert np.allclose(got, want, atol=1e-8)
+    assert abs(got.sum() - 1.0) < 1e-9
+
+
+def test_pagerank_weighted(tmp_path):
+    df = fixtures.karate_df()
+    rng = np.random.RandomState(7)
+    df["weight"] = rng.uniform(0.5, 3.0, len(df)).round(3)
+    g = build(df, True, tmp_path, "kw")
+    got = pr_vec(pagerank(g, tol=1e-8, max_iter=300), fixtures.KARATE_V)
+    want = oracles.ref_pagerank(
+        (df["src"].to_numpy(), df["dst"].to_numpy(), df["weight"].to_numpy()),
+        fixtures.KARATE_V, tol=1e-8, max_iter=300,
+    )
+    assert np.allclose(got, want, atol=1e-6)
+
+
+def test_pagerank_personalization(tmp_path):
+    g = build(fixtures.karate_df(), False, tmp_path, "kp")
+    pers = {0: 1.0, 33: 3.0}
+    got = pr_vec(
+        pagerank(g, tol=1e-8, max_iter=300, personalization=pers), fixtures.KARATE_V
+    )
+    want = oracles.ref_pagerank(
+        fixtures.karate_sym_arrays(), fixtures.KARATE_V,
+        tol=1e-8, max_iter=300, personalization=pers,
+    )
+    assert np.allclose(got, want, atol=1e-6)
+
+
+def test_pagerank_raises_without_convergence(tmp_path):
+    g = build(fixtures.karate_df(), False, tmp_path, "kfail")
+    with pytest.raises(ConvergenceError):
+        pagerank(g, tol=1e-12, max_iter=2)
+
+
+def test_pagerank_worker_count_invariance(tmp_path):
+    # parallelism must not change the result beyond float tolerance
+    g = build(fixtures.karate_df(), False, tmp_path, "kinv")
+    a = pr_vec(pagerank(g, tol=1e-8, max_iter=300, num_workers=1), fixtures.KARATE_V)
+    b = pr_vec(pagerank(g, tol=1e-8, max_iter=300, num_workers=4), fixtures.KARATE_V)
+    assert np.allclose(a, b, atol=1e-10)
+
+
+# ---------------------------------------------------------------- WCC
+
+
+def test_wcc_two_components(tmp_path):
+    df = fixtures.two_components_df()
+    g = build(df, False, tmp_path, "2c")
+    got = weakly_connected_components(g).to_pandas().sort_values("vertex")
+    V = g.num_vertices
+    want = oracles.ref_wcc((df["src"].to_numpy(), df["dst"].to_numpy()), V)
+    # engine labels are canonical min-vid — must be exactly the oracle's
+    assert np.array_equal(got["labels"].to_numpy(), want)
+    # isolated vertices (ids 5..9 unused) are their own components
+    assert got.set_index("vertex")["labels"][7] == 7
+
+
+def test_wcc_karate_single_component(tmp_path):
+    g = build(fixtures.karate_df(), False, tmp_path, "kwcc")
+    got = weakly_connected_components(g).to_pandas()
+    assert (got["labels"] == 0).all()
+
+
+def test_wcc_requires_undirected(tmp_path):
+    g = build(fixtures.line_df(5), True, tmp_path, "ld")
+    with pytest.raises(ValueError):
+        weakly_connected_components(g)
+
+
+# ---------------------------------------------------------------- LPA
+
+
+def test_lpa_matches_oracle(tmp_path):
+    df = fixtures.karate_df()
+    g = build(df, False, tmp_path, "klpa")
+    got = (
+        label_propagation(g, max_iter=30)
+        .to_pandas()
+        .sort_values("vertex")["label"]
+        .to_numpy()
+    )
+    src, dst, w = fixtures.karate_sym_arrays()
+    want = oracles.ref_lpa((src, dst, w), fixtures.KARATE_V, max_iter=30)
+    assert oracles.canonical_map_equal(got, want)
+
+
+def test_lpa_two_components_never_merge(tmp_path):
+    df = fixtures.two_components_df()
+    g = build(df, False, tmp_path, "2clpa")
+    got = label_propagation(g, max_iter=20).to_pandas().set_index("vertex")["label"]
+    comp_a = {got[v] for v in range(5)}
+    comp_b = {got[v] for v in range(10, 14)}
+    assert comp_a.isdisjoint(comp_b)
+
+
+def test_lpa_deterministic_across_workers(tmp_path):
+    df = fixtures.karate_df()
+    g = build(df, False, tmp_path, "klpad")
+    a = label_propagation(g, max_iter=15, num_workers=1).to_pandas().sort_values("vertex")["label"].to_numpy()
+    b = label_propagation(g, max_iter=15, num_workers=4).to_pandas().sort_values("vertex")["label"].to_numpy()
+    assert np.array_equal(a, b)
