@@ -1,0 +1,108 @@
+"""Triangle counting — exact per-vertex counts.
+
+Pipeline mirrors ``cpp/src/community/triangle_count_impl.cuh`` (443 LoC):
+
+1. drop self-loops                                  (:193-227)
+2. (optional 2-core filter — pure optimization, skipped; identical output)
+3. orient each undirected edge low-degree→high-degree, ties by vertex id
+   (``low_to_high_degree_t``, :86-98) — every undirected edge kept exactly
+   once and max out-degree is bounded ~O(√E), which bounds the wedge count
+4. count: the reference intersects N+(u)∩N+(v) per edge
+   (``transform_reduce_dst_nbr_intersection_of_e_endpoints_by_v.cuh``); the
+   relational equivalent used here is wedge-join: for each apex u emit every
+   oriented out-neighbor pair (a,b) as a wedge, then inner-join wedges
+   against the oriented edge list on (a,b) — each match is one triangle
+   (u,a,b) and all three corners get +1 (``intersection_op_t``, :100-113)
+5. per-vertex sum, zero-filled over all vertices    (:349-366)
+
+Wedges are generated per-src with ``groupby(src).map_groups`` (vectorized
+triu pair expansion), the join is a bucketed hash join on the composite
+(src,dst) key, and corner counts are pre-aggregated per batch before the
+final groupby — all flat int64 tables, no ragged columns.
+
+Requires an undirected simple graph (asserts like
+``triangle_count_impl.cuh:154-159``).  Output: Dataset
+``(vertex:int64, counts:int64)`` — exact
+(``tests/test_triangle_count.py:94-110`` contract).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from raygraph import joins, ops
+
+
+def triangle_count(graph, broadcast_limit: int = 20_000_000):
+    if graph.directed:
+        raise ValueError(
+            "triangle_count requires an undirected graph (build with directed=False)"
+        )
+    import ray
+
+    edges = graph.edges_dataset(columns=["src", "dst"])
+    V = graph.num_vertices
+
+    deg_ds = ops.degrees(graph)
+    if V > broadcast_limit:
+        raise NotImplementedError(
+            "degree-join orientation path for V > broadcast_limit not wired yet; "
+            "raise broadcast_limit or reduce the graph"
+        )
+    ddf = deg_ds.to_pandas().sort_values("vertex")
+    deg = np.zeros(V, dtype=np.int64)
+    deg[ddf["vertex"].to_numpy()] = ddf["out_degree"].to_numpy()
+    dref = ray.put(deg)
+
+    def orient(t: pa.Table) -> pa.Table:
+        d = ray.get(dref)
+        src = t.column("src").to_numpy()
+        dst = t.column("dst").to_numpy()
+        keep = (src != dst) & (
+            (d[src] < d[dst]) | ((d[src] == d[dst]) & (src < dst))
+        )
+        return pa.table({"src": src[keep], "dst": dst[keep]})
+
+    oriented = edges.map_batches(orient, batch_format="pyarrow", zero_copy_batch=True)
+    oriented = oriented.materialize()  # reused: wedge source + join probe side
+
+    def make_wedges(g: pd.DataFrame) -> pd.DataFrame:
+        d = ray.get(dref)
+        u = np.int64(g["src"].iloc[0])
+        nbrs = g["dst"].to_numpy(dtype=np.int64)
+        n = len(nbrs)
+        if n < 2:
+            return pd.DataFrame(
+                {"src": pd.Series(dtype=np.int64), "dst": pd.Series(dtype=np.int64),
+                 "apex": pd.Series(dtype=np.int64)}
+            )
+        i, j = np.triu_indices(n, k=1)
+        a, b = nbrs[i], nbrs[j]
+        # orient each wedge pair by the same (degree, id) total order so it
+        # can only match the single stored direction of the closing edge
+        swap = (d[b] < d[a]) | ((d[b] == d[a]) & (b < a))
+        a2 = np.where(swap, b, a)
+        b2 = np.where(swap, a, b)
+        return pd.DataFrame({"src": a2, "dst": b2, "apex": np.full(len(a2), u)})
+
+    wedges = oriented.groupby("src").map_groups(make_wedges, batch_format="pandas")
+
+    triangles = joins.hash_join(wedges, oriented, on=["src", "dst"])
+
+    def corner_partials(df: pd.DataFrame) -> pa.Table:
+        # output is Arrow so the zero-fill union sees uniform block types
+        if not len(df):
+            return pa.table(
+                {"vertex": pa.array([], pa.int64()), "counts": pa.array([], pa.int64())}
+            )
+        corners = np.concatenate(
+            [df["src"].to_numpy(np.int64), df["dst"].to_numpy(np.int64),
+             df["apex"].to_numpy(np.int64)]
+        )
+        v, c = np.unique(corners, return_counts=True)
+        return pa.table({"vertex": v, "counts": c.astype(np.int64)})
+
+    partial = triangles.map_batches(corner_partials, batch_format="pandas")
+    return ops._vertex_zero_fill(partial, V, ["counts"])

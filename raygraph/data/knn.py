@@ -1,0 +1,132 @@
+"""Similarity search over an embedding column (list<float>).
+
+Brute-force cosine top-k is the baseline: the query matrix is broadcast via
+``ray.put`` once, each batch does one float64 matmul against it and emits a
+per-batch top-k partial; the driver merges partials (k×Q rows — tiny).
+The IVF variant is the scale path: coarse k-means centroids (trained on a
+sample, broadcast), batches route vectors to their nearest centroid
+(assignment stage), and queries probe only ``nprobe`` inverted lists.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+import pandas as pd
+
+
+def _norm_rows(m: np.ndarray) -> np.ndarray:
+    n = np.linalg.norm(m, axis=1, keepdims=True)
+    return m / np.where(n == 0, 1.0, n)
+
+
+def _emb_matrix(df: pd.DataFrame, col: str) -> np.ndarray:
+    return np.stack([np.asarray(v, dtype=np.float64) for v in df[col]], axis=0)
+
+
+def knn_bruteforce(ds, queries: np.ndarray, query_ids, k: int = 10,
+                   emb_col: str = "embedding", id_col: str = "vec_id",
+                   exclude_ids: bool = True):
+    """Exact cosine top-k of each query against the whole embedding Dataset.
+
+    ``queries``: (Q, d) float array; broadcast once. Returns a pandas frame
+    (query_id, neighbor_id, rank, score) with rank 1..k by
+    (score desc, neighbor_id asc); scores rounded to 6 decimals before
+    ranking so ordering is reproducible across float reduction orders.
+    """
+    import ray
+
+    qm = _norm_rows(np.asarray(queries, dtype=np.float64))
+    qids = np.asarray(query_ids, dtype=np.int64)
+    qref = ray.put((qm, qids))
+
+    def partial_topk(df: pd.DataFrame) -> pd.DataFrame:
+        qm, qids = ray.get(qref)
+        emb = _norm_rows(_emb_matrix(df, emb_col))
+        ids = df[id_col].to_numpy(np.int64)
+        sims = qm @ emb.T  # (Q, B)
+        out = []
+        kk = min(k + (1 if exclude_ids else 0), sims.shape[1])
+        for qi in range(len(qids)):
+            s = sims[qi]
+            idx = np.argpartition(-s, kk - 1)[:kk] if kk < len(s) else np.arange(len(s))
+            out.append(
+                pd.DataFrame(
+                    {
+                        "query_id": qids[qi],
+                        "neighbor_id": ids[idx],
+                        "score": s[idx],
+                    }
+                )
+            )
+        return pd.concat(out, ignore_index=True)
+
+    partials = ds.map_batches(partial_topk, batch_format="pandas").to_pandas()
+    if exclude_ids:
+        partials = partials[partials["query_id"] != partials["neighbor_id"]]
+    partials["score"] = partials["score"].round(6)
+    partials = partials.sort_values(
+        ["query_id", "score", "neighbor_id"], ascending=[True, False, True]
+    )
+    top = partials.groupby("query_id", sort=True).head(k).reset_index(drop=True)
+    top["rank"] = top.groupby("query_id").cumcount() + 1
+    return top[["query_id", "neighbor_id", "rank", "score"]]
+
+
+def train_ivf_centroids(ds, num_centroids: int = 16, emb_col: str = "embedding",
+                        sample_rows: int = 10_000, iters: int = 10, seed: int = 42):
+    """K-means on a driver-side sample (Lloyd's, deterministic seed)."""
+    sample = ds.limit(sample_rows).to_pandas()
+    X = _norm_rows(_emb_matrix(sample, emb_col))
+    rng = np.random.RandomState(seed)
+    C = X[rng.choice(len(X), size=min(num_centroids, len(X)), replace=False)]
+    for _ in range(iters):
+        assign = np.argmax(X @ C.T, axis=1)
+        for c in range(len(C)):
+            m = assign == c
+            if m.any():
+                v = X[m].mean(axis=0)
+                n = np.linalg.norm(v)
+                if n > 0:
+                    C[c] = v / n
+    return C
+
+
+def ivf_assign(ds, centroids: np.ndarray, emb_col="embedding", id_col="vec_id"):
+    """Add a ``list_id`` column: nearest centroid per vector (broadcast)."""
+    import ray
+
+    cref = ray.put(np.asarray(centroids, dtype=np.float64))
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        C = ray.get(cref)
+        emb = _norm_rows(_emb_matrix(df, emb_col))
+        out = df.copy()
+        out["list_id"] = np.argmax(emb @ C.T, axis=1).astype(np.int64)
+        return out
+
+    return ds.map_batches(fn, batch_format="pandas")
+
+
+def knn_ivf(ds, queries: np.ndarray, query_ids, k: int = 10, nprobe: int = 4,
+            num_centroids: int = 16, emb_col="embedding", id_col="vec_id",
+            centroids: Optional[np.ndarray] = None, exclude_ids: bool = True):
+    """Approximate cosine top-k: probe the ``nprobe`` nearest inverted lists.
+
+    The filter keeps only vectors whose list is probed by ≥1 query, then the
+    exact kernel runs on the reduced set — at scale the assignment is
+    precomputed/partitioned and the probe prunes whole partitions.
+    """
+    if centroids is None:
+        centroids = train_ivf_centroids(ds, num_centroids, emb_col)
+    qm = _norm_rows(np.asarray(queries, dtype=np.float64))
+    probe = np.argsort(-(qm @ centroids.T), axis=1)[:, :nprobe]
+    probed_lists = np.unique(probe)
+    assigned = ivf_assign(ds, centroids, emb_col, id_col)
+    probed = assigned.map_batches(
+        lambda df: df[df["list_id"].isin(probed_lists)].drop(columns=["list_id"]),
+        batch_format="pandas",
+    )
+    return knn_bruteforce(probed, queries, query_ids, k, emb_col, id_col,
+                          exclude_ids=exclude_ids)

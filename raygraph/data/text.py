@@ -1,0 +1,138 @@
+"""Text analysis stages: token counts, quality scores, language id,
+document fingerprints.  All are stateless/actor map_batches stages over the
+documents table; regexes and stopword tables load once per actor.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+import numpy as np
+import pandas as pd
+
+_WS = re.compile(r"\s+")
+_PUNCT = re.compile(r"[.!?,;:]")
+_WORD = re.compile(r"\w+")
+
+# tiny per-language stopword tables for the n-gram/stopword heuristic
+_STOPWORDS = {
+    "en": {"the", "and", "of", "a", "to", "in", "is", "that", "it", "for"},
+    "de": {"der", "die", "das", "und", "ist", "nicht", "ein", "zu", "mit", "den"},
+    "fr": {"le", "la", "les", "et", "est", "un", "une", "de", "que", "pour"},
+    "es": {"el", "la", "los", "y", "es", "un", "una", "de", "que", "por"},
+}
+
+
+def token_count(ds, text_col="text", id_col="doc_id"):
+    """(id, n_tokens): whitespace tokens of the trimmed text.
+
+    Matches ``len(string_split_regex(trim(text), '\\s+'))`` in SQL semantics:
+    an empty trimmed string still yields one (empty) token.
+    """
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        toks = [len(_WS.split(t.strip())) for t in df[text_col].astype(str)]
+        return pd.DataFrame(
+            {id_col: df[id_col].to_numpy(), "n_tokens": np.array(toks, np.int64)}
+        )
+
+    return ds.map_batches(fn, batch_format="pandas")
+
+
+def quality_scores(ds, text_col="text", id_col="doc_id"):
+    """(id, n_chars, n_tokens, punct_count, upper_ratio) quality metrics.
+
+    Deliberately SQL-replicable (length / regexp counts) so the driver's
+    DuckDB oracle can verify it bit-for-bit; richer heuristics (stopword
+    ratio, mean word length) live in ``language_id``/custom stages.
+    """
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        texts = df[text_col].astype(str)
+        n_chars = texts.str.len().to_numpy(np.int64)
+        n_tokens = np.array(
+            [len(_WS.split(t.strip())) for t in texts], np.int64
+        )
+        punct = np.array([len(_PUNCT.findall(t)) for t in texts], np.int64)
+        upper = np.array(
+            [sum(1 for c in t if c.isupper()) for t in texts], np.int64
+        )
+        with np.errstate(divide="ignore", invalid="ignore"):
+            upper_ratio = np.where(n_chars > 0, upper / np.maximum(n_chars, 1), 0.0)
+        return pd.DataFrame(
+            {
+                id_col: df[id_col].to_numpy(),
+                "n_chars": n_chars,
+                "n_tokens": n_tokens,
+                "punct_count": punct,
+                "upper_ratio": np.round(upper_ratio, 6),
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pandas")
+
+
+class LanguageId:
+    """Actor stage: stopword-vote language heuristic (tables built once)."""
+
+    def __init__(self, text_col="text", id_col="doc_id"):
+        self.text_col = text_col
+        self.id_col = id_col
+        self.tables = {k: frozenset(v) for k, v in _STOPWORDS.items()}
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        langs = []
+        scores = []
+        for t in df[self.text_col].astype(str):
+            words = _WORD.findall(t.lower())[:200]
+            best_lang, best = "unknown", 0
+            for lang, table in self.tables.items():
+                s = sum(1 for w in words if w in table)
+                if s > best:
+                    best_lang, best = lang, s
+            langs.append(best_lang)
+            scores.append(best / max(1, min(len(words), 200)))
+        return pd.DataFrame(
+            {
+                self.id_col: df[self.id_col].to_numpy(),
+                "lang_pred": langs,
+                "lang_score": np.round(np.array(scores), 6),
+            }
+        )
+
+
+def language_id(ds, text_col="text", id_col="doc_id", concurrency=(1, 4)):
+    return ds.map_batches(
+        LanguageId,
+        fn_constructor_kwargs=dict(text_col=text_col, id_col=id_col),
+        batch_format="pandas",
+        concurrency=concurrency,
+    )
+
+
+def fingerprint(ds, text_col="text", id_col="doc_id", window: int = 16):
+    """(id, fp): winnowing-style rolling-hash fingerprint (min hash over
+    byte windows) — document-identity sketch robust to small shifts."""
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        fps = []
+        for t in df[text_col].astype(str):
+            b = t.encode("utf-8", "ignore")
+            if len(b) < window:
+                fps.append(
+                    int.from_bytes(hashlib.md5(b).digest()[:8], "little")
+                    & 0x7FFFFFFFFFFFFFFF
+                )
+                continue
+            arr = np.frombuffer(b, dtype=np.uint8)
+            n = len(arr) - window + 1
+            h = np.zeros(n, dtype=np.uint64)
+            for i in range(window):
+                h = h * np.uint64(1000003) + arr[i : i + n]
+            fps.append(int(h.min() & np.uint64(0x7FFFFFFFFFFFFFFF)))
+        return pd.DataFrame(
+            {id_col: df[id_col].to_numpy(), "fp": np.array(fps, np.int64)}
+        )
+
+    return ds.map_batches(fn, batch_format="pandas")

@@ -88,7 +88,9 @@ def hash_join(
     both = lt.union(rt)
 
     def _restore(df: pd.DataFrame, cols, dtypes) -> pd.DataFrame:
-        df = df[cols]
+        # a group may hold rows of only one side, in which case the other
+        # side's columns are absent entirely (reindex adds them empty)
+        df = df.reindex(columns=cols)
         casts = {
             c: dtypes[c]
             for c in cols

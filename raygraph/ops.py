@@ -1,0 +1,217 @@
+"""Structural graph operators — the Dataset-level prim/utility layer.
+
+Covers the reference's structural surface (SURVEY.md §2.2): degrees,
+self-loop / multi-edge counts, two-hop neighbors, induced subgraph, relabel,
+coarsen, adjacency-list build.  Every operator is a Dataset pipeline
+(map_batches + groupby); none materializes the full input on the driver.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from raygraph import joins
+
+
+def _rd():
+    import ray.data as rd
+
+    return rd
+
+
+def _vertex_zero_fill(partial_ds, V: int, value_cols: Sequence[str]):
+    """Union (vertex, 0...) for all vertices, then groupby-sum → dense result."""
+    rd = _rd()
+
+    def zeros(t: pa.Table) -> pa.Table:
+        cols = {"vertex": t.column("id").cast(pa.int64())}
+        for c in value_cols:
+            cols[c] = pa.array(np.zeros(t.num_rows, dtype=np.int64), pa.int64())
+        return pa.table(cols)
+
+    base = rd.range(V).map_batches(zeros, batch_format="pyarrow")
+    from ray.data.aggregate import Sum
+
+    aggs = [Sum(c, alias_name=c) for c in value_cols]
+    return base.union(partial_ds).groupby("vertex").aggregate(*aggs)
+
+
+def degrees(graph):
+    """(vertex, in_degree, out_degree, degree) — ``simpleGraph.py:619-805``.
+
+    Zero-filled for vertices with no edges. For undirected graphs each stored
+    direction counts once (cuGraph counts the symmetrized edge list, so an
+    undirected edge contributes 1 to both endpoints' in and out degrees).
+    """
+    edges = graph.edges_dataset(columns=["src", "dst"])
+
+    def partials(t: pa.Table) -> pa.Table:
+        src = t.column("src").to_numpy()
+        dst = t.column("dst").to_numpy()
+        sv, sc = np.unique(src, return_counts=True)
+        dv, dc = np.unique(dst, return_counts=True)
+        return pa.table(
+            {
+                "vertex": np.concatenate([sv, dv]),
+                "out_degree": np.concatenate([sc, np.zeros(len(dv), np.int64)]),
+                "in_degree": np.concatenate([np.zeros(len(sv), np.int64), dc]),
+            }
+        )
+
+    p = edges.map_batches(partials, batch_format="pyarrow", zero_copy_batch=True)
+    out = _vertex_zero_fill(p, graph.num_vertices, ["out_degree", "in_degree"])
+    return out.map_batches(
+        lambda t: t.append_column(
+            "degree",
+            pc.add(t.column("in_degree"), t.column("out_degree")),
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def out_weight_sums(graph):
+    """(vertex, out_wsum) — ``graph_view.hpp:671-683`` compute_out_weight_sums."""
+    edges = graph.edges_dataset(columns=["src", "weight"])
+
+    def partials(t: pa.Table) -> pa.Table:
+        src = t.column("src").to_numpy()
+        w = t.column("weight").to_numpy()
+        sv, inv = np.unique(src, return_inverse=True)
+        s = np.bincount(inv, weights=w, minlength=len(sv))
+        return pa.table({"vertex": sv, "out_wsum": s})
+
+    from ray.data.aggregate import Sum
+
+    p = edges.map_batches(partials, batch_format="pyarrow", zero_copy_batch=True)
+    return p.groupby("vertex").aggregate(Sum("out_wsum", alias_name="out_wsum"))
+
+
+def count_self_loops(graph) -> int:
+    """``graph_view.hpp:685`` count_self_loops."""
+    edges = graph.edges_dataset(columns=["src", "dst"])
+    return edges.map_batches(
+        lambda t: pa.table(
+            {"n": pa.array([pc.sum(pc.equal(t.column("src"), t.column("dst"))).as_py() or 0])}
+        ),
+        batch_format="pyarrow",
+    ).sum("n")
+
+
+def count_multi_edges(graph) -> int:
+    """Number of surplus parallel edges — ``graph_view.hpp:686``."""
+    edges = graph.edges_dataset(columns=["src", "dst"])
+    grouped = edges.groupby(["src", "dst"]).count()
+    return grouped.map_batches(
+        lambda df: pd.DataFrame({"n": [int((df["count()"] - 1).sum())]}),
+        batch_format="pandas",
+    ).sum("n")
+
+
+def two_hop_neighbors(graph):
+    """Distinct (first, second) pairs connected by a path of exactly 2 edges,
+    excluding trivial first==second pairs — ``traversal/two_hop_neighbors.cu``,
+    ``simpleGraph.py:544-566``.
+    """
+    e = graph.edges_dataset(columns=["src", "dst"])
+    a = e.map_batches(
+        lambda df: df.rename(columns={"src": "first", "dst": "mid"}),
+        batch_format="pandas",
+    )
+    b = e.map_batches(
+        lambda df: df.rename(columns={"src": "mid", "dst": "second"}),
+        batch_format="pandas",
+    )
+    joined = joins.hash_join(a, b, on="mid")
+    pairs = joined.map_batches(
+        lambda df: df.loc[df["first"] != df["second"], ["first", "second"]],
+        batch_format="pandas",
+    )
+    return pairs.groupby(["first", "second"]).count().drop_columns(["count()"])
+
+
+def induced_subgraph(graph, vertices):
+    """Edges with both endpoints in the vertex set (broadcast semi-join) —
+    ``cpp/src/structure/induced_subgraph_impl.cuh``."""
+    import ray
+
+    vset = np.sort(np.asarray(list(vertices), dtype=np.int64))
+    ref = ray.put(vset)
+    edges = graph.edges_dataset(columns=["src", "dst", "weight"])
+
+    def fn(t: pa.Table) -> pa.Table:
+        vs = ray.get(ref)
+        src = t.column("src").to_numpy()
+        dst = t.column("dst").to_numpy()
+        mask = np.isin(src, vs) & np.isin(dst, vs)
+        return t.filter(pa.array(mask))
+
+    return edges.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def relabel(ds, col: str, mapping_df: pd.DataFrame, old="old", new="new"):
+    """Apply an (old→new) pair map to a vertex column —
+    ``cpp/src/structure/relabel_impl.cuh`` (broadcast lookup form)."""
+    ref = joins.broadcast_map_ref(mapping_df, old, new)
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        import ray
+
+        kv = ray.get(ref)
+        df = df.copy()
+        df[col] = joins.lookup_broadcast(df[col].to_numpy(), kv)
+        return df
+
+    return ds.map_batches(fn, batch_format="pandas")
+
+
+def coarsen(edges_ds, labels_df: pd.DataFrame, self_loops: bool = True):
+    """Contract vertices by label; combine parallel edges summing weights —
+    ``cpp/src/structure/coarsen_graph_impl.cuh`` (Louvain's level step).
+
+    ``labels_df``: (vertex, label). Returns Dataset (src, dst, weight) over
+    label ids.
+    """
+    from ray.data.aggregate import Sum
+
+    ref = joins.broadcast_map_ref(labels_df, "vertex", "label")
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        import ray
+
+        kv = ray.get(ref)
+        out = pd.DataFrame(
+            {
+                "src": joins.lookup_broadcast(df["src"].to_numpy(), kv),
+                "dst": joins.lookup_broadcast(df["dst"].to_numpy(), kv),
+                "weight": df["weight"].to_numpy(),
+            }
+        )
+        if not self_loops:
+            out = out[out["src"] != out["dst"]]
+        return out
+
+    relabeled = edges_ds.map_batches(fn, batch_format="pandas")
+    return relabeled.groupby(["src", "dst"]).aggregate(Sum("weight", alias_name="weight"))
+
+
+def adjacency_lists(edges_ds, key: str = "src", nbr: str = "dst"):
+    """(vertex, nbrs: sorted int64 array) per vertex via groupby(key).
+
+    The Dataset analogue of the CSR rows the prims intersect
+    (``per_v_pair_transform_dst_nbr_intersection.cuh``).
+    """
+
+    def collect(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "vertex": [g[key].iloc[0]],
+                "nbrs": [np.sort(g[nbr].to_numpy(dtype=np.int64))],
+            }
+        )
+
+    return edges_ds.groupby(key).map_groups(collect, batch_format="pandas")

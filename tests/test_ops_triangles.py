@@ -1,0 +1,158 @@
+"""Tests: structural ops + triangle counting vs oracles."""
+
+import numpy as np
+import pandas as pd
+import pytest
+import ray.data as rd
+
+from raygraph import hypergraph, ops
+from raygraph.algos.triangles import triangle_count
+from raygraph.graph import Graph
+
+from tests import fixtures, oracles
+
+
+@pytest.fixture(scope="module")
+def karate_und(tmp_path_factory):
+    d = tmp_path_factory.mktemp("karund")
+    return Graph.from_edges(
+        rd.from_pandas(fixtures.karate_df()),
+        src="src", dst="dst", weight="weight",
+        directed=False, renumber=False, num_partitions=4,
+        out_dir=str(d / "g"),
+    )
+
+
+@pytest.fixture(scope="module")
+def karate_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("kardir")
+    return Graph.from_edges(
+        rd.from_pandas(fixtures.karate_df()),
+        src="src", dst="dst", weight="weight",
+        directed=True, renumber=False, num_partitions=4,
+        out_dir=str(d / "g"),
+    )
+
+
+def test_degrees_directed(karate_dir):
+    df = ops.degrees(karate_dir).to_pandas().sort_values("vertex")
+    kd = fixtures.karate_df()
+    out = kd.groupby("src").size()
+    inn = kd.groupby("dst").size()
+    for v in range(fixtures.KARATE_V):
+        row = df[df["vertex"] == v].iloc[0]
+        assert row["out_degree"] == out.get(v, 0)
+        assert row["in_degree"] == inn.get(v, 0)
+        assert row["degree"] == out.get(v, 0) + inn.get(v, 0)
+
+
+def test_degrees_undirected_symmetric(karate_und):
+    df = ops.degrees(karate_und).to_pandas()
+    assert (df["in_degree"] == df["out_degree"]).all()
+    # vertex 33 has 17 neighbors in karate
+    assert df.set_index("vertex")["out_degree"][33] == 17
+
+
+def test_self_loops_and_multi_edges(tmp_path):
+    df = pd.DataFrame(
+        {"src": [0, 0, 1, 2, 2], "dst": [0, 1, 2, 0, 0], "weight": [1.0] * 5}
+    )
+    g = Graph.from_edges(
+        rd.from_pandas(df), src="src", dst="dst", weight="weight",
+        directed=True, renumber=False, num_partitions=2,
+        out_dir=str(tmp_path / "sl"),
+    )
+    assert ops.count_self_loops(g) == 1
+    assert ops.count_multi_edges(g) == 1  # (2,0) twice -> 1 surplus
+
+
+def test_two_hop_neighbors(tmp_path):
+    df = fixtures.line_df(4)  # 0->1->2->3
+    g = Graph.from_edges(
+        rd.from_pandas(df), src="src", dst="dst", weight="weight",
+        directed=True, renumber=False, num_partitions=2,
+        out_dir=str(tmp_path / "th"),
+    )
+    pairs = ops.two_hop_neighbors(g).to_pandas().sort_values(["first", "second"])
+    assert list(map(tuple, pairs.to_numpy())) == [(0, 2), (1, 3)]
+
+
+def test_induced_subgraph(karate_und):
+    sub = ops.induced_subgraph(karate_und, [0, 1, 2, 3]).to_pandas()
+    assert set(sub["src"]).issubset({0, 1, 2, 3})
+    assert set(sub["dst"]).issubset({0, 1, 2, 3})
+    # karate has edges among 0-3: (0,1),(0,2),(0,3),(1,2),(1,3),(2,3) both dirs
+    assert len(sub) == 12
+
+
+def test_coarsen(tmp_path):
+    df = pd.DataFrame(
+        {"src": [0, 1, 2], "dst": [1, 2, 3], "weight": [1.0, 2.0, 3.0]}
+    )
+    labels = pd.DataFrame({"vertex": [0, 1, 2, 3], "label": [0, 0, 1, 1]})
+    out = (
+        ops.coarsen(rd.from_pandas(df), labels)
+        .to_pandas()
+        .sort_values(["src", "dst"])
+        .reset_index(drop=True)
+    )
+    # (0,1)->(0,0) w1 ; (1,2)->(0,1) w2 ; (2,3)->(1,1) w3
+    assert list(map(tuple, out.to_numpy())) == [(0, 0, 1.0), (0, 1, 2.0), (1, 1, 3.0)]
+
+
+def test_triangles_karate(karate_und):
+    got = (
+        triangle_count(karate_und)
+        .to_pandas()
+        .sort_values("vertex")["counts"]
+        .to_numpy()
+    )
+    src, dst, _ = fixtures.karate_sym_arrays()
+    want = oracles.ref_triangles((src, dst), fixtures.KARATE_V)
+    assert np.array_equal(got, want)
+    assert got.sum() == 3 * 45  # karate has 45 triangles
+
+
+def test_triangles_two_components(tmp_path):
+    df = fixtures.two_components_df()
+    g = Graph.from_edges(
+        rd.from_pandas(df), src="src", dst="dst", weight="weight",
+        directed=False, renumber=False, num_partitions=4,
+        out_dir=str(tmp_path / "t2c"),
+    )
+    got = triangle_count(g).to_pandas().sort_values("vertex")["counts"].to_numpy()
+    e = g.edges_dataset().to_pandas()
+    want = oracles.ref_triangles((e["src"].to_numpy(), e["dst"].to_numpy()), g.num_vertices)
+    assert np.array_equal(got, want)
+    # path component has no triangles; 4-clique vertices have C(3,2)=3 each
+    assert got[0:5].sum() == 0
+    assert (got[10:14] == 3).all()
+
+
+def test_triangles_rejects_directed(karate_dir):
+    with pytest.raises(ValueError):
+        triangle_count(karate_dir)
+
+
+def test_hypergraph_bipartite():
+    df = pd.DataFrame({"id": [1, 2], "color": ["red", "blue"], "size": ["s", "s"]})
+    e = (
+        hypergraph.hypergraph_edges(
+            rd.from_pandas(df), ["color", "size"], row_key_col="id"
+        )
+        .to_pandas()
+        .sort_values(["src_key", "dst_key"])
+    )
+    assert len(e) == 4
+    assert set(e["src_key"]) == {"row::1", "row::2"}
+    assert "color::red" in set(e["dst_key"]) and "size::s" in set(e["dst_key"])
+
+
+def test_hypergraph_direct():
+    df = pd.DataFrame({"a": ["x"], "b": ["y"], "c": ["z"]})
+    e = hypergraph.hypergraph_edges(
+        rd.from_pandas(df), ["a", "b", "c"], direct=True
+    ).to_pandas()
+    assert sorted(zip(e["src_key"], e["dst_key"])) == [
+        ("a::x", "b::y"), ("a::x", "c::z"), ("b::y", "c::z"),
+    ]
