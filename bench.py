@@ -1,0 +1,223 @@
+"""Benchmark harness — headline pipelines over $GRAFT_SF_DIR.
+
+Prints ONE JSON line on stdout:
+  {"metric": ..., "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ..., "num_cpus": N, ...extras}
+
+Headline = the north-star pipeline: deterministic synthetic source-code
+corpus (FIXTURES.md F1, sized by sf) → ingest (sha256) → edge derivation →
+graph build (symmetrize/renumber/partition) → PageRank to 1e-6, reporting
+iterations/sec and edges/sec (BASELINE.md target metric).  Plus WCC, LPA,
+triangle counting (lineitem hypergraph) and representative data-pipeline
+operators over the sf dir tables.
+
+``--scaling``: runs the same bench twice in fresh processes at
+num_cpus=8 and num_cpus=32 on the same input and reports both throughputs
+plus scaling efficiency (sandbox stand-in for the N vs 4N cluster rule).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+
+def corpus_rows_for(sf_dir: str) -> int:
+    base = os.path.basename(os.path.normpath(sf_dir))
+    try:
+        sf = float(base.replace("sf", ""))
+        return max(2000, int(6_000_000 * sf))
+    except ValueError:
+        return 600_000
+
+
+def run_bench() -> dict:
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=NUM_CPUS,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+    import ray.data as rd
+
+    from raygraph import corpus, derive, ingest
+    from raygraph.algos import label_propagation, pagerank, weakly_connected_components
+    from raygraph.algos.triangles import triangle_count
+    from raygraph.data import dedup, knn, text as textmod, windows
+    from raygraph.graph import Graph
+    from raygraph.pipelines import _build_graph_from_keys, hyper_edges
+
+    times: dict[str, float] = {}
+    extras: dict = {}
+
+    def timed(name):
+        class _T:
+            def __enter__(self):
+                self.t0 = time.perf_counter()
+                return self
+
+            def __exit__(self, *a):
+                times[name] = round(time.perf_counter() - self.t0, 3)
+
+        return _T()
+
+    n_rows = corpus_rows_for(SF_DIR)
+    corpus_dir = f"/tmp/raygraph-bench/corpus-{n_rows}"
+    if not os.path.isdir(corpus_dir) or not os.listdir(corpus_dir):
+        os.makedirs(corpus_dir, exist_ok=True)
+        with timed("corpus_synth"):
+            corpus.write_corpus(corpus_dir, n_rows, seed=42)
+    # warm page cache so scaling runs measure compute+shuffle, not cold disk
+    rd.read_parquet(corpus_dir).count()
+
+    with timed("ingest_sha256"):
+        n_ingest = ingest.ingest(rd.read_parquet(corpus_dir)).count()
+    extras["ingest_rows"] = n_ingest
+
+    with timed("graph_build"):
+        edges = derive.derive_edges(
+            rd.read_parquet(corpus_dir), concurrency=(1, max(2, NUM_CPUS // 2))
+        )
+        g = Graph.from_edges(
+            edges, directed=False, num_partitions=32,
+            out_dir=f"/tmp/raygraph-bench/graph-{n_rows}-{NUM_CPUS}-{time.time_ns()}",
+        )
+    extras["graph_vertices"] = g.num_vertices
+    extras["graph_edges"] = g.num_edges
+
+    with timed("pagerank"):
+        pr = pagerank(g, alpha=0.85, tol=1e-6, max_iter=500)
+        pr.count()
+    # iterations from the engine's lineage-free run: recompute from L1 path is
+    # not exposed; measure via a second instrumented run? — instead read the
+    # iteration count from a checkpointed run only in --detail mode. Use
+    # edges/sec over measured wall with iteration count from metadata file.
+    # pagerank() doesn't expose iters; rerun cheaply with checkpointing off is
+    # wasteful — so we estimate via the converged-iterations recorded below.
+
+    # The superstep count is deterministic; recover it with a quick driver
+    # rerun at the same tolerance but without materializing results:
+    from raygraph.superstep import SuperstepEngine
+
+    eng = SuperstepEngine(g, num_workers=None)
+    try:
+        import ray as _ray
+
+        _ray.get([w.pagerank_init.remote() for w in eng.workers])
+        from raygraph.algos.pagerank import _iteration
+
+        iters = 0
+        t_pr = time.perf_counter()
+        for it in range(500):
+            _, upd = _iteration(eng, 0.85, False, g.num_vertices)
+            iters += 1
+            if sum(s["l1"] for s in upd) < 1e-6:
+                break
+        pr_loop_sec = time.perf_counter() - t_pr
+    finally:
+        eng.shutdown()
+    extras["pagerank_iters"] = iters
+    extras["pagerank_iters_per_sec"] = round(iters / pr_loop_sec, 3)
+    extras["pagerank_edges_per_sec"] = round(g.num_edges * iters / pr_loop_sec, 1)
+    times["pagerank_loop"] = round(pr_loop_sec, 3)
+
+    with timed("wcc"):
+        weakly_connected_components(g).count()
+    with timed("lpa"):
+        label_propagation(g, max_iter=10).count()
+
+    with timed("triangles"):
+        hg = _build_graph_from_keys(hyper_edges(SF_DIR), directed=False,
+                                    tag="bench-tri", num_partitions=32)
+        triangle_count(hg).count()
+
+    docs = os.path.join(SF_DIR, "documents.parquet")
+    with timed("exact_dedup"):
+        dedup.exact_dedup(rd.read_parquet(docs)).count()
+    with timed("minhash_dedup"):
+        dedup.near_dedup_minhash(rd.read_parquet(docs), threshold=0.7)
+    with timed("text_quality"):
+        textmod.quality_scores(rd.read_parquet(docs)).count()
+    with timed("knn"):
+        import numpy as np
+        import pyarrow.parquet as pq
+
+        emb = pq.read_table(os.path.join(SF_DIR, "embeddings.parquet")).to_pandas()
+        emb = emb.sort_values("vec_id").head(8)
+        Q = np.stack([np.asarray(v, np.float64) for v in emb["embedding"]])
+        knn.knn_bruteforce(
+            rd.read_parquet(os.path.join(SF_DIR, "embeddings.parquet")),
+            Q, emb["vec_id"].to_numpy(np.int64), k=10,
+        )
+    with timed("tumbling"):
+        windows.tumbling_window(
+            rd.read_parquet(os.path.join(SF_DIR, "events.parquet")), width_sec=300
+        ).count()
+
+    ray.shutdown()
+
+    total = round(sum(times.values()) - times.get("corpus_synth", 0.0), 3)
+    return {
+        "metric": "raygraph headline pipelines (corpus→graph→pagerank@1e-6 + wcc/lpa/triangles + datapipes) wall sec",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "sf": os.path.basename(os.path.normpath(SF_DIR)),
+        "num_cpus": NUM_CPUS,
+        **extras,
+    }
+
+
+def run_scaling():
+    def one(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_SF_DIR=SF_DIR)
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env, capture_output=True, text=True, check=True,
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo_cpus, hi_cpus = 8, 32
+    lo = one(lo_cpus)
+    hi = one(hi_cpus)
+    # throughput = work/sec ∝ 1/value on identical input
+    eff = (lo["value"] / hi["value"]) / (hi_cpus / lo_cpus)
+    print(
+        json.dumps(
+            {
+                "metric": "scaling efficiency (same input, fresh ray.init at 8 vs 32 cpus)",
+                "sec_8": lo["value"],
+                "sec_32": hi["value"],
+                "pagerank_edges_per_sec_8": lo.get("pagerank_edges_per_sec"),
+                "pagerank_edges_per_sec_32": hi.get("pagerank_edges_per_sec"),
+                "pagerank_scaling_efficiency": round(
+                    (hi.get("pagerank_edges_per_sec", 1) / lo.get("pagerank_edges_per_sec", 1))
+                    / (hi_cpus / lo_cpus), 3,
+                ),
+                "scaling_efficiency": round(eff, 3),
+                "sf": os.path.basename(os.path.normpath(SF_DIR)),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        run_scaling()
+    else:
+        print(json.dumps(run_bench()))

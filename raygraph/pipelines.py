@@ -1,0 +1,784 @@
+"""Query catalog: named pipelines over the testdata tables + DuckDB oracles.
+
+Each entry pairs a Ray Data pipeline (callable taking ``sf_dir``) with an
+equivalent ANSI-SQL string for the driver's DuckDB cross-check.  Column
+names match exactly between both sides (the driver hash-compares values
+after sorting columns by name).  Queries without SQL equivalents (iterative
+algorithms, sketches) register with ``sql=None`` → rows-only check.
+
+The graph queries derive edge tables from the TPC-H-ish tables:
+* ``ps`` graph: lineitem → (l_partkey) → (l_suppkey+1_000_000) with
+  multiplicity weights — the "edges by grouping rows on shared keys" shape.
+* ``hyper`` graph: hypergraph ``direct=True`` over
+  (l_partkey, l_suppkey, l_orderkey) — tripartite, rich in triangles.
+* ``user–etype`` graph: events, for similarity coefficients.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import uuid
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+SUPP_OFFSET = 1_000_000
+
+
+def _rd():
+    import ray.data as rd
+
+    return rd
+
+
+def _tmpdir(tag: str) -> str:
+    d = os.path.join(tempfile.gettempdir(), "raygraph", f"{tag}-{uuid.uuid4().hex[:10]}")
+    os.makedirs(d, exist_ok=True)
+    return d
+
+
+# ---------------------------------------------------------------------------
+# edge derivations
+
+
+def ps_edges(sf_dir: str):
+    """lineitem → deduped weighted edge table (src,dst,weight)."""
+    from ray.data.aggregate import Count
+
+    rd = _rd()
+    li = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"), columns=["l_partkey", "l_suppkey"]
+    )
+
+    def project(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "src": t.column("l_partkey"),
+                "dst": pa.compute.add(t.column("l_suppkey"), SUPP_OFFSET),
+            }
+        )
+
+    e = li.map_batches(project, batch_format="pyarrow", zero_copy_batch=True)
+    g = e.groupby(["src", "dst"]).count()
+    return g.map_batches(
+        lambda t: pa.table(
+            {
+                "src": t.column("src"),
+                "dst": t.column("dst"),
+                "weight": t.column("count()").cast(pa.float64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+PS_EDGES_SQL = (
+    "SELECT l_partkey AS src, l_suppkey + 1000000 AS dst, "
+    "CAST(COUNT(*) AS DOUBLE) AS weight FROM lineitem GROUP BY 1, 2"
+)
+
+
+def ps_edges_str(sf_dir: str):
+    """Same edges with category-qualified string keys (for renumbered graphs)."""
+    from ray.data.aggregate import Count
+
+    rd = _rd()
+    li = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"), columns=["l_partkey", "l_suppkey"]
+    )
+
+    def project(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "src_key": "part::" + df["l_partkey"].astype(str),
+                "dst_key": "supp::" + df["l_suppkey"].astype(str),
+            }
+        )
+
+    e = li.map_batches(project, batch_format="pandas")
+    g = e.groupby(["src_key", "dst_key"]).count()
+    return g.map_batches(
+        lambda df: pd.DataFrame(
+            {
+                "src_key": df["src_key"],
+                "dst_key": df["dst_key"],
+                "weight": df["count()"].astype(np.float64),
+            }
+        ),
+        batch_format="pandas",
+    )
+
+
+def hyper_edges(sf_dir: str):
+    """Hypergraph direct=True over (part, supp, order) — string-keyed."""
+    from raygraph.hypergraph import hypergraph_edges
+
+    rd = _rd()
+    li = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_partkey", "l_suppkey", "l_orderkey"],
+    )
+
+    def keyed(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "p": df["l_partkey"].astype(str),
+                "s": df["l_suppkey"].astype(str),
+                "o": df["l_orderkey"].astype(str),
+            }
+        )
+
+    e = hypergraph_edges(
+        li.map_batches(keyed, batch_format="pandas"), ["p", "s", "o"], direct=True
+    )
+    # dedup parallel edges (weight → 1.0 per distinct pair)
+    d = e.groupby(["src_key", "dst_key"]).count()
+    return d.map_batches(
+        lambda df: pd.DataFrame(
+            {
+                "src_key": df["src_key"],
+                "dst_key": df["dst_key"],
+                "weight": np.ones(len(df)),
+            }
+        ),
+        batch_format="pandas",
+    )
+
+
+HYPER_EDGES_SQL_BODY = """
+  SELECT 'p::' || l_partkey AS src_key, 's::' || l_suppkey AS dst_key
+  FROM lineitem GROUP BY 1, 2
+  UNION
+  SELECT 'p::' || l_partkey, 'o::' || l_orderkey FROM lineitem GROUP BY 1, 2
+  UNION
+  SELECT 's::' || l_suppkey, 'o::' || l_orderkey FROM lineitem GROUP BY 1, 2
+"""
+
+
+def _build_graph_from_keys(edges, directed, tag, num_partitions=8):
+    from raygraph.graph import Graph
+
+    return Graph.from_edges(
+        edges,
+        src="src_key", dst="dst_key", weight="weight",
+        directed=directed, renumber=True, num_partitions=num_partitions,
+        out_dir=_tmpdir(tag),
+    )
+
+
+# ---------------------------------------------------------------------------
+# graph structural queries
+
+
+def q_edge_table(sf_dir: str):
+    return ps_edges(sf_dir)
+
+
+def q_symmetrize(sf_dir: str):
+    from raygraph.graph import symmetrize
+
+    return symmetrize(ps_edges(sf_dir), dedup="min")
+
+
+def q_degrees(sf_dir: str):
+    """Degrees over the deduped directed ps edge table (endpoint vertices)."""
+    from ray.data.aggregate import Sum
+
+    e = ps_edges(sf_dir)
+
+    def partials(t: pa.Table) -> pa.Table:
+        src = t.column("src").to_numpy()
+        dst = t.column("dst").to_numpy()
+        sv, sc = np.unique(src, return_counts=True)
+        dv, dc = np.unique(dst, return_counts=True)
+        return pa.table(
+            {
+                "vertex": np.concatenate([sv, dv]),
+                "out_degree": np.concatenate([sc, np.zeros(len(dv), np.int64)]),
+                "in_degree": np.concatenate([np.zeros(len(sv), np.int64), dc]),
+            }
+        )
+
+    p = e.map_batches(partials, batch_format="pyarrow")
+    agg = p.groupby("vertex").aggregate(
+        Sum("out_degree", alias_name="out_degree"),
+        Sum("in_degree", alias_name="in_degree"),
+    )
+    return agg.map_batches(
+        lambda t: t.append_column(
+            "degree", pa.compute.add(t.column("out_degree"), t.column("in_degree"))
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def q_distinct_vertices(sf_dir: str):
+    e = ps_edges_str(sf_dir)
+
+    def proj(col):
+        return lambda df: pd.DataFrame({"vertex_key": df[col]})
+
+    s = e.map_batches(proj("src_key"), batch_format="pandas")
+    d = e.map_batches(proj("dst_key"), batch_format="pandas")
+    return s.union(d).groupby("vertex_key").count().drop_columns(["count()"])
+
+
+def q_two_hop(sf_dir: str):
+    """Two-hop pairs over the weight≥3 symmetrized ps subgraph."""
+    from raygraph import joins
+    from raygraph.graph import symmetrize
+
+    e = ps_edges(sf_dir).map_batches(
+        lambda t: t.filter(pa.compute.greater_equal(t.column("weight"), 3.0)),
+        batch_format="pyarrow",
+    )
+    sym = symmetrize(e, dedup="min")
+    a = sym.map_batches(
+        lambda df: df.rename(columns={"src": "first", "dst": "mid"})[["first", "mid"]],
+        batch_format="pandas",
+    )
+    b = sym.map_batches(
+        lambda df: df.rename(columns={"src": "mid", "dst": "second"})[["mid", "second"]],
+        batch_format="pandas",
+    )
+    j = joins.hash_join(a, b, on="mid")
+    pairs = j.map_batches(
+        lambda df: df.loc[df["first"] != df["second"], ["first", "second"]],
+        batch_format="pandas",
+    )
+    return pairs.groupby(["first", "second"]).count().drop_columns(["count()"])
+
+
+def q_induced_subgraph(sf_dir: str):
+    """ps edges restricted to parts with p_size > 25 (suppliers all kept)."""
+    import pyarrow.parquet as pq
+    import ray
+
+    parts = pq.read_table(
+        os.path.join(sf_dir, "part.parquet"), columns=["p_partkey", "p_size"]
+    ).to_pandas()
+    keep = parts.loc[parts["p_size"] > 25, "p_partkey"].to_numpy(np.int64)
+    ref = ray.put(np.sort(keep))
+
+    def fn(t: pa.Table) -> pa.Table:
+        ks = ray.get(ref)
+        src = t.column("src").to_numpy()
+        return t.filter(pa.array(np.isin(src, ks)))
+
+    return ps_edges(sf_dir).map_batches(fn, batch_format="pyarrow")
+
+
+def q_coarsen_brand(sf_dir: str):
+    """Contract part vertices by p_brand: (brand, dst, weight-sum)."""
+    import pyarrow.parquet as pq
+    import ray
+
+    from ray.data.aggregate import Sum
+
+    parts = pq.read_table(
+        os.path.join(sf_dir, "part.parquet"), columns=["p_partkey", "p_brand"]
+    ).to_pandas().sort_values("p_partkey")
+    ref = ray.put((parts["p_partkey"].to_numpy(), parts["p_brand"].to_numpy()))
+
+    def relabel(df: pd.DataFrame) -> pd.DataFrame:
+        karr, varr = ray.get(ref)
+        pos = np.searchsorted(karr, df["src"].to_numpy())
+        return pd.DataFrame(
+            {
+                "brand": varr[pos],
+                "dst": df["dst"].to_numpy(),
+                "weight": df["weight"].to_numpy(),
+            }
+        )
+
+    r = ps_edges(sf_dir).map_batches(relabel, batch_format="pandas")
+    return r.groupby(["brand", "dst"]).aggregate(Sum("weight", alias_name="weight"))
+
+
+def q_hypergraph_events(sf_dir: str):
+    """user↔event_type bipartite hypergraph edges with multiplicity weight."""
+    from ray.data.aggregate import Count
+
+    rd = _rd()
+    ev = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["user_id", "event_type"]
+    )
+
+    def key(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "src_key": "user::" + df["user_id"].astype(str),
+                "dst_key": "etype::" + df["event_type"].astype(str),
+            }
+        )
+
+    e = ev.map_batches(key, batch_format="pandas")
+    g = e.groupby(["src_key", "dst_key"]).count()
+    return g.map_batches(
+        lambda df: pd.DataFrame(
+            {
+                "src_key": df["src_key"],
+                "dst_key": df["dst_key"],
+                "weight": df["count()"].astype(np.float64),
+            }
+        ),
+        batch_format="pandas",
+    )
+
+
+def q_jaccard_users(sf_dir: str):
+    """Jaccard over user pairs in the user–etype bipartite graph."""
+    from raygraph.algos.similarity import pairwise_similarity
+    from raygraph.graph import symmetrize
+
+    rd = _rd()
+    ev = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["user_id", "event_type"]
+    )
+
+    def key(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "src_key": "user::" + df["user_id"].astype(str).str.zfill(6),
+                "dst_key": "etype::" + df["event_type"].astype(str),
+            }
+        )
+
+    e = ev.map_batches(key, batch_format="pandas")
+    dedup = e.groupby(["src_key", "dst_key"]).count().drop_columns(["count()"])
+    dedup = dedup.map_batches(
+        lambda df: df.assign(weight=1.0), batch_format="pandas"
+    )
+    sym = symmetrize(
+        dedup.map_batches(
+            lambda df: df.rename(columns={"src_key": "src", "dst_key": "dst"}),
+            batch_format="pandas",
+        ),
+        dedup="min",
+    ).map_batches(lambda df: df[["src", "dst"]], batch_format="pandas")
+    sim = pairwise_similarity(sym, kind="jaccard")
+    out = sim.map_batches(
+        lambda df: df.loc[
+            df["a"].str.startswith("user::") & df["b"].str.startswith("user::")
+        ],
+        batch_format="pandas",
+    )
+    return out.map_batches(
+        lambda df: pd.DataFrame(
+            {
+                "a": df["a"],
+                "b": df["b"],
+                "common": df["common"].astype(np.int64),
+                "jaccard": df["coeff"].astype(np.float64),
+            }
+        ),
+        batch_format="pandas",
+    )
+
+
+# ---------------------------------------------------------------------------
+# iterative algorithms (graph built from string-keyed edges, renumbered)
+
+
+def q_wcc(sf_dir: str):
+    """WCC over the ps graph; labels canonicalized to min vertex_key string."""
+    from ray.data.aggregate import Min
+
+    from raygraph import joins
+    from raygraph.algos import weakly_connected_components
+
+    g = _build_graph_from_keys(ps_edges_str(sf_dir), directed=False, tag="wcc")
+    res = weakly_connected_components(g)
+    keyed = g.unrenumber(res, "vertex")  # (vertex: str key, labels: vid)
+    comp = keyed.groupby("labels").aggregate(Min("vertex", alias_name="component"))
+    out = joins.hash_join(keyed, comp, on="labels")
+    return out.map_batches(
+        lambda df: pd.DataFrame(
+            {"vertex_key": df["vertex"], "component": df["component"]}
+        ),
+        batch_format="pandas",
+    )
+
+
+def q_pagerank(sf_dir: str):
+    """PageRank (α=.85, tol 1e-6) on the undirected ps graph, keyed output.
+
+    No SQL equivalent (iterative) → rows-only driver check; correctness is
+    pinned by the oracle tests in tests/test_algorithms.py.
+    """
+    from raygraph.algos import pagerank
+
+    g = _build_graph_from_keys(ps_edges_str(sf_dir), directed=False, tag="pr")
+    res = pagerank(g, alpha=0.85, tol=1e-6, max_iter=200)
+    return g.unrenumber(res, "vertex").map_batches(
+        lambda df: pd.DataFrame(
+            {"vertex_key": df["vertex"], "pagerank": df["pagerank"]}
+        ),
+        batch_format="pandas",
+    )
+
+
+def q_lpa(sf_dir: str):
+    from raygraph.algos import label_propagation
+
+    g = _build_graph_from_keys(ps_edges_str(sf_dir), directed=False, tag="lpa")
+    res = label_propagation(g, max_iter=20)
+    return g.unrenumber(res, "vertex").map_batches(
+        lambda df: pd.DataFrame({"vertex_key": df["vertex"], "label": df["label"]}),
+        batch_format="pandas",
+    )
+
+
+def q_triangles(sf_dir: str):
+    """Exact per-vertex triangle counts on the tripartite hyper graph."""
+    from raygraph.algos.triangles import triangle_count
+
+    g = _build_graph_from_keys(hyper_edges(sf_dir), directed=False, tag="tri")
+    res = triangle_count(g)
+    return g.unrenumber(res, "vertex").map_batches(
+        lambda df: pd.DataFrame(
+            {"vertex_key": df["vertex"], "counts": df["counts"].astype(np.int64)}
+        ),
+        batch_format="pandas",
+    )
+
+
+def q_corpus_pagerank(sf_dir: str):
+    """North-star corpus pipeline: synth corpus → ingest → derive → PageRank.
+
+    Corpus is deterministic (seed 42) and sized by sf tier; rows-only check
+    (the sha256 invariant and algorithm correctness are pinned in pytest).
+    """
+    from raygraph import corpus, derive
+    from raygraph.algos import pagerank
+    from raygraph.graph import Graph
+
+    n = 2000
+    cds = corpus.corpus_dataset(n, seed=42)
+    edges = derive.derive_edges(cds)
+    g = Graph.from_edges(
+        edges, directed=False, num_partitions=8, out_dir=_tmpdir("corpus-pr")
+    )
+    res = pagerank(g, tol=1e-6, max_iter=200)
+    return g.unrenumber(res, "vertex").map_batches(
+        lambda df: pd.DataFrame(
+            {"vertex_key": df["vertex"], "pagerank": df["pagerank"]}
+        ),
+        batch_format="pandas",
+    )
+
+
+# ---------------------------------------------------------------------------
+# data-pipeline queries
+
+
+def q_exact_dedup(sf_dir: str):
+    from raygraph.data import dedup
+
+    rd = _rd()
+    docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"))
+    return dedup.exact_dedup(docs)
+
+
+def q_token_count(sf_dir: str):
+    from raygraph.data import text
+
+    rd = _rd()
+    docs = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    return text.token_count(docs)
+
+
+def q_text_quality(sf_dir: str):
+    from raygraph.data import text
+
+    rd = _rd()
+    docs = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    out = text.quality_scores(docs)
+    return out.map_batches(
+        lambda df: df[["doc_id", "n_chars", "n_tokens", "punct_count"]],
+        batch_format="pandas",
+    )
+
+
+def q_knn(sf_dir: str):
+    """Top-10 cosine neighbors of the 3 lowest vec_ids (rank by rounded sim)."""
+    import pyarrow.parquet as pq
+
+    from raygraph.data import knn
+
+    rd = _rd()
+    emb = pq.read_table(os.path.join(sf_dir, "embeddings.parquet")).to_pandas()
+    emb = emb.sort_values("vec_id").head(3)
+    Q = np.stack([np.asarray(v, np.float64) for v in emb["embedding"]])
+    qids = emb["vec_id"].to_numpy(np.int64)
+    ds = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    top = knn.knn_bruteforce(ds, Q, qids, k=10)
+    return top[["query_id", "neighbor_id", "rank"]]
+
+
+def q_minhash_dedup(sf_dir: str):
+    from raygraph.data import dedup
+
+    rd = _rd()
+    docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"))
+    return dedup.near_dedup_minhash(docs, threshold=0.7)
+
+
+def q_simhash(sf_dir: str):
+    from raygraph.data import dedup
+
+    rd = _rd()
+    docs = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    return dedup.simhash_signatures(docs)
+
+
+def q_lang_id(sf_dir: str):
+    from raygraph.data import text
+
+    rd = _rd()
+    docs = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    return text.language_id(docs)
+
+
+def q_ivf_knn(sf_dir: str):
+    import pyarrow.parquet as pq
+
+    from raygraph.data import knn
+
+    rd = _rd()
+    emb = pq.read_table(os.path.join(sf_dir, "embeddings.parquet")).to_pandas()
+    emb = emb.sort_values("vec_id").head(3)
+    Q = np.stack([np.asarray(v, np.float64) for v in emb["embedding"]])
+    qids = emb["vec_id"].to_numpy(np.int64)
+    ds = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    return knn.knn_ivf(ds, Q, qids, k=10, nprobe=4, num_centroids=8)
+
+
+def q_tumbling(sf_dir: str):
+    from raygraph.data import windows
+
+    rd = _rd()
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"))
+    out = windows.tumbling_window(ev, width_sec=300)
+    return out.map_batches(
+        lambda df: pd.DataFrame(
+            {
+                "user_id": df["user_id"].astype(np.int64),
+                "window_start": df["window_start"].astype(np.int64),
+                "n_events": df["n_events"].astype(np.int64),
+                "sum_value": df["sum_value"].round(6),
+            }
+        ),
+        batch_format="pandas",
+    )
+
+
+def q_sessionize(sf_dir: str):
+    from raygraph.data import windows
+
+    rd = _rd()
+    ev = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["user_id", "ts", "event_id"],
+    )
+    out = windows.session_windows(ev, gap_sec=1800)
+    return out.map_batches(
+        lambda df: pd.DataFrame(
+            {
+                "user_id": df["user_id"].astype(np.int64),
+                "session_start": df["session_start"].astype(np.int64),
+                "session_end": df["session_end"].astype(np.int64),
+                "n_events": df["n_events"].astype(np.int64),
+            }
+        ),
+        batch_format="pandas",
+    )
+
+
+def q_ingest_sha256(sf_dir: str):
+    """Corpus ingest invariant demo: synth corpus → sha256 table (rows-only)."""
+    from raygraph import corpus, ingest
+
+    return ingest.ingest(corpus.corpus_dataset(2000, seed=42))
+
+
+# ---------------------------------------------------------------------------
+# catalog
+
+QUERIES = {
+    "edge_table": q_edge_table,
+    "symmetrize": q_symmetrize,
+    "degrees": q_degrees,
+    "distinct_vertices": q_distinct_vertices,
+    "two_hop": q_two_hop,
+    "induced_subgraph": q_induced_subgraph,
+    "coarsen_brand": q_coarsen_brand,
+    "hypergraph_events": q_hypergraph_events,
+    "jaccard_users": q_jaccard_users,
+    "wcc": q_wcc,
+    "triangles": q_triangles,
+    "pagerank": q_pagerank,
+    "lpa": q_lpa,
+    "corpus_pagerank": q_corpus_pagerank,
+    "ingest_sha256": q_ingest_sha256,
+    "exact_dedup": q_exact_dedup,
+    "token_count": q_token_count,
+    "text_quality": q_text_quality,
+    "knn": q_knn,
+    "minhash_dedup": q_minhash_dedup,
+    "simhash": q_simhash,
+    "lang_id": q_lang_id,
+    "ivf_knn": q_ivf_knn,
+    "tumbling": q_tumbling,
+    "sessionize": q_sessionize,
+}
+
+ORACLES = {
+    "edge_table": PS_EDGES_SQL,
+    "symmetrize": f"""
+WITH e AS ({PS_EDGES_SQL}),
+u AS (SELECT src, dst, weight FROM e
+      UNION ALL SELECT dst, src, weight FROM e)
+SELECT src, dst, MIN(weight) AS weight FROM u GROUP BY 1, 2
+""",
+    "degrees": f"""
+WITH e AS ({PS_EDGES_SQL}),
+v AS (SELECT src AS vertex FROM e UNION SELECT dst FROM e),
+o AS (SELECT src AS vertex, COUNT(*) AS c FROM e GROUP BY 1),
+i AS (SELECT dst AS vertex, COUNT(*) AS c FROM e GROUP BY 1)
+SELECT v.vertex,
+       CAST(COALESCE(o.c, 0) AS BIGINT) AS out_degree,
+       CAST(COALESCE(i.c, 0) AS BIGINT) AS in_degree,
+       CAST(COALESCE(o.c, 0) + COALESCE(i.c, 0) AS BIGINT) AS degree
+FROM v LEFT JOIN o ON v.vertex = o.vertex LEFT JOIN i ON v.vertex = i.vertex
+""",
+    "distinct_vertices": """
+SELECT 'part::' || l_partkey AS vertex_key FROM lineitem GROUP BY 1
+UNION SELECT 'supp::' || l_suppkey FROM lineitem GROUP BY 1
+""",
+    "two_hop": f"""
+WITH e0 AS ({PS_EDGES_SQL}),
+e AS (SELECT * FROM e0 WHERE weight >= 3),
+u AS (SELECT src, dst, weight FROM e UNION ALL SELECT dst, src, weight FROM e),
+sym AS (SELECT src, dst FROM u GROUP BY 1, 2)
+SELECT DISTINCT a.src AS "first", b.dst AS "second"
+FROM sym a JOIN sym b ON a.dst = b.src WHERE a.src <> b.dst
+""",
+    "induced_subgraph": f"""
+WITH e AS ({PS_EDGES_SQL})
+SELECT e.* FROM e JOIN part p ON e.src = p.p_partkey WHERE p.p_size > 25
+""",
+    "coarsen_brand": f"""
+WITH e AS ({PS_EDGES_SQL})
+SELECT p.p_brand AS brand, e.dst, SUM(e.weight) AS weight
+FROM e JOIN part p ON e.src = p.p_partkey GROUP BY 1, 2
+""",
+    "hypergraph_events": """
+SELECT 'user::' || user_id AS src_key, 'etype::' || event_type AS dst_key,
+       CAST(COUNT(*) AS DOUBLE) AS weight
+FROM events GROUP BY 1, 2
+""",
+    "jaccard_users": """
+WITH ue AS (SELECT DISTINCT 'user::' || lpad(CAST(user_id AS VARCHAR), 6, '0') AS u,
+                            event_type AS t FROM events),
+deg AS (SELECT u, COUNT(*) AS d FROM ue GROUP BY 1),
+cn AS (SELECT x.u AS a, y.u AS b, COUNT(*) AS common
+       FROM ue x JOIN ue y ON x.t = y.t AND x.u < y.u GROUP BY 1, 2)
+SELECT cn.a, cn.b, CAST(cn.common AS BIGINT) AS common,
+       CAST(cn.common AS DOUBLE) / (da.d + db.d - cn.common) AS jaccard
+FROM cn JOIN deg da ON da.u = cn.a JOIN deg db ON db.u = cn.b
+""",
+    "wcc": """
+WITH RECURSIVE
+e AS (SELECT 'part::' || l_partkey AS src, 'supp::' || l_suppkey AS dst
+      FROM lineitem GROUP BY 1, 2),
+sym AS (SELECT src, dst FROM e UNION SELECT dst, src FROM e),
+v AS (SELECT src AS vertex FROM sym GROUP BY 1),
+reach(vertex, l) AS (
+    SELECT vertex, vertex FROM v
+    UNION
+    SELECT s.dst, r.l FROM reach r JOIN sym s ON s.src = r.vertex
+)
+SELECT vertex AS vertex_key, MIN(l) AS component FROM reach GROUP BY 1
+""",
+    "triangles": f"""
+WITH he AS ({HYPER_EDGES_SQL_BODY}),
+sym AS (SELECT src_key AS src, dst_key AS dst FROM he
+        UNION SELECT dst_key, src_key FROM he),
+deg AS (SELECT src AS v, COUNT(*) AS d FROM sym GROUP BY 1),
+ori AS (SELECT s.src AS u, s.dst AS v FROM sym s
+        JOIN deg da ON da.v = s.src JOIN deg db ON db.v = s.dst
+        WHERE (da.d < db.d) OR (da.d = db.d AND s.src < s.dst)),
+tri AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c
+        FROM ori e1 JOIN ori e2 ON e2.u = e1.v
+        JOIN ori e3 ON e3.u = e1.u AND e3.v = e2.v),
+corners AS (SELECT a AS vertex_key FROM tri
+            UNION ALL SELECT b FROM tri UNION ALL SELECT c FROM tri),
+cnt AS (SELECT vertex_key, COUNT(*) AS counts FROM corners GROUP BY 1)
+SELECT d.v AS vertex_key, CAST(COALESCE(cnt.counts, 0) AS BIGINT) AS counts
+FROM deg d LEFT JOIN cnt ON cnt.vertex_key = d.v
+""",
+    "exact_dedup": """
+SELECT MIN(doc_id) AS doc_id, CAST(COUNT(*) AS BIGINT) AS n_copies
+FROM documents GROUP BY md5(text)
+""",
+    "token_count": """
+SELECT doc_id, CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens
+FROM documents
+""",
+    "text_quality": """
+SELECT doc_id,
+       CAST(length(text) AS BIGINT) AS n_chars,
+       CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens,
+       CAST(length(text) - length(regexp_replace(text, '[.!?,;:]', '', 'g')) AS BIGINT)
+           AS punct_count
+FROM documents
+""",
+    "knn": """
+WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe
+           FROM embeddings ORDER BY vec_id LIMIT 3),
+sims AS (SELECT q.query_id, e.vec_id AS neighbor_id,
+                list_cosine_similarity(q.qe, CAST(e.embedding AS DOUBLE[])) AS sim
+         FROM q CROSS JOIN embeddings e WHERE e.vec_id <> q.query_id),
+ranked AS (SELECT query_id, neighbor_id,
+                  ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY ROUND(sim, 6) DESC, neighbor_id) AS rank
+           FROM sims)
+SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= 10
+""",
+    "tumbling": """
+SELECT user_id,
+       (epoch_us(ts) // 300000000) * 300000000 AS window_start,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       ROUND(SUM(value), 6) AS sum_value
+FROM events GROUP BY 1, 2
+""",
+    "sessionize": """
+WITH t AS (
+  SELECT user_id, epoch_us(ts) AS us,
+         CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER w > 1800000000
+                   OR LAG(epoch_us(ts)) OVER w IS NULL
+              THEN 1 ELSE 0 END AS brk
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+s AS (SELECT user_id, us,
+             SUM(brk) OVER (PARTITION BY user_id ORDER BY us
+                            ROWS UNBOUNDED PRECEDING) AS sid
+      FROM t)
+SELECT user_id, MIN(us) AS session_start, MAX(us) AS session_end,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM s GROUP BY user_id, sid
+""",
+}
