@@ -33,9 +33,9 @@ def pairwise_similarity(
 ):
     """edges_ds: symmetrized simple (src,dst) Dataset. Returns
     (a, b, common, deg_a, deg_b, coeff) for a<b pairs with common>0."""
-    from ray.data.aggregate import Count
+    from raygraph.agg import hash_aggregate
 
-    deg = edges_ds.groupby("src").count()  # (src, count()) = distinct nbrs
+    deg = hash_aggregate(edges_ds, ["src"], {"deg": (None, "count")})
 
     left = edges_ds.map_batches(
         lambda df: df.rename(columns={"src": "a", "dst": "w"})[["a", "w"]],
@@ -49,22 +49,17 @@ def pairwise_similarity(
     pairs = wedge.map_batches(
         lambda df: df.loc[df["a"] < df["b"], ["a", "b"]], batch_format="pandas"
     )
-    common = pairs.groupby(["a", "b"]).count()
+    common = hash_aggregate(pairs, ["a", "b"], {"common": (None, "count")})
 
     dega = deg.map_batches(
-        lambda df: df.rename(columns={"src": "a", "count()": "deg_a"}),
+        lambda df: df.rename(columns={"src": "a", "deg": "deg_a"}),
         batch_format="pandas",
     )
     degb = deg.map_batches(
-        lambda df: df.rename(columns={"src": "b", "count()": "deg_b"}),
+        lambda df: df.rename(columns={"src": "b", "deg": "deg_b"}),
         batch_format="pandas",
     )
-    j1 = joins.hash_join(
-        common.map_batches(
-            lambda df: df.rename(columns={"count()": "common"}), batch_format="pandas"
-        ),
-        dega, on="a", num_buckets=num_buckets,
-    )
+    j1 = joins.hash_join(common, dega, on="a", num_buckets=num_buckets)
     j2 = joins.hash_join(j1, degb, on="b", num_buckets=num_buckets)
 
     def coeff(df: pd.DataFrame) -> pd.DataFrame:

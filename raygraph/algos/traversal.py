@@ -1,0 +1,73 @@
+"""BFS and SSSP — frontier traversal supersteps.
+
+Reference: ``cpp/src/traversal/bfs_impl.cuh`` (325) / ``sssp_impl.cuh``
+(295); the frontier walk is the
+``transform_reduce_v_frontier_outgoing_e_by_dst`` + ``update_v_frontier``
+prim pair (SURVEY.md §2.3), realized here as active-masked scatter +
+min-reduce + frontier update in the BSP engine.
+
+Contracts:
+* BFS output ``(vertex, distance:int64, predecessor:int64)``; unreached
+  vertices get distance −1, predecessor −1; sources get predecessor −1.
+  Deterministic: among equal-distance predecessors the minimum vertex id
+  wins (packed (dist<<32 | pred) min-reduce).
+* SSSP output ``(vertex, distance:float64, predecessor:int64)``;
+  non-negative weights required (Bellman-Ford-style relaxation converges
+  regardless, but the reference's delta-stepping contract assumes w ≥ 0).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import ray
+
+from raygraph.superstep import SuperstepEngine
+
+
+def _run_frontier(engine, scatter, update, max_iter):
+    for it in range(max_iter):
+        _, upd = engine._exchange(scatter, update)
+        if sum(u["changed"] for u in upd) == 0:
+            return it
+    raise RuntimeError(f"frontier loop did not settle in {max_iter} supersteps")
+
+
+def bfs(graph, sources: Sequence[int] | int, max_iter: int = 10_000,
+        num_workers: Optional[int] = None, out_dir=None):
+    import pyarrow as pa
+
+    srcs = [sources] if isinstance(sources, int) else list(sources)
+    engine = SuperstepEngine(graph, num_workers=num_workers)
+    try:
+        ray.get([w.bfs_init.remote(srcs) for w in engine.workers])
+        _run_frontier(engine, "bfs_scatter", "bfs_update", max_iter)
+        ray.get([w.bfs_result.remote() for w in engine.workers])
+        ds = engine.result_dataset(["distance", "predecessor"], out_dir=out_dir)
+        return ds
+    finally:
+        engine.shutdown()
+
+
+def sssp(graph, sources: Sequence[int] | int, max_iter: int = 10_000,
+         num_workers: Optional[int] = None, out_dir=None):
+    srcs = [sources] if isinstance(sources, int) else list(sources)
+    engine = SuperstepEngine(graph, num_workers=num_workers)
+    try:
+        ray.get([w.sssp_init.remote(srcs) for w in engine.workers])
+        _run_frontier(engine, "sssp_scatter", "sssp_update", max_iter)
+        import pyarrow as pa
+
+        ds = engine.result_dataset(["dist", "pred"], out_dir=out_dir)
+        return ds.map_batches(
+            lambda t: pa.table(
+                {
+                    "vertex": t.column("vertex"),
+                    "distance": t.column("dist"),
+                    "predecessor": t.column("pred"),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+    finally:
+        engine.shutdown()

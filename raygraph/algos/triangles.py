@@ -68,26 +68,54 @@ def triangle_count(graph, broadcast_limit: int = 20_000_000):
     oriented = edges.map_batches(orient, batch_format="pyarrow", zero_copy_batch=True)
     oriented = oriented.materialize()  # reused: wedge source + join probe side
 
-    def make_wedges(g: pd.DataFrame) -> pd.DataFrame:
-        d = ray.get(dref)
-        u = np.int64(g["src"].iloc[0])
-        nbrs = g["dst"].to_numpy(dtype=np.int64)
-        n = len(nbrs)
-        if n < 2:
-            return pd.DataFrame(
-                {"src": pd.Series(dtype=np.int64), "dst": pd.Series(dtype=np.int64),
-                 "apex": pd.Series(dtype=np.int64)}
-            )
-        i, j = np.triu_indices(n, k=1)
-        a, b = nbrs[i], nbrs[j]
-        # orient each wedge pair by the same (degree, id) total order so it
-        # can only match the single stored direction of the closing edge
-        swap = (d[b] < d[a]) | ((d[b] == d[a]) & (b < a))
-        a2 = np.where(swap, b, a)
-        b2 = np.where(swap, a, b)
-        return pd.DataFrame({"src": a2, "dst": b2, "apex": np.full(len(a2), u)})
+    # Wedge generation needs all out-edges of an apex together.  A per-vertex
+    # map_groups pays per-group overhead × V; instead group by a hash BUCKET
+    # of the apex (few groups) and expand each apex's pairs vectorized inside.
+    from raygraph.hashing import hash_int64
 
-    wedges = oriented.groupby("src").map_groups(make_wedges, batch_format="pandas")
+    WEDGE_BUCKETS = 64
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        b = (hash_int64(t.column("src").to_numpy()) % np.uint64(WEDGE_BUCKETS)).astype(
+            np.int32
+        )
+        return t.append_column("wb", pa.array(b, pa.int32()))
+
+    def make_wedges(g: pd.DataFrame) -> pa.Table:
+        d = ray.get(dref)
+        srcs = g["src"].to_numpy(np.int64)
+        dsts = g["dst"].to_numpy(np.int64)
+        order = np.argsort(srcs, kind="stable")
+        srcs, dsts = srcs[order], dsts[order]
+        # group boundaries over the sorted apex column
+        starts = np.flatnonzero(np.r_[True, srcs[1:] != srcs[:-1]])
+        ends = np.r_[starts[1:], len(srcs)]
+        out_a, out_b, out_u = [], [], []
+        for s, e in zip(starts, ends):
+            n = e - s
+            if n < 2:
+                continue
+            nbrs = dsts[s:e]
+            i, j = np.triu_indices(n, k=1)
+            a, b = nbrs[i], nbrs[j]
+            # orient each wedge pair by the (degree, id) total order so it
+            # can only match the single stored direction of the closing edge
+            swap = (d[b] < d[a]) | ((d[b] == d[a]) & (b < a))
+            out_a.append(np.where(swap, b, a))
+            out_b.append(np.where(swap, a, b))
+            out_u.append(np.full(len(a), srcs[s]))
+        if not out_a:
+            return pa.table(
+                {"src": pa.array([], pa.int64()), "dst": pa.array([], pa.int64()),
+                 "apex": pa.array([], pa.int64())}
+            )
+        return pa.table(
+            {"src": np.concatenate(out_a), "dst": np.concatenate(out_b),
+             "apex": np.concatenate(out_u)}
+        )
+
+    bucketed = oriented.map_batches(add_bucket, batch_format="pyarrow")
+    wedges = bucketed.groupby("wb").map_groups(make_wedges, batch_format="pandas")
 
     triangles = joins.hash_join(wedges, oriented, on=["src", "dst"])
 

@@ -36,13 +36,15 @@ def with_content_hash(ds, col: str = "text", out: str = "content_md5"):
 def exact_dedup(ds, col: str = "text", id_col: str = "doc_id"):
     """Keep the minimum-id row per distinct content hash.
 
-    Returns (kept id, n_copies) — hash-partitioned groupby, no driver state.
+    Returns (kept id, n_copies) — hash-partitioned bucketed aggregate.
     """
-    from ray.data.aggregate import Count, Min
+    from raygraph.agg import hash_aggregate
 
     hashed = with_content_hash(ds, col)
-    out = hashed.groupby("content_md5").aggregate(
-        Min(id_col, alias_name=id_col), Count(alias_name="n_copies")
+    out = hash_aggregate(
+        hashed,
+        ["content_md5"],
+        {id_col: (id_col, "min"), "n_copies": (None, "count")},
     )
     return out.select_columns([id_col, "n_copies"])
 
@@ -161,10 +163,12 @@ def lsh_candidate_pairs(sig_ds, id_col="doc_id", num_perm=64, bands=16):
             a, b = ids[i], ids[j]
         return pd.DataFrame({"a": a, "b": b})
 
-    cand = banded.groupby(["band", "bhash"]).map_groups(pairs, batch_format="pandas")
+    from raygraph.agg import bucketed_map_groups, distinct
+
+    cand = bucketed_map_groups(banded, ["band", "bhash"], pairs)
     if cand.count() == 0:
         return cand
-    return cand.groupby(["a", "b"]).count().drop_columns(["count()"])
+    return distinct(cand, ["a", "b"])
 
 
 def verify_jaccard_pairs(ds, pairs_ds, text_col="text", id_col="doc_id",

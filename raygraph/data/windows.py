@@ -16,7 +16,7 @@ import pandas as pd
 def tumbling_window(ds, ts_col="ts", key_col="user_id", value_col="value",
                     width_sec: int = 300):
     """(key, window_start, n_events, sum_value) per tumbling window."""
-    from ray.data.aggregate import Count, Sum
+    from raygraph.agg import hash_aggregate
 
     width = np.int64(width_sec * 1_000_000)  # microseconds
 
@@ -31,17 +31,22 @@ def tumbling_window(ds, ts_col="ts", key_col="user_id", value_col="value",
         )
 
     w = ds.map_batches(assign, batch_format="pandas")
-    return w.groupby([key_col, "window_start"]).aggregate(
-        Count(alias_name="n_events"), Sum(value_col, alias_name="sum_value")
+    return hash_aggregate(
+        w,
+        [key_col, "window_start"],
+        {"n_events": (None, "count"), "sum_value": (value_col, "sum")},
     )
 
 
 def session_windows(ds, ts_col="ts", key_col="user_id", gap_sec: int = 1800):
     """Per-key session windows: events closer than ``gap_sec`` chain together.
 
-    groupby(key).map_groups with a per-group sort — the documented
-    partitioning assumption is that one key's events fit in a task.
+    Bucketed per-key grouping (hash of key → bucket, pandas groupby inside)
+    with a per-group sort — the documented partitioning assumption is that
+    one key's events fit in a task.
     """
+    from raygraph.agg import bucketed_map_groups
+
     gap = np.int64(gap_sec * 1_000_000)
 
     def sessions(g: pd.DataFrame) -> pd.DataFrame:
@@ -63,4 +68,4 @@ def session_windows(ds, ts_col="ts", key_col="user_id", gap_sec: int = 1800):
             )
         return pd.DataFrame(out)
 
-    return ds.groupby(key_col).map_groups(sessions, batch_format="pandas")
+    return bucketed_map_groups(ds, [key_col], sessions)

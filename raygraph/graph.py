@@ -95,11 +95,11 @@ def symmetrize(ds, dedup: Optional[str] = "min"):
 
 
 def dedup_edges(ds, how: str = "min"):
-    """Exact (src,dst) dedup: hash-partitioned groupby + per-group aggregate."""
-    from ray.data.aggregate import Min, Sum
+    """Exact (src,dst) dedup: map-side combine + bucketed hash aggregate
+    (see raygraph.agg for why not Ray's sort-based groupby)."""
+    from raygraph.agg import hash_aggregate
 
-    agg = {"min": Min, "sum": Sum}[how]("weight", alias_name="weight")
-    return ds.groupby(["src", "dst"]).aggregate(agg)
+    return hash_aggregate(ds, ["src", "dst"], {"weight": ("weight", how)})
 
 
 # ---------------------------------------------------------------------------
@@ -120,11 +120,12 @@ def _distinct_keys(edges_ds, src_col: str, dst_col: str, key_is_str: bool):
 
         return fn
 
+    from raygraph.agg import distinct
+
     s = edges_ds.map_batches(project(src_col), batch_format="pyarrow")
     d = edges_ds.map_batches(project(dst_col), batch_format="pyarrow")
     both = s.union(d)
-    # distinct via groupby-count (partial + final hash aggregate under the hood)
-    return both.groupby("vertex_key").count().drop_columns(["count()"])
+    return distinct(both, ["vertex_key"])
 
 
 def build_vertex_map(edges_ds, src_col="src_key", dst_col="dst_key",
@@ -161,10 +162,13 @@ def build_vertex_map(edges_ds, src_col="src_key", dst_col="dst_key",
     ranked = bucketed.groupby("__bucket").map_groups(rank_within, batch_format="pandas")
     ranked = ranked.materialize()  # small (distinct keys); reused twice below
 
-    counts = ranked.groupby("__bucket").count().to_pandas()
-    counts = counts.sort_values("__bucket")
+    from raygraph.agg import hash_aggregate
+
+    counts = hash_aggregate(
+        ranked, ["__bucket"], {"n": (None, "count")}, num_buckets=8
+    ).to_pandas()
     offsets = np.zeros(num_buckets, dtype=np.int64)
-    offsets[counts["__bucket"].to_numpy()] = counts["count()"].to_numpy()
+    offsets[counts["__bucket"].to_numpy()] = counts["n"].to_numpy()
     total = int(offsets.sum())
     offsets = np.concatenate([[0], np.cumsum(offsets)[:-1]])
 

@@ -25,8 +25,10 @@ def _rd():
 
 
 def _vertex_zero_fill(partial_ds, V: int, value_cols: Sequence[str]):
-    """Union (vertex, 0...) for all vertices, then groupby-sum → dense result."""
+    """Union (vertex, 0...) for all vertices, then bucketed sum → dense result."""
     rd = _rd()
+
+    from raygraph.agg import hash_aggregate
 
     def zeros(t: pa.Table) -> pa.Table:
         cols = {"vertex": t.column("id").cast(pa.int64())}
@@ -35,10 +37,9 @@ def _vertex_zero_fill(partial_ds, V: int, value_cols: Sequence[str]):
         return pa.table(cols)
 
     base = rd.range(V).map_batches(zeros, batch_format="pyarrow")
-    from ray.data.aggregate import Sum
-
-    aggs = [Sum(c, alias_name=c) for c in value_cols]
-    return base.union(partial_ds).groupby("vertex").aggregate(*aggs)
+    return hash_aggregate(
+        base.union(partial_ds), ["vertex"], {c: (c, "sum") for c in value_cols}
+    )
 
 
 def degrees(graph):
@@ -85,10 +86,10 @@ def out_weight_sums(graph):
         s = np.bincount(inv, weights=w, minlength=len(sv))
         return pa.table({"vertex": sv, "out_wsum": s})
 
-    from ray.data.aggregate import Sum
+    from raygraph.agg import hash_aggregate
 
     p = edges.map_batches(partials, batch_format="pyarrow", zero_copy_batch=True)
-    return p.groupby("vertex").aggregate(Sum("out_wsum", alias_name="out_wsum"))
+    return hash_aggregate(p, ["vertex"], {"out_wsum": ("out_wsum", "sum")})
 
 
 def count_self_loops(graph) -> int:
@@ -104,10 +105,12 @@ def count_self_loops(graph) -> int:
 
 def count_multi_edges(graph) -> int:
     """Number of surplus parallel edges — ``graph_view.hpp:686``."""
+    from raygraph.agg import hash_aggregate
+
     edges = graph.edges_dataset(columns=["src", "dst"])
-    grouped = edges.groupby(["src", "dst"]).count()
+    grouped = hash_aggregate(edges, ["src", "dst"], {"n": (None, "count")})
     return grouped.map_batches(
-        lambda df: pd.DataFrame({"n": [int((df["count()"] - 1).sum())]}),
+        lambda df: pd.DataFrame({"n": [int((df["n"] - 1).sum())]}),
         batch_format="pandas",
     ).sum("n")
 
@@ -126,12 +129,14 @@ def two_hop_neighbors(graph):
         lambda df: df.rename(columns={"src": "mid", "dst": "second"}),
         batch_format="pandas",
     )
+    from raygraph.agg import distinct
+
     joined = joins.hash_join(a, b, on="mid")
     pairs = joined.map_batches(
         lambda df: df.loc[df["first"] != df["second"], ["first", "second"]],
         batch_format="pandas",
     )
-    return pairs.groupby(["first", "second"]).count().drop_columns(["count()"])
+    return distinct(pairs, ["first", "second"])
 
 
 def induced_subgraph(graph, vertices):
@@ -176,7 +181,7 @@ def coarsen(edges_ds, labels_df: pd.DataFrame, self_loops: bool = True):
     ``labels_df``: (vertex, label). Returns Dataset (src, dst, weight) over
     label ids.
     """
-    from ray.data.aggregate import Sum
+    from raygraph.agg import hash_aggregate
 
     ref = joins.broadcast_map_ref(labels_df, "vertex", "label")
 
@@ -196,22 +201,26 @@ def coarsen(edges_ds, labels_df: pd.DataFrame, self_loops: bool = True):
         return out
 
     relabeled = edges_ds.map_batches(fn, batch_format="pandas")
-    return relabeled.groupby(["src", "dst"]).aggregate(Sum("weight", alias_name="weight"))
+    return hash_aggregate(relabeled, ["src", "dst"], {"weight": ("weight", "sum")})
 
 
 def adjacency_lists(edges_ds, key: str = "src", nbr: str = "dst"):
-    """(vertex, nbrs: sorted int64 array) per vertex via groupby(key).
+    """(vertex, nbrs: sorted int64 list) per vertex — bucketed build.
 
     The Dataset analogue of the CSR rows the prims intersect
-    (``per_v_pair_transform_dst_nbr_intersection.cuh``).
+    (``per_v_pair_transform_dst_nbr_intersection.cuh``).  Uses a hash-bucket
+    group (not per-vertex map_groups) and emits Python-list cells; keep the
+    result in pandas/object form — do not route it through Arrow tensor
+    conversion.
     """
+    from raygraph.agg import bucketed_map_groups
 
     def collect(g: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame(
             {
                 "vertex": [g[key].iloc[0]],
-                "nbrs": [np.sort(g[nbr].to_numpy(dtype=np.int64))],
+                "nbrs": [np.sort(g[nbr].to_numpy(dtype=np.int64)).tolist()],
             }
         )
 
-    return edges_ds.groupby(key).map_groups(collect, batch_format="pandas")
+    return bucketed_map_groups(edges_ds, [key], collect)

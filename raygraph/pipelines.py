@@ -60,17 +60,19 @@ def ps_edges(sf_dir: str):
             }
         )
 
+    from raygraph.agg import hash_aggregate
+
     e = li.map_batches(project, batch_format="pyarrow", zero_copy_batch=True)
-    g = e.groupby(["src", "dst"]).count()
+    g = hash_aggregate(e, ["src", "dst"], {"n": (None, "count")})
     return g.map_batches(
-        lambda t: pa.table(
+        lambda df: pd.DataFrame(
             {
-                "src": t.column("src"),
-                "dst": t.column("dst"),
-                "weight": t.column("count()").cast(pa.float64()),
+                "src": df["src"].to_numpy(np.int64),
+                "dst": df["dst"].to_numpy(np.int64),
+                "weight": df["n"].to_numpy(np.float64),
             }
         ),
-        batch_format="pyarrow",
+        batch_format="pandas",
     )
 
 
@@ -97,14 +99,16 @@ def ps_edges_str(sf_dir: str):
             }
         )
 
+    from raygraph.agg import hash_aggregate
+
     e = li.map_batches(project, batch_format="pandas")
-    g = e.groupby(["src_key", "dst_key"]).count()
+    g = hash_aggregate(e, ["src_key", "dst_key"], {"n": (None, "count")})
     return g.map_batches(
         lambda df: pd.DataFrame(
             {
                 "src_key": df["src_key"],
                 "dst_key": df["dst_key"],
-                "weight": df["count()"].astype(np.float64),
+                "weight": df["n"].astype(np.float64),
             }
         ),
         batch_format="pandas",
@@ -130,20 +134,10 @@ def hyper_edges(sf_dir: str):
             }
         )
 
-    e = hypergraph_edges(
+    # no pre-dedup: the undirected graph build's symmetrize(min) collapses
+    # parallel copies and all weights are 1.0 (saves one full shuffle)
+    return hypergraph_edges(
         li.map_batches(keyed, batch_format="pandas"), ["p", "s", "o"], direct=True
-    )
-    # dedup parallel edges (weight → 1.0 per distinct pair)
-    d = e.groupby(["src_key", "dst_key"]).count()
-    return d.map_batches(
-        lambda df: pd.DataFrame(
-            {
-                "src_key": df["src_key"],
-                "dst_key": df["dst_key"],
-                "weight": np.ones(len(df)),
-            }
-        ),
-        batch_format="pandas",
     )
 
 
@@ -201,10 +195,12 @@ def q_degrees(sf_dir: str):
             }
         )
 
+    from raygraph.agg import hash_aggregate
+
     p = e.map_batches(partials, batch_format="pyarrow")
-    agg = p.groupby("vertex").aggregate(
-        Sum("out_degree", alias_name="out_degree"),
-        Sum("in_degree", alias_name="in_degree"),
+    agg = hash_aggregate(
+        p, ["vertex"],
+        {"out_degree": ("out_degree", "sum"), "in_degree": ("in_degree", "sum")},
     )
     return agg.map_batches(
         lambda t: t.append_column(
@@ -220,9 +216,11 @@ def q_distinct_vertices(sf_dir: str):
     def proj(col):
         return lambda df: pd.DataFrame({"vertex_key": df[col]})
 
+    from raygraph.agg import distinct
+
     s = e.map_batches(proj("src_key"), batch_format="pandas")
     d = e.map_batches(proj("dst_key"), batch_format="pandas")
-    return s.union(d).groupby("vertex_key").count().drop_columns(["count()"])
+    return distinct(s.union(d), ["vertex_key"])
 
 
 def q_two_hop(sf_dir: str):
@@ -244,11 +242,13 @@ def q_two_hop(sf_dir: str):
         batch_format="pandas",
     )
     j = joins.hash_join(a, b, on="mid")
+    from raygraph.agg import distinct
+
     pairs = j.map_batches(
         lambda df: df.loc[df["first"] != df["second"], ["first", "second"]],
         batch_format="pandas",
     )
-    return pairs.groupby(["first", "second"]).count().drop_columns(["count()"])
+    return distinct(pairs, ["first", "second"])
 
 
 def q_induced_subgraph(sf_dir: str):
@@ -293,8 +293,10 @@ def q_coarsen_brand(sf_dir: str):
             }
         )
 
+    from raygraph.agg import hash_aggregate
+
     r = ps_edges(sf_dir).map_batches(relabel, batch_format="pandas")
-    return r.groupby(["brand", "dst"]).aggregate(Sum("weight", alias_name="weight"))
+    return hash_aggregate(r, ["brand", "dst"], {"weight": ("weight", "sum")})
 
 
 def q_hypergraph_events(sf_dir: str):
@@ -314,14 +316,16 @@ def q_hypergraph_events(sf_dir: str):
             }
         )
 
+    from raygraph.agg import hash_aggregate
+
     e = ev.map_batches(key, batch_format="pandas")
-    g = e.groupby(["src_key", "dst_key"]).count()
+    g = hash_aggregate(e, ["src_key", "dst_key"], {"n": (None, "count")})
     return g.map_batches(
         lambda df: pd.DataFrame(
             {
                 "src_key": df["src_key"],
                 "dst_key": df["dst_key"],
-                "weight": df["count()"].astype(np.float64),
+                "weight": df["n"].astype(np.float64),
             }
         ),
         batch_format="pandas",
@@ -346,8 +350,10 @@ def q_jaccard_users(sf_dir: str):
             }
         )
 
+    from raygraph.agg import distinct
+
     e = ev.map_batches(key, batch_format="pandas")
-    dedup = e.groupby(["src_key", "dst_key"]).count().drop_columns(["count()"])
+    dedup = distinct(e, ["src_key", "dst_key"])
     dedup = dedup.map_batches(
         lambda df: df.assign(weight=1.0), batch_format="pandas"
     )
@@ -383,16 +389,21 @@ def q_jaccard_users(sf_dir: str):
 
 
 def q_wcc(sf_dir: str):
-    """WCC over the ps graph; labels canonicalized to min vertex_key string."""
-    from ray.data.aggregate import Min
-
+    """WCC over the weight≥3 ps subgraph; labels canonicalized to the min
+    vertex_key string.  The subgraph keeps the SQL oracle tractable (a
+    transitive-closure recursive CTE on the dense graph explodes) and gives
+    a component structure that actually exercises label propagation."""
     from raygraph import joins
+    from raygraph.agg import hash_aggregate
     from raygraph.algos import weakly_connected_components
 
-    g = _build_graph_from_keys(ps_edges_str(sf_dir), directed=False, tag="wcc")
+    edges = ps_edges_str(sf_dir).map_batches(
+        lambda df: df[df["weight"] >= 3.0], batch_format="pandas"
+    )
+    g = _build_graph_from_keys(edges, directed=False, tag="wcc")
     res = weakly_connected_components(g)
     keyed = g.unrenumber(res, "vertex")  # (vertex: str key, labels: vid)
-    comp = keyed.groupby("labels").aggregate(Min("vertex", alias_name="component"))
+    comp = hash_aggregate(keyed, ["labels"], {"component": ("vertex", "min")})
     out = joins.hash_join(keyed, comp, on="labels")
     return out.map_batches(
         lambda df: pd.DataFrame(
@@ -701,7 +712,7 @@ FROM cn JOIN deg da ON da.u = cn.a JOIN deg db ON db.u = cn.b
     "wcc": """
 WITH RECURSIVE
 e AS (SELECT 'part::' || l_partkey AS src, 'supp::' || l_suppkey AS dst
-      FROM lineitem GROUP BY 1, 2),
+      FROM lineitem GROUP BY 1, 2 HAVING COUNT(*) >= 3),
 sym AS (SELECT src, dst FROM e UNION SELECT dst, src FROM e),
 v AS (SELECT src AS vertex FROM sym GROUP BY 1),
 reach(vertex, l) AS (
@@ -713,10 +724,10 @@ SELECT vertex AS vertex_key, MIN(l) AS component FROM reach GROUP BY 1
 """,
     "triangles": f"""
 WITH he AS ({HYPER_EDGES_SQL_BODY}),
-sym AS (SELECT src_key AS src, dst_key AS dst FROM he
+sym AS MATERIALIZED (SELECT src_key AS src, dst_key AS dst FROM he
         UNION SELECT dst_key, src_key FROM he),
-deg AS (SELECT src AS v, COUNT(*) AS d FROM sym GROUP BY 1),
-ori AS (SELECT s.src AS u, s.dst AS v FROM sym s
+deg AS MATERIALIZED (SELECT src AS v, COUNT(*) AS d FROM sym GROUP BY 1),
+ori AS MATERIALIZED (SELECT s.src AS u, s.dst AS v FROM sym s
         JOIN deg da ON da.v = s.src JOIN deg db ON db.v = s.dst
         WHERE (da.d < db.d) OR (da.d = db.d AND s.src < s.dst)),
 tri AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c

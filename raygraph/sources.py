@@ -1,0 +1,90 @@
+"""Edge-list sources and sinks.
+
+Reference surface (SURVEY.md §2.1): CSV edge reader
+(``experimental/datasets/dataset.py:93-123`` get_edgelist → read_csv;
+space-delimited headerless ``src dst [weight]`` per ``README.md:17-20``),
+Parquet reader (our canonical input), pandas/numpy conversions
+(``simpleGraph.py:246-307``, ``structure/convert_matrix.py``), Parquet
+result sink.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+def _rd():
+    import ray.data as rd
+
+    return rd
+
+
+def read_edges_csv(paths, src="src", dst="dst", weight: Optional[str] = None,
+                   delimiter: str = " ", column_names: Optional[Sequence[str]] = None):
+    """CSV → canonical (src, dst, weight) edge Dataset.
+
+    ``column_names`` for headerless files (the reference's test corpus
+    style: space-delimited ``src dst weight``).
+    """
+    from pyarrow import csv as pacsv
+
+    read_options = None
+    if column_names is not None:
+        read_options = pacsv.ReadOptions(column_names=list(column_names))
+    parse_options = pacsv.ParseOptions(delimiter=delimiter)
+    ds = _rd().read_csv(
+        paths, read_options=read_options, parse_options=parse_options
+    )
+    from raygraph.graph import normalize_edges
+
+    return normalize_edges(ds, src=src, dst=dst, weight=weight)
+
+
+def read_edges_parquet(paths, src="src", dst="dst", weight: Optional[str] = None):
+    cols = [src, dst] + ([weight] if weight else [])
+    ds = _rd().read_parquet(paths, columns=cols)
+    from raygraph.graph import normalize_edges
+
+    return normalize_edges(ds, src=src, dst=dst, weight=weight)
+
+
+def from_pandas_edgelist(df: pd.DataFrame, src="src", dst="dst",
+                         weight: Optional[str] = None):
+    from raygraph.graph import normalize_edges
+
+    return normalize_edges(_rd().from_pandas(df), src=src, dst=dst, weight=weight)
+
+
+def to_pandas_edgelist(graph) -> pd.DataFrame:
+    """``simpleGraph.py:246`` to_pandas_edgelist — small graphs only."""
+    df = graph.edges_dataset().to_pandas()
+    if graph.renumbered:
+        for col in ("src", "dst"):
+            import ray.data as rd
+
+            df = graph.unrenumber(rd.from_pandas(df), col).to_pandas()
+    return df
+
+
+def to_numpy_array(graph) -> np.ndarray:
+    """Dense adjacency matrix — ``convert_matrix.py:312-425``; test-scale only."""
+    V = graph.num_vertices
+    if V > 20_000:
+        raise ValueError("to_numpy_array is for small graphs (V ≤ 20k)")
+    A = np.zeros((V, V))
+    e = graph.edges_dataset().to_pandas()
+    np.add.at(A, (e["src"].to_numpy(), e["dst"].to_numpy()), e["weight"].to_numpy())
+    return A
+
+
+def write_result_parquet(ds, out_dir: str, partition_cols=None):
+    """Canonical result sink: partitioned parquet directory (resumable)."""
+    kwargs = {}
+    if partition_cols:
+        kwargs["partition_cols"] = partition_cols
+    ds.write_parquet(out_dir, **kwargs)
+    return out_dir

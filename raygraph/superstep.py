@@ -219,6 +219,98 @@ class PartitionWorker:
         self.state["pr"] = pr_new
         return {"l1": l1, "pr_sum": float(pr_new.sum()), "rows_in": rows_in}
 
+    # -- generic SpMV scatter + dst-property exchange ---------------------
+    # spmv: per_v_transform_reduce_incoming_e with e_op = x[src]*w
+    # dst exchange: update_edge_dst_property (prims/update_edge_src_dst_
+    # property.cuh) — the dst-side half that is not free under 1D placement.
+    def spmv_scatter(self, name: str):
+        """Emit (dst, Σ x[src]·w) partials split by owner; [msgs..., stats]."""
+        x = self.state[name]
+        contrib = x[self.src_local] * self.w
+        partial = np.bincount(self.dst_inverse, weights=contrib,
+                              minlength=len(self.dst_unique))
+        out = []
+        rows_out = bytes_out = 0
+        for q in range(self.W):
+            idx = self.route[q]
+            m = (self.dst_unique[idx], partial[idx])
+            rows_out += len(idx)
+            bytes_out += m[0].nbytes + m[1].nbytes
+            out.append(m)
+        out.append({"rows_out": rows_out, "bytes_out": bytes_out,
+                    "local_sum": float(x.sum()), "local_sq": float((x * x).sum())})
+        return out
+
+    def gather_into(self, name: str, msgs, alpha: float = 1.0, beta: float = 0.0,
+                    scale: float = 1.0):
+        """state[name] ← scale·(alpha·gather + beta); returns l1 vs old."""
+        msgs = ray.get(list(msgs))
+        gather = np.zeros(self.n_owned)
+        rows_in = 0
+        for vids, partials in msgs:
+            idx = np.searchsorted(self.owned, vids)
+            np.add.at(gather, idx, partials)
+            rows_in += len(vids)
+        old = self.state.get(name)
+        new = scale * (alpha * gather + beta)
+        l1 = float(np.abs(new - old).sum()) if old is not None else float("inf")
+        self.state[name] = new
+        return {"l1": l1, "rows_in": rows_in, "local_sum": float(new.sum()),
+                "local_sq": float((new * new).sum())}
+
+    def scale_state(self, name: str, factor: float):
+        self.state[name] = self.state[name] * factor
+        return True
+
+    def commit_scaled_diff(self, src_name: str, dst_name: str, factor: float):
+        """state[dst] ← factor·state[src]; returns L1 distance to the
+        previous state[dst] (the correct convergence metric for normalized
+        power iteration)."""
+        new = self.state[src_name] * factor
+        old = self.state.get(dst_name)
+        l1 = float(np.abs(new - old).sum()) if old is not None else float("inf")
+        self.state[dst_name] = new
+        return {"l1": l1}
+
+    def register_requests(self, request_lists):
+        """Store, per requesting worker, which owned vids it needs (the
+        dst-side property exchange setup; ids arrive sorted)."""
+        self._serve_pos = []
+        for ids in request_lists:
+            ids = np.asarray(ids, dtype=np.int64)
+            self._serve_pos.append(np.searchsorted(self.owned, ids))
+        return True
+
+    def needed_dst_ids(self):
+        """This worker's dst ids split by owner (route order)."""
+        return [self.dst_unique[self.route[q]] for q in range(self.W)]
+
+    def serve_dst_values(self, name: str):
+        """Values of state[name] for each requester's registered ids."""
+        x = self.state[name]
+        return [x[pos] for pos in self._serve_pos]
+
+    def apply_dst_values(self, name: str, value_refs):
+        """Install served dst values into a dense per-dst_unique array."""
+        vals = ray.get(list(value_refs))
+        full = np.zeros(len(self.dst_unique))
+        for q in range(self.W):
+            full[self.route[q]] = vals[q]
+        self._dst_vals = {**getattr(self, "_dst_vals", {}), name: full}
+        return True
+
+    def out_accumulate(self, name_out: str, dst_name: str):
+        """state[name_out][u] = Σ_{(u,v)∈E} w·dstvals[v] — local spmv with
+        fetched dst properties (the HITS hub step)."""
+        dv = self._dst_vals[dst_name]
+        acc = np.zeros(self.n_owned)
+        np.add.at(acc, self.src_local, self.w * dv[self.dst_inverse])
+        old = self.state.get(name_out)
+        l1 = float(np.abs(acc - old).sum()) if old is not None else float("inf")
+        self.state[name_out] = acc
+        return {"l1": l1, "local_sum": float(acc.sum()),
+                "local_sq": float((acc * acc).sum())}
+
     # -- WCC: min-label propagation to fixpoint ---------------------------
     # semantics: cpp/src/components/legacy/weak_cc.cuh:60-130 (atomicMin
     # fixpoint); output contract components/connectivity.py:152-159
@@ -259,6 +351,141 @@ class PartitionWorker:
         self.state["labels"] = new
         self.state["active"] = changed
         return {"changed": int(changed.sum()), "rows_in": rows_in}
+
+    # -- BFS / SSSP: frontier relaxation ---------------------------------
+    # transform_reduce_v_frontier_outgoing_e_by_dst.cuh + update_v_frontier
+    # semantics; BFS packs (dist << 32 | predecessor) so one int64 min gives
+    # min-dist with min-predecessor tie-break (deterministic output).
+    _UNREACHED = np.iinfo(np.int64).max
+
+    def bfs_init(self, sources):
+        packed = np.full(self.n_owned, self._UNREACHED, dtype=np.int64)
+        active = np.zeros(self.n_owned, dtype=bool)
+        srcs = np.asarray(sources, dtype=np.int64)
+        mine = srcs[part_of_vertex(srcs, self.P) % self.W == self.wid]
+        idx = np.searchsorted(self.owned, mine)
+        packed[idx] = (np.int64(0) << np.int64(32)) | mine  # dist 0, pred=self
+        active[idx] = True
+        self.state["bfs"] = packed
+        self.state["active"] = active
+
+    def bfs_scatter(self):
+        packed = self.state["bfs"]
+        emask = self.state["active"][self.src_local]
+        nmsg = len(self.dst_unique)
+        best = np.full(nmsg, self._UNREACHED, dtype=np.int64)
+        if emask.any():
+            sl = self.src_local[emask]
+            dist = packed[sl] >> np.int64(32)
+            cand = ((dist + 1) << np.int64(32)) | self.src[emask]
+            np.minimum.at(best, self.dst_inverse[emask], cand)
+        live = best != self._UNREACHED
+        out = []
+        rows_out = bytes_out = 0
+        for q in range(self.W):
+            idx = self.route[q]
+            sel = idx[live[idx]]
+            m = (self.dst_unique[sel], best[sel])
+            rows_out += len(sel)
+            bytes_out += m[0].nbytes + m[1].nbytes
+            out.append(m)
+        out.append({"rows_out": rows_out, "bytes_out": bytes_out})
+        return out
+
+    def bfs_update(self, msgs):
+        msgs = ray.get(list(msgs))
+        packed = self.state["bfs"]
+        incoming = np.full(self.n_owned, self._UNREACHED, dtype=np.int64)
+        rows_in = 0
+        for vids, best in msgs:
+            idx = np.searchsorted(self.owned, vids)
+            np.minimum.at(incoming, idx, best)
+            rows_in += len(vids)
+        new = np.minimum(packed, incoming)
+        changed = new != packed
+        self.state["bfs"] = new
+        self.state["active"] = changed
+        return {"changed": int(changed.sum()), "rows_in": rows_in}
+
+    def bfs_result(self):
+        packed = self.state["bfs"]
+        reached = packed != self._UNREACHED
+        dist = np.where(reached, packed >> np.int64(32), -1)
+        pred = np.where(reached, packed & np.int64(0xFFFFFFFF), -1)
+        # source vertices report predecessor -1 (cuGraph convention)
+        srcmask = reached & (dist == 0)
+        pred[srcmask] = -1
+        self.state["distance"] = dist
+        self.state["predecessor"] = pred
+        return True
+
+    def sssp_init(self, sources):
+        dist = np.full(self.n_owned, np.inf)
+        pred = np.full(self.n_owned, -1, dtype=np.int64)
+        active = np.zeros(self.n_owned, dtype=bool)
+        srcs = np.asarray(sources, dtype=np.int64)
+        mine = srcs[part_of_vertex(srcs, self.P) % self.W == self.wid]
+        idx = np.searchsorted(self.owned, mine)
+        dist[idx] = 0.0
+        active[idx] = True
+        self.state["dist"] = dist
+        self.state["pred"] = pred
+        self.state["active"] = active
+
+    def sssp_scatter(self):
+        dist = self.state["dist"]
+        emask = self.state["active"][self.src_local]
+        out = []
+        rows_out = bytes_out = 0
+        if emask.any():
+            sl = self.src_local[emask]
+            nd = dist[sl] + self.w[emask]
+            di = self.dst_inverse[emask]
+            # per-dst min (dist, src) — lexsort keeps min src among equal dists
+            order = np.lexsort((self.src[emask], nd, di))
+            di_s = di[order]
+            first = np.ones(len(di_s), dtype=bool)
+            first[1:] = di_s[1:] != di_s[:-1]
+            di_f = di_s[first]
+            nd_f = nd[order][first]
+            pr_f = self.src[emask][order][first]
+            ow = part_of_vertex(self.dst_unique[di_f], self.P) % self.W
+            for q in range(self.W):
+                sel = np.flatnonzero(ow == q)
+                m = (self.dst_unique[di_f[sel]], nd_f[sel], pr_f[sel])
+                rows_out += len(sel)
+                bytes_out += sum(x.nbytes for x in m)
+                out.append(m)
+        else:
+            e = np.empty(0, np.int64)
+            for q in range(self.W):
+                out.append((e, np.empty(0), e))
+        out.append({"rows_out": rows_out, "bytes_out": bytes_out})
+        return out
+
+    def sssp_update(self, msgs):
+        msgs = ray.get(list(msgs))
+        dist = self.state["dist"]
+        pred = self.state["pred"]
+        rows_in = 0
+        best_d = np.full(self.n_owned, np.inf)
+        best_p = np.full(self.n_owned, -1, dtype=np.int64)
+        for vids, nds, prs in msgs:
+            if not len(vids):
+                continue
+            idx = np.searchsorted(self.owned, vids)
+            rows_in += len(vids)
+            better = (nds < best_d[idx]) | (
+                (nds == best_d[idx]) & (prs < best_p[idx])
+            )
+            bi = idx[better]
+            best_d[bi] = nds[better]
+            best_p[bi] = prs[better]
+        improved = best_d < dist
+        dist[improved] = best_d[improved]
+        pred[improved] = best_p[improved]
+        self.state["active"] = improved
+        return {"changed": int(improved.sum()), "rows_in": rows_in}
 
     # -- Label propagation (sync, weighted-majority, min-label ties) ------
     # contract: SURVEY.md §2.4 (absent in reference; kin weak_cc.cuh:60-130

@@ -1,0 +1,81 @@
+"""BFS / SSSP vs hand oracles."""
+
+import numpy as np
+import pandas as pd
+import pytest
+import ray.data as rd
+
+from raygraph.algos.traversal import bfs, sssp
+from raygraph.graph import Graph
+
+from tests import fixtures
+
+
+@pytest.fixture(scope="module")
+def karate(tmp_path_factory):
+    d = tmp_path_factory.mktemp("trav")
+    return Graph.from_edges(
+        rd.from_pandas(fixtures.karate_df()),
+        src="src", dst="dst", weight="weight",
+        directed=False, renumber=False, num_partitions=4,
+        out_dir=str(d / "g"),
+    )
+
+
+def _oracle_bfs(V, edges, src):
+    import collections
+
+    adj = collections.defaultdict(list)
+    for u, v in edges:
+        adj[u].append(v)
+    dist = {src: 0}
+    q = collections.deque([src])
+    while q:
+        u = q.popleft()
+        for v in adj[u]:
+            if v not in dist:
+                dist[v] = dist[u] + 1
+                q.append(v)
+    return [dist.get(v, -1) for v in range(V)]
+
+
+def test_bfs_karate(karate):
+    out = bfs(karate, 0).to_pandas().sort_values("vertex")
+    src, dst, _ = fixtures.karate_sym_arrays()
+    want = _oracle_bfs(fixtures.KARATE_V, zip(src, dst), 0)
+    assert list(out["distance"]) == want
+    # predecessor of the source is -1; every other reached vertex's
+    # predecessor is at distance d-1 and is the minimal such neighbor
+    d = dict(zip(out["vertex"], out["distance"]))
+    for _, r in out.iterrows():
+        if r["distance"] <= 0:
+            assert r["predecessor"] == -1
+        else:
+            assert d[r["predecessor"]] == r["distance"] - 1
+
+
+def test_bfs_disconnected(tmp_path):
+    df = fixtures.two_components_df()
+    g = Graph.from_edges(
+        rd.from_pandas(df), src="src", dst="dst", weight="weight",
+        directed=False, renumber=False, num_partitions=2,
+        out_dir=str(tmp_path / "b2"),
+    )
+    out = bfs(g, 0).to_pandas().set_index("vertex")
+    assert out.loc[4, "distance"] == 4
+    assert out.loc[12, "distance"] == -1  # other component unreached
+
+
+def test_sssp_weighted_line(tmp_path):
+    df = pd.DataFrame(
+        {"src": [0, 1, 2, 0], "dst": [1, 2, 3, 3], "weight": [1.0, 1.0, 1.0, 10.0]}
+    )
+    g = Graph.from_edges(
+        rd.from_pandas(df), src="src", dst="dst", weight="weight",
+        directed=True, renumber=False, num_partitions=2,
+        out_dir=str(tmp_path / "s1"),
+    )
+    out = sssp(g, 0).to_pandas().set_index("vertex")
+    assert out.loc[3, "distance"] == 3.0  # via the path, not the direct 10.0
+    assert out.loc[3, "predecessor"] == 2
+    assert out.loc[0, "predecessor"] == -1
