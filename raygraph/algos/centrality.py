@@ -37,12 +37,12 @@ def _result(engine, src_name, out_name, out_dir=None):
 
 
 def _spmv_round(engine, name):
-    W = engine.W
     outs = [
-        w.spmv_scatter.options(num_returns=W + 1).remote(name) for w in engine.workers
+        w.spmv_scatter.options(num_returns=2).remote(name) for w in engine.workers
     ]
-    stats = ray.get([o[W] for o in outs])
-    return outs, stats
+    msg_refs = [o[0] for o in outs]
+    stats = ray.get([o[1] for o in outs])
+    return msg_refs, stats
 
 
 def katz_centrality(graph, alpha: float = 0.1, beta: float = 1.0,
@@ -53,12 +53,11 @@ def katz_centrality(graph, alpha: float = 0.1, beta: float = 1.0,
     try:
         ray.get([w.set_state.remote("x", 0.0) for w in engine.workers])
         for it in range(max_iter):
-            outs, _ = _spmv_round(engine, "x")
+            msg_refs, _ = _spmv_round(engine, "x")
             upd = ray.get(
                 [
                     engine.workers[q].gather_into.remote(
-                        "x", [outs[s][q] for s in range(engine.W)],
-                        alpha=alpha, beta=beta,
+                        "x", msg_refs, alpha=alpha, beta=beta
                     )
                     for q in range(engine.W)
                 ]
@@ -82,12 +81,10 @@ def eigenvector_centrality(graph, tol: float = 1e-6, max_iter: int = 100,
     try:
         ray.get([w.set_state.remote("x", 1.0 / math.sqrt(V)) for w in engine.workers])
         for it in range(max_iter):
-            outs, _ = _spmv_round(engine, "x")
+            msg_refs, _ = _spmv_round(engine, "x")
             upd = ray.get(
                 [
-                    engine.workers[q].gather_into.remote(
-                        "y", [outs[s][q] for s in range(engine.W)]
-                    )
+                    engine.workers[q].gather_into.remote("y", msg_refs)
                     for q in range(engine.W)
                 ]
             )
@@ -129,12 +126,10 @@ def hits(graph, tol: float = 1e-5, max_iter: int = 100,
         ray.get([w.set_state.remote("h", 1.0 / V) for w in engine.workers])
         for it in range(max_iter):
             # authorities: a = Aᵀ h, L1-normalized
-            outs, _ = _spmv_round(engine, "h")
+            msg_refs, _ = _spmv_round(engine, "h")
             upd = ray.get(
                 [
-                    engine.workers[q].gather_into.remote(
-                        "a", [outs[s][q] for s in range(W)]
-                    )
+                    engine.workers[q].gather_into.remote("a", msg_refs)
                     for q in range(W)
                 ]
             )

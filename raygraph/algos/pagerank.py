@@ -135,24 +135,16 @@ def _run(engine, graph, alpha, tol, max_iter, nstart, personalization,
 
 
 def _iteration(engine, alpha, has_personalization, V):
+    """Single-barrier superstep: updates consume the scatter message refs
+    directly (Ray resolves them when ready); the driver only joins on the
+    update stats — no scatter-side barrier, no driver-held scalar."""
     import ray
 
     W = engine.W
-    nret = W + 1
-    outs = [
-        w.pagerank_scatter.options(num_returns=nret).remote() for w in engine.workers
-    ]
-    scatter_stats = ray.get([o[W] for o in outs])
-    dangling = sum(s["dangling"] for s in scatter_stats)
-    if has_personalization:
-        unvarying = alpha * dangling + (1.0 - alpha)
-    else:
-        unvarying = (alpha * dangling + (1.0 - alpha)) / V
+    msg_refs = [w.pagerank_scatter.remote() for w in engine.workers]
     upd = [
-        engine.workers[q].pagerank_update.remote(
-            alpha, unvarying, [outs[s][q] for s in range(W)]
-        )
+        engine.workers[q].pagerank_update.remote(alpha, has_personalization, msg_refs)
         for q in range(W)
     ]
     update_stats = ray.get(upd)
-    return scatter_stats, update_stats
+    return update_stats, update_stats

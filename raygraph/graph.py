@@ -106,69 +106,57 @@ def dedup_edges(ds, how: str = "min"):
 # renumber
 
 
-def _distinct_keys(edges_ds, src_col: str, dst_col: str, key_is_str: bool):
-    rd = _rd()
-
-    def project(col):
-        def fn(t: pa.Table) -> pa.Table:
-            c = t.column(col)
-            if key_is_str:
-                c = c.cast(pa.string())
-            else:
-                c = c.cast(pa.int64())
-            return pa.table({"vertex_key": c})
-
-        return fn
-
-    from raygraph.agg import distinct
-
-    s = edges_ds.map_batches(project(src_col), batch_format="pyarrow")
-    d = edges_ds.map_batches(project(dst_col), batch_format="pyarrow")
-    both = s.union(d)
-    return distinct(both, ["vertex_key"])
-
-
 def build_vertex_map(edges_ds, src_col="src_key", dst_col="dst_key",
                      key_is_str=True, num_buckets: int = 64):
     """Distinct(src ∪ dst) → (vertex_key, vid) with dense deterministic vids.
 
     Mirrors ``NumberMap.SingleGPU.indirection_map`` (``number_map.py:138-171``)
     but with a scale-safe id assignment: no global sort / zipWithIndex —
-    keys are hashed into B buckets, sorted *within* bucket (local work), and
-    vids are ``cumulative_bucket_offset + local_rank``.  Deterministic for a
-    given key set regardless of parallelism.
+    keys are combined (per-batch dedup), hashed into B buckets, the ONE
+    shuffle groups by bucket, and each bucket dedups + sorts locally; vids
+    are ``cumulative_bucket_offset + local_rank``.  Deterministic for a given
+    key set regardless of parallelism.
 
     Returns (vmap_dataset, num_vertices).
     """
-    distinct = _distinct_keys(edges_ds, src_col, dst_col, key_is_str)
 
-    def bucketize(df: pd.DataFrame) -> pd.DataFrame:
-        k = df["vertex_key"]
+    def project_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        k = pd.concat([df[src_col], df[dst_col]], ignore_index=True).unique()
         if key_is_str:
-            h = hash_str_array(k.to_numpy())
+            h = hash_str_array(k)
         else:
-            h = hash_int64(k.to_numpy())
-        df = df.copy()
-        df["__bucket"] = (h % np.uint64(num_buckets)).astype(np.int32)
-        return df
+            k = np.asarray(k, dtype=np.int64)
+            h = hash_int64(k)
+        return pd.DataFrame(
+            {
+                "vertex_key": k,
+                "__bucket": (h % np.uint64(num_buckets)).astype(np.int32),
+            }
+        )
 
-    bucketed = distinct.map_batches(bucketize, batch_format="pandas")
+    keyed = edges_ds.map_batches(project_bucket, batch_format="pandas")
 
     def rank_within(group: pd.DataFrame) -> pd.DataFrame:
-        g = group.sort_values("vertex_key").reset_index(drop=True)
-        g["__local"] = np.arange(len(g), dtype=np.int64)
-        return g
+        u = np.unique(group["vertex_key"].to_numpy())
+        return pd.DataFrame(
+            {
+                "vertex_key": u,
+                "__bucket": group["__bucket"].iloc[0],
+                "__local": np.arange(len(u), dtype=np.int64),
+            }
+        )
 
-    ranked = bucketed.groupby("__bucket").map_groups(rank_within, batch_format="pandas")
+    ranked = keyed.groupby("__bucket").map_groups(rank_within, batch_format="pandas")
     ranked = ranked.materialize()  # small (distinct keys); reused twice below
 
-    from raygraph.agg import hash_aggregate
-
-    counts = hash_aggregate(
-        ranked, ["__bucket"], {"n": (None, "count")}, num_buckets=8
+    # per-bucket sizes: per-batch max partials → tiny frame on the driver
+    parts = ranked.map_batches(
+        lambda df: df.groupby("__bucket", as_index=False)["__local"].max(),
+        batch_format="pandas",
     ).to_pandas()
+    sizes = parts.groupby("__bucket")["__local"].max() + 1
     offsets = np.zeros(num_buckets, dtype=np.int64)
-    offsets[counts["__bucket"].to_numpy()] = counts["n"].to_numpy()
+    offsets[sizes.index.to_numpy()] = sizes.to_numpy()
     total = int(offsets.sum())
     offsets = np.concatenate([[0], np.cumsum(offsets)[:-1]])
 
@@ -240,25 +228,26 @@ def translate_edges(edges_ds, vmap_ds, num_vertices: int,
 
 
 def partition_and_write(edges_ds, out_dir: str, num_partitions: int):
-    """Hash-partition edges by src, sort each partition by (src,dst), persist.
+    """Hash-partition edges by src into hive dirs of sorted-run files.
 
-    The per-partition sort is block-local work inside ``map_groups`` (the
-    reference sorts per edge-partition when compressing COO→CSR,
-    ``cpp/src/structure/detail/structure_utils.cuh:173-238``); there is no
-    global sort.
+    No shuffle: each block is sorted by (src,dst) locally (the reference
+    sorts per edge-partition when compressing COO→CSR,
+    ``cpp/src/structure/detail/structure_utils.cuh:173-238``) and the
+    hive-partitioned write splits it across ``part=`` directories.  A
+    partition is therefore a set of sorted runs; consumers (the superstep
+    workers) merge them with one ``np.unique``/searchsorted pass at load —
+    cheaper at every scale than a cluster-wide sort shuffle.
     """
 
-    def add_part(t: pa.Table) -> pa.Table:
+    def add_part_and_sort(t: pa.Table) -> pa.Table:
+        t = t.sort_by([("src", "ascending"), ("dst", "ascending")])
         part = (hash_int64(t.column("src").to_numpy()) % np.uint64(num_partitions)).astype(np.int32)
         return t.append_column("part", pa.array(part, pa.int32()))
 
-    withpart = edges_ds.map_batches(add_part, batch_format="pyarrow", zero_copy_batch=True)
-
-    def sort_block(t: pa.Table) -> pa.Table:
-        return t.sort_by([("src", "ascending"), ("dst", "ascending")])
-
-    sorted_parts = withpart.groupby("part").map_groups(sort_block, batch_format="pyarrow")
-    sorted_parts.write_parquet(os.path.join(out_dir, "edges"), partition_cols=["part"])
+    withpart = edges_ds.map_batches(
+        add_part_and_sort, batch_format="pyarrow", zero_copy_batch=True
+    )
+    withpart.write_parquet(os.path.join(out_dir, "edges"), partition_cols=["part"])
 
 
 # ---------------------------------------------------------------------------

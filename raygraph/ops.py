@@ -204,6 +204,56 @@ def coarsen(edges_ds, labels_df: pd.DataFrame, self_loops: bool = True):
     return hash_aggregate(relabeled, ["src", "dst"], {"weight": ("weight", "sum")})
 
 
+# ---------------------------------------------------------------------------
+# prim-layer wrappers (SURVEY.md §2.3) — the public compute-model contract.
+# Each maps a cpp/src/prims/ primitive to its Dataset form; algorithms are
+# compositions of these plus the superstep engine.
+
+
+def transform_reduce_v(vertex_ds, fn, reduce: str = "sum", column: str = "value"):
+    """Map over vertex values then global reduce — ``prims/transform_reduce_v.cuh``.
+
+    ``fn``: vectorized batch → batch with ``column``.
+    """
+    mapped = vertex_ds.map_batches(fn, batch_format="pyarrow")
+    return getattr(mapped, reduce)(column)
+
+
+def reduce_v(vertex_ds, reduce: str = "sum", column: str = "value"):
+    """Global reduce of a vertex column — ``prims/reduce_v.cuh``."""
+    return getattr(vertex_ds, reduce)(column)
+
+
+def count_if_v(vertex_ds, predicate):
+    """Count vertices satisfying a vectorized predicate — ``prims/count_if_v.cuh``."""
+    return vertex_ds.map_batches(
+        lambda t: pa.table({"n": pa.array([int(np.count_nonzero(predicate(t)))])}),
+        batch_format="pyarrow",
+    ).sum("n")
+
+
+def transform_reduce_e(graph, fn, reduce: str = "sum", column: str = "value"):
+    """Map over all edges then global reduce — ``prims/transform_reduce_e.cuh``."""
+    mapped = graph.edges_dataset().map_batches(fn, batch_format="pyarrow")
+    return getattr(mapped, reduce)(column)
+
+
+def count_if_e(graph, predicate):
+    """Count edges satisfying a predicate — ``prims/count_if_e.cuh``."""
+    return graph.edges_dataset().map_batches(
+        lambda t: pa.table({"n": pa.array([int(np.count_nonzero(predicate(t)))])}),
+        batch_format="pyarrow",
+    ).sum("n")
+
+
+def extract_if_e(graph, predicate):
+    """Filter edges, return the surviving edge list — ``prims/extract_if_e.cuh``."""
+    return graph.edges_dataset().map_batches(
+        lambda t: t.filter(pa.array(np.asarray(predicate(t), dtype=bool))),
+        batch_format="pyarrow",
+    )
+
+
 def adjacency_lists(edges_ds, key: str = "src", nbr: str = "dst"):
     """(vertex, nbrs: sorted int64 list) per vertex — bucketed build.
 

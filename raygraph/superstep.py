@@ -102,9 +102,28 @@ class PartitionWorker:
         self.dst_unique, self.dst_inverse = np.unique(self.dst, return_inverse=True)
         ow = part_of_vertex(self.dst_unique, self.P) % self.W
         self.route = [np.flatnonzero(ow == q) for q in range(self.W)]
+        # packed-message layout: one concatenated array + offsets instead of
+        # W separate arrays per round (fewer plasma deserializes per receive)
+        self.route_order = (
+            np.concatenate(self.route) if len(self.dst_unique) else
+            np.empty(0, np.int64)
+        )
+        self.route_offsets = np.zeros(self.W + 1, dtype=np.int64)
+        np.cumsum([len(r) for r in self.route], out=self.route_offsets[1:])
+        self.packed_vids = self.dst_unique[self.route_order]
         # graph partition id of each owned vertex (for per-partition checkpoints)
         self.owned_part = part_of_vertex(self.owned, self.P)
         self.state: dict[str, np.ndarray] = {}
+        # receive-position cache: the dst routing tables are static, so the
+        # searchsorted positions of each sender's vids are computed once
+        self._pos_cache: dict[int, np.ndarray] = {}
+
+    def _recv_pos(self, sender: int, vids: np.ndarray) -> np.ndarray:
+        pos = self._pos_cache.get(sender)
+        if pos is None or len(pos) != len(vids):
+            pos = np.searchsorted(self.owned, vids)
+            self._pos_cache[sender] = pos
+        return pos
 
     # -- bookkeeping ------------------------------------------------------
     def info(self):
@@ -178,37 +197,42 @@ class PartitionWorker:
         return float(self.state["pr"].sum())
 
     def pagerank_scatter(self):
-        """Returns [msg_0, ..., msg_{W-1}, stats]; msg_q = (dst vids, partials)."""
+        """One plasma object per sender per superstep:
+        (packed vids, packed partials, offsets, dangling partial).
+
+        Packed layout (receiver q reads [off[q]:off[q+1]]) keeps both the
+        object count AND the per-receive deserialize count at O(W).  The
+        dangling partial rides along so receivers can compute the global
+        unvarying term themselves — the driver never sits between scatter
+        and update (single barrier per superstep)."""
         pr = self.state["pr"]
         ows = self.state["out_wsum"]
-        src_l = self.src_local
         with np.errstate(divide="ignore", invalid="ignore"):
             coef = np.where(ows > 0, pr / np.where(ows > 0, ows, 1.0), 0.0)
-        contrib = coef[src_l] * self.w
+        contrib = coef[self.src_local] * self.w
         partial = np.bincount(self.dst_inverse, weights=contrib,
                               minlength=len(self.dst_unique))
-        out = []
-        rows_out = 0
-        bytes_out = 0
-        for q in range(self.W):
-            idx = self.route[q]
-            m = (self.dst_unique[idx], partial[idx])
-            rows_out += len(idx)
-            bytes_out += m[0].nbytes + m[1].nbytes
-            out.append(m)
         dangling_sum = float(pr[self.state["dangling"]].sum())
-        out.append({"dangling": dangling_sum, "rows_out": rows_out,
-                    "bytes_out": bytes_out})
-        return out
+        return (self.packed_vids, partial[self.route_order],
+                self.route_offsets, dangling_sum)
 
-    def pagerank_update(self, alpha: float, unvarying: float, msgs):
-        """Apply gathered mass: pr'[v] = unvarying(+pers) + α·gather[v]."""
-        msgs = ray.get(list(msgs))
+    def pagerank_update(self, alpha: float, has_pers: bool, msg_refs):
+        """Gather + state update; computes unvarying locally from the
+        dangling partials carried in the message objects."""
+        all_msgs = ray.get(list(msg_refs))
+        dangling = sum(m[3] for m in all_msgs)
+        if has_pers:
+            unvarying = alpha * dangling + (1.0 - alpha)
+        else:
+            unvarying = (alpha * dangling + (1.0 - alpha)) / self.V
         gather = np.zeros(self.n_owned)
         rows_in = 0
-        for vids, partials in msgs:
-            idx = np.searchsorted(self.owned, vids)
-            np.add.at(gather, idx, partials)
+        lo, hi = self.wid, self.wid + 1
+        for sender, (vids_all, part_all, offs, _d) in enumerate(all_msgs):
+            vids = vids_all[offs[lo]:offs[hi]]
+            partials = part_all[offs[lo]:offs[hi]]
+            pos = self._recv_pos(sender, vids)
+            gather[pos] += partials  # vids unique per sender → plain fancy add
             rows_in += len(vids)
         pr_old = self.state["pr"]
         if "pers" in self.state:
@@ -217,39 +241,37 @@ class PartitionWorker:
             pr_new = unvarying + alpha * gather
         l1 = float(np.abs(pr_new - pr_old).sum())
         self.state["pr"] = pr_new
-        return {"l1": l1, "pr_sum": float(pr_new.sum()), "rows_in": rows_in}
+        return {"l1": l1, "pr_sum": float(pr_new.sum()), "rows_in": rows_in,
+                "rows_out": len(self.packed_vids),
+                "bytes_out": self.packed_vids.nbytes * 2, "dangling": dangling}
 
     # -- generic SpMV scatter + dst-property exchange ---------------------
     # spmv: per_v_transform_reduce_incoming_e with e_op = x[src]*w
     # dst exchange: update_edge_dst_property (prims/update_edge_src_dst_
     # property.cuh) — the dst-side half that is not free under 1D placement.
     def spmv_scatter(self, name: str):
-        """Emit (dst, Σ x[src]·w) partials split by owner; [msgs..., stats]."""
+        """num_returns=2: (packed msgs, stats); packed = (vids, partials, offs)."""
         x = self.state[name]
         contrib = x[self.src_local] * self.w
         partial = np.bincount(self.dst_inverse, weights=contrib,
                               minlength=len(self.dst_unique))
-        out = []
-        rows_out = bytes_out = 0
-        for q in range(self.W):
-            idx = self.route[q]
-            m = (self.dst_unique[idx], partial[idx])
-            rows_out += len(idx)
-            bytes_out += m[0].nbytes + m[1].nbytes
-            out.append(m)
-        out.append({"rows_out": rows_out, "bytes_out": bytes_out,
-                    "local_sum": float(x.sum()), "local_sq": float((x * x).sum())})
-        return out
+        packed = (self.packed_vids, partial[self.route_order], self.route_offsets)
+        return packed, {"rows_out": len(self.packed_vids),
+                        "bytes_out": self.packed_vids.nbytes * 2,
+                        "local_sum": float(x.sum()), "local_sq": float((x * x).sum())}
 
-    def gather_into(self, name: str, msgs, alpha: float = 1.0, beta: float = 0.0,
+    def gather_into(self, name: str, msg_refs, alpha: float = 1.0, beta: float = 0.0,
                     scale: float = 1.0):
         """state[name] ← scale·(alpha·gather + beta); returns l1 vs old."""
-        msgs = ray.get(list(msgs))
+        all_msgs = ray.get(list(msg_refs))
         gather = np.zeros(self.n_owned)
         rows_in = 0
-        for vids, partials in msgs:
-            idx = np.searchsorted(self.owned, vids)
-            np.add.at(gather, idx, partials)
+        lo, hi = self.wid, self.wid + 1
+        for sender, (vids_all, part_all, offs) in enumerate(all_msgs):
+            vids = vids_all[offs[lo]:offs[hi]]
+            partials = part_all[offs[lo]:offs[hi]]
+            pos = self._recv_pos(sender, vids)
+            gather[pos] += partials
             rows_in += len(vids)
         old = self.state.get(name)
         new = scale * (alpha * gather + beta)
@@ -334,17 +356,18 @@ class PartitionWorker:
             rows_out += len(sel)
             bytes_out += m[0].nbytes + m[1].nbytes
             out.append(m)
-        out.append({"rows_out": rows_out, "bytes_out": bytes_out})
-        return out
+        return out, {"rows_out": rows_out, "bytes_out": bytes_out}
 
-    def cc_update(self, msgs):
-        msgs = ray.get(list(msgs))
+    def cc_update(self, msg_refs):
+        all_msgs = ray.get(list(msg_refs))
         labels = self.state["labels"]
         incoming = np.full(self.n_owned, np.iinfo(np.int64).max, dtype=np.int64)
         rows_in = 0
-        for vids, best in msgs:
+        for msgs in all_msgs:
+            vids, best = msgs[self.wid]
+            # frontier messages are sparse subsets → positions not cached
             idx = np.searchsorted(self.owned, vids)
-            np.minimum.at(incoming, idx, best)
+            incoming[idx] = np.minimum(incoming[idx], best)
             rows_in += len(vids)
         new = np.minimum(labels, incoming)
         changed = new != labels
@@ -389,17 +412,17 @@ class PartitionWorker:
             rows_out += len(sel)
             bytes_out += m[0].nbytes + m[1].nbytes
             out.append(m)
-        out.append({"rows_out": rows_out, "bytes_out": bytes_out})
-        return out
+        return out, {"rows_out": rows_out, "bytes_out": bytes_out}
 
-    def bfs_update(self, msgs):
-        msgs = ray.get(list(msgs))
+    def bfs_update(self, msg_refs):
+        all_msgs = ray.get(list(msg_refs))
         packed = self.state["bfs"]
         incoming = np.full(self.n_owned, self._UNREACHED, dtype=np.int64)
         rows_in = 0
-        for vids, best in msgs:
+        for msgs in all_msgs:
+            vids, best = msgs[self.wid]
             idx = np.searchsorted(self.owned, vids)
-            np.minimum.at(incoming, idx, best)
+            incoming[idx] = np.minimum(incoming[idx], best)
             rows_in += len(vids)
         new = np.minimum(packed, incoming)
         changed = new != packed
@@ -460,17 +483,17 @@ class PartitionWorker:
             e = np.empty(0, np.int64)
             for q in range(self.W):
                 out.append((e, np.empty(0), e))
-        out.append({"rows_out": rows_out, "bytes_out": bytes_out})
-        return out
+        return out, {"rows_out": rows_out, "bytes_out": bytes_out}
 
-    def sssp_update(self, msgs):
-        msgs = ray.get(list(msgs))
+    def sssp_update(self, msg_refs):
+        all_msgs = ray.get(list(msg_refs))
         dist = self.state["dist"]
         pred = self.state["pred"]
         rows_in = 0
         best_d = np.full(self.n_owned, np.inf)
         best_p = np.full(self.n_owned, -1, dtype=np.int64)
-        for vids, nds, prs in msgs:
+        for msgs in all_msgs:
+            vids, nds, prs = msgs[self.wid]
             if not len(vids):
                 continue
             idx = np.searchsorted(self.owned, vids)
@@ -512,14 +535,14 @@ class PartitionWorker:
             rows_out += len(sel)
             bytes_out += m[0].nbytes + m[1].nbytes + m[2].nbytes
             out.append(m)
-        out.append({"rows_out": rows_out, "bytes_out": bytes_out})
-        return out
+        return out, {"rows_out": rows_out, "bytes_out": bytes_out}
 
-    def lpa_update(self, msgs):
-        msgs = ray.get(list(msgs))
-        vids = np.concatenate([m[0] for m in msgs]) if msgs else np.empty(0, np.int64)
-        labs = np.concatenate([m[1] for m in msgs]) if msgs else np.empty(0, np.int64)
-        ws = np.concatenate([m[2] for m in msgs]) if msgs else np.empty(0)
+    def lpa_update(self, msg_refs):
+        all_msgs = ray.get(list(msg_refs))
+        mine = [m[self.wid] for m in all_msgs]
+        vids = np.concatenate([m[0] for m in mine]) if mine else np.empty(0, np.int64)
+        labs = np.concatenate([m[1] for m in mine]) if mine else np.empty(0, np.int64)
+        ws = np.concatenate([m[2] for m in mine]) if mine else np.empty(0)
         labels = self.state["labels"]
         rows_in = len(vids)
         if rows_in:
@@ -611,17 +634,23 @@ class SuperstepEngine:
 
     # -- generic BSP round ------------------------------------------------
     def _exchange(self, scatter_name: str, update_name: str, update_args=()):
-        """One superstep: scatter on all workers, route refs, update on all."""
-        nret = self.W + 1
+        """One superstep: scatter on all workers, share the W message-list
+        refs with every worker (each slices its own entry), update on all.
+
+        Two plasma objects per worker per round — O(W), not O(W²); reads of
+        peer message lists are zero-copy within a node.  On a multi-node
+        cluster this trades an O(W) object count for shipping each sender's
+        full message list to every node; revisit with per-receiver objects
+        if inter-node bandwidth ever dominates (documented trade-off).
+        """
         outs = [
-            getattr(w, scatter_name).options(num_returns=nret).remote()
+            getattr(w, scatter_name).options(num_returns=2).remote()
             for w in self.workers
         ]
-        scatter_stats = ray.get([o[self.W] for o in outs])
+        msg_refs = [o[0] for o in outs]
+        scatter_stats = ray.get([o[1] for o in outs])
         upd = [
-            getattr(self.workers[q], update_name).remote(
-                *update_args, [outs[s][q] for s in range(self.W)]
-            )
+            getattr(self.workers[q], update_name).remote(*update_args, msg_refs)
             for q in range(self.W)
         ]
         update_stats = ray.get(upd)
