@@ -181,33 +181,99 @@ def run_bench() -> dict:
     }
 
 
+def run_rmat_pagerank() -> dict:
+    """Scaling workload: PageRank iterations over a Graph500 RMAT graph.
+
+    The reference's own nightly benchmark methodology (RMAT scales 23–30,
+    edgefactor 16, a=.57 b=.19 c=.19, seed 42 —
+    ``benchmarks/python_e2e/run_all_nightly_benches.sh``); scale chosen so
+    per-worker compute dominates the per-superstep exchange overhead, which
+    is what a 100 TB deployment looks like.  Graph built once, cached, and
+    shared by both parallelism levels.
+    """
+    import ray
+
+    scale = int(os.environ.get("GRAFT_RMAT_SCALE", "23"))
+    iters = int(os.environ.get("GRAFT_RMAT_ITERS", "15"))
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+    from raygraph import generators
+    from raygraph.graph import Graph
+    from raygraph.superstep import SuperstepEngine
+    from raygraph.algos.pagerank import _iteration
+
+    gdir = f"/tmp/raygraph-bench/rmat{scale}"
+    if not os.path.exists(os.path.join(gdir, "meta.json")):
+        edges = generators.rmat_dataset(scale=scale, edgefactor=16, seed=42)
+        Graph.from_edges(
+            edges, src="src", dst="dst", weight="weight",
+            directed=True, renumber=False, num_partitions=32, out_dir=gdir,
+        )
+    g = Graph.load(gdir)
+    eng = SuperstepEngine(g, num_workers=None)
+    try:
+        ray.get([w.pagerank_init.remote() for w in eng.workers])
+        for _ in range(3):  # warm caches / routing tables
+            _iteration(eng, 0.85, False, g.num_vertices)
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            _iteration(eng, 0.85, False, g.num_vertices)
+        dt = time.perf_counter() - t0
+    finally:
+        eng.shutdown()
+    ray.shutdown()
+    return {
+        "metric": "RMAT pagerank superstep throughput",
+        "value": round(dt, 3),
+        "unit": "sec",
+        "rmat_scale": scale,
+        "iters": iters,
+        "num_cpus": NUM_CPUS,
+        "edges": g.num_edges,
+        "iters_per_sec": round(iters / dt, 3),
+        "edges_per_sec": round(g.num_edges * iters / dt, 1),
+    }
+
+
 def run_scaling():
-    def one(ncpu: int) -> dict:
+    """Run the headline PageRank scaling workload at num_cpus=8 and 32 in
+    fresh processes on the same cached input, plus the full sf pipeline at
+    both levels for context; print ONE JSON line with the efficiencies."""
+
+    def one(ncpu: int, extra_args=()) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_SF_DIR=SF_DIR)
         out = subprocess.run(
-            [sys.executable, os.path.abspath(__file__)],
+            [sys.executable, os.path.abspath(__file__), *extra_args],
             env=env, capture_output=True, text=True, check=True,
         ).stdout
         return json.loads(out.strip().splitlines()[-1])
 
     lo_cpus, hi_cpus = 8, 32
+    # warm the graph cache (untimed) so both levels measure compute+exchange
+    one(hi_cpus, ["--rmat-pagerank"])
+    lo_r = one(lo_cpus, ["--rmat-pagerank"])
+    hi_r = one(hi_cpus, ["--rmat-pagerank"])
+    pr_eff = (hi_r["edges_per_sec"] / lo_r["edges_per_sec"]) / (hi_cpus / lo_cpus)
+
     lo = one(lo_cpus)
     hi = one(hi_cpus)
-    # throughput = work/sec ∝ 1/value on identical input
-    eff = (lo["value"] / hi["value"]) / (hi_cpus / lo_cpus)
+    pipe_eff = (lo["value"] / hi["value"]) / (hi_cpus / lo_cpus)
     print(
         json.dumps(
             {
                 "metric": "scaling efficiency (same input, fresh ray.init at 8 vs 32 cpus)",
-                "sec_8": lo["value"],
-                "sec_32": hi["value"],
-                "pagerank_edges_per_sec_8": lo.get("pagerank_edges_per_sec"),
-                "pagerank_edges_per_sec_32": hi.get("pagerank_edges_per_sec"),
-                "pagerank_scaling_efficiency": round(
-                    (hi.get("pagerank_edges_per_sec", 1) / lo.get("pagerank_edges_per_sec", 1))
-                    / (hi_cpus / lo_cpus), 3,
-                ),
-                "scaling_efficiency": round(eff, 3),
+                "pagerank_rmat_scale": lo_r["rmat_scale"],
+                "pagerank_edges_per_sec_8": lo_r["edges_per_sec"],
+                "pagerank_edges_per_sec_32": hi_r["edges_per_sec"],
+                "pagerank_scaling_efficiency": round(pr_eff, 3),
+                "pipeline_sec_8": lo["value"],
+                "pipeline_sec_32": hi["value"],
+                "pipeline_scaling_efficiency": round(pipe_eff, 3),
+                "scaling_efficiency": round(pr_eff, 3),
                 "sf": os.path.basename(os.path.normpath(SF_DIR)),
             }
         )
@@ -217,5 +283,7 @@ def run_scaling():
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         run_scaling()
+    elif "--rmat-pagerank" in sys.argv:
+        print(json.dumps(run_rmat_pagerank()))
     else:
         print(json.dumps(run_bench()))
