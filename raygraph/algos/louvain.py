@@ -1,0 +1,227 @@
+"""Louvain community detection — modularity-maximizing hierarchy.
+
+Reference: ``cpp/src/community/louvain_impl.cuh:46-303`` (python API
+``community/louvain.py:23``): per level, iterate an assign-to-best-cluster
+sweep, then contract the graph by cluster (``coarsen_graph``) and recurse;
+returns ``(df[vertex, partition], modularity)``.
+
+Ray mapping (the Louvain prim
+``per_v_transform_reduce_dst_key_aggregated_outgoing_e.cuh`` is a two-level
+reduction — exactly our combiner + bucketed aggregate):
+
+* per sweep: edges ⋈ broadcast community map → hash_aggregate by
+  (src, community(dst)) → per-src vectorized argmax of the modularity gain
+  (no per-vertex Python) → synchronous accepted moves.
+* Monotonicity guard: a sweep that does not improve global modularity is
+  reverted and ends the level (synchronous parallel sweeps can oscillate;
+  the reference's sequential-consistency is recovered by this check).
+* coarsen: relabel + combine parallel edges summing weights
+  (``coarsen_graph_impl.cuh`` semantics via ops.coarsen's pattern).
+
+Vertex-sized state (community array, degrees, community totals) is
+broadcast via ``ray.put`` — the per-level V shrinks geometrically; the
+first level's V-sized arrays are the same broadcast-limit trade documented
+for renumbering (swap for hash joins beyond ~2e7 vertices).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+import pandas as pd
+
+
+def _edge_arrays(edges_ds):
+    df = edges_ds.to_pandas()
+    return (
+        df["src"].to_numpy(np.int64),
+        df["dst"].to_numpy(np.int64),
+        df["weight"].to_numpy(np.float64),
+    )
+
+
+def _modularity(src, dst, w, comm, k, m2, resolution):
+    internal = w[comm[src] == comm[dst]].sum()  # both directions counted
+    sig = np.bincount(comm, weights=k, minlength=comm.max() + 1)
+    return internal / m2 - resolution * float((sig / m2) @ (sig / m2))
+
+
+def louvain(graph, max_levels: int = 10, max_inner: int = 20,
+            resolution: float = 1.0, min_gain: float = 1e-9,
+            broadcast_limit: int = 20_000_000):
+    """Returns (Dataset (vertex, partition), modularity: float).
+
+    Requires an undirected (symmetrized) simple graph, like the reference
+    (``louvain.py`` asserts undirected input).
+    """
+    import ray
+    import ray.data as rd
+
+    from raygraph.agg import hash_aggregate
+
+    if graph.directed:
+        raise ValueError("louvain requires an undirected graph (directed=False)")
+    V0 = graph.num_vertices
+    if V0 > broadcast_limit:
+        raise NotImplementedError("join-based louvain path not wired; V too large")
+
+    edges_ds = graph.edges_dataset(columns=["src", "dst", "weight"])
+    # level-0 edge arrays stay in Dataset form for the sweeps; the driver
+    # keeps only V-sized state.
+    assign0 = np.arange(V0, dtype=np.int64)  # original vertex → current comm
+    level_edges = edges_ds
+    V = V0
+
+    # m2 = Σ_directed w = 2m (graph stores both directions)
+    m2 = float(level_edges.sum("weight"))
+    if m2 == 0:
+        return rd.from_pandas(
+            pd.DataFrame({"vertex": np.arange(V0), "partition": assign0})
+        ), 0.0
+
+    final_modularity = 0.0
+    for level in range(max_levels):
+        src, dst, w = _edge_arrays(level_edges)  # level graphs shrink fast
+        k = np.bincount(src, weights=w, minlength=V)  # weighted degrees
+        comm = np.arange(V, dtype=np.int64)
+        q_cur = _modularity(src, dst, w, comm, k, m2, resolution)
+
+        improved_level = False
+        for sweep in range(max_inner):
+            sig = np.bincount(comm, weights=k, minlength=V)
+            cref = ray.put(comm)
+            kref = ray.put(k)
+            sref = ray.put(sig)
+
+            def attach(df: pd.DataFrame) -> pd.DataFrame:
+                c = ray.get(cref)
+                s = df["src"].to_numpy(np.int64)
+                d = df["dst"].to_numpy(np.int64)
+                keep = s != d
+                return pd.DataFrame(
+                    {
+                        "src": s[keep],
+                        "cdst": c[d[keep]],
+                        "weight": df["weight"].to_numpy()[keep],
+                    }
+                )
+
+            linked = level_edges.map_batches(attach, batch_format="pandas")
+            agg = hash_aggregate(linked, ["src", "cdst"], {"w": ("weight", "sum")})
+
+            def best_move(df: pd.DataFrame) -> pd.DataFrame:
+                c = ray.get(cref)
+                kk = ray.get(kref)
+                ss = ray.get(sref)
+                s = df["src"].to_numpy(np.int64)
+                cd = df["cdst"].to_numpy(np.int64)
+                wv = df["w"].to_numpy(np.float64)
+                # gain score for i joining community cd (i's own mass removed
+                # from Σ_tot): score = w_{i→c} − res·k_i·Σ_tot*(c)/m2
+                sig_star = ss[cd] - np.where(c[s] == cd, kk[s], 0.0)
+                score = wv - resolution * kk[s] * sig_star / m2
+                # per src: argmax score, ties → min community id
+                order = np.lexsort((cd, -score, s))
+                s_s, cd_s, sc_s = s[order], cd[order], score[order]
+                first = np.ones(len(s_s), dtype=bool)
+                first[1:] = s_s[1:] != s_s[:-1]
+                vbest = s_s[first]
+                cbest = cd_s[first]
+                sbest = sc_s[first]
+                # score of STAYING: the row with cd == current community, or
+                # (no internal links) −res·k_i·(Σ_tot(c_i)−k_i)/m2
+                stay = -resolution * kk[vbest] * (ss[c[vbest]] - kk[vbest]) / m2
+                in_own = cd == c[s]
+                if in_own.any():
+                    stay_map = dict(zip(s[in_own].tolist(), score[in_own].tolist()))
+                    for i, v in enumerate(vbest.tolist()):
+                        if v in stay_map:
+                            stay[i] = stay_map[v]
+                keep = sbest > stay + 1e-12
+                return pd.DataFrame(
+                    {"vertex": vbest[keep], "best": cbest[keep]}
+                )
+
+            # co-locate rows of each src, then vectorized per-bucket argmax
+            from raygraph.joins import _key_hash
+
+            def tag(df: pd.DataFrame) -> pd.DataFrame:
+                df = df.copy()
+                df["__bk"] = (
+                    _key_hash(df, ["src"]) % np.uint64(32)
+                ).astype(np.int32)
+                return df
+
+            picked = (
+                agg.map_batches(tag, batch_format="pandas")
+                .groupby("__bk")
+                .map_groups(
+                    lambda g: best_move(g.drop(columns="__bk")),
+                    batch_format="pandas",
+                )
+                .to_pandas()
+            )
+
+            # alternate hash-parity half-sweeps: simultaneous pairwise swaps
+            # (the synchronous-Louvain oscillation) cannot happen inside one
+            # parity class, and the modularity guard below stays a backstop
+            from raygraph.hashing import hash_int64
+
+            if len(picked) == 0 or "vertex" not in picked.columns:
+                break  # no vertex gains from moving → level converged
+            movers = picked["vertex"].to_numpy(np.int64)
+            parity = (hash_int64(movers) % np.uint64(2)).astype(np.int64)
+            sel = parity == (sweep % 2)
+            if not sel.any():
+                continue
+            new_comm = comm.copy()
+            new_comm[movers[sel]] = picked["best"].to_numpy(np.int64)[sel]
+            if np.array_equal(new_comm, comm):
+                break
+            q_new = _modularity(src, dst, w, new_comm, k, m2, resolution)
+            if q_new <= q_cur + min_gain:
+                if sweep % 2 == 1:
+                    break  # both parity classes exhausted
+                continue
+            comm = new_comm
+            q_cur = q_new
+            improved_level = True
+
+        final_modularity = q_cur
+        if not improved_level:
+            break
+
+        # contract: dense-relabel communities, coarsen edges, recurse
+        # dense[v] = compact community id of current-level vertex v;
+        # assign0 holds current-level vertex ids for the original vertices
+        uniq, dense = np.unique(comm, return_inverse=True)
+        assign0 = dense[assign0]
+        Vc = len(uniq)
+        dref = ray.put(dense)
+
+        def contract(df: pd.DataFrame) -> pd.DataFrame:
+            dn = ray.get(dref)
+            return pd.DataFrame(
+                {
+                    "src": dn[df["src"].to_numpy(np.int64)],
+                    "dst": dn[df["dst"].to_numpy(np.int64)],
+                    "weight": df["weight"].to_numpy(),
+                }
+            )
+
+        level_edges = hash_aggregate(
+            level_edges.map_batches(contract, batch_format="pandas"),
+            ["src", "dst"],
+            {"weight": ("weight", "sum")},
+        ).materialize()
+        if Vc == V:
+            break
+        V = Vc
+
+    out = rd.from_pandas(
+        pd.DataFrame(
+            {"vertex": np.arange(V0, dtype=np.int64), "partition": assign0}
+        )
+    )
+    return out, float(final_modularity)

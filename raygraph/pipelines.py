@@ -623,6 +623,99 @@ def q_ingest_sha256(sf_dir: str):
     return ingest.ingest(corpus.corpus_dataset(2000, seed=42))
 
 
+
+
+def q_louvain(sf_dir: str):
+    """Louvain communities on the weight≥3 ps subgraph (rows-only check;
+    deterministic: fixed tie-breaks + hash-parity half sweeps)."""
+    from raygraph.algos.louvain import louvain
+
+    edges = ps_edges_str(sf_dir).map_batches(
+        lambda df: df[df["weight"] >= 3.0], batch_format="pandas"
+    )
+    g = _build_graph_from_keys(edges, directed=False, tag="louv")
+    res, _q = louvain(g)
+    return g.unrenumber(res, "vertex").map_batches(
+        lambda df: pd.DataFrame(
+            {"vertex_key": df["vertex"], "partition": df["partition"]}
+        ),
+        batch_format="pandas",
+    )
+
+
+def q_katz(sf_dir: str):
+    from raygraph.algos.centrality import katz_centrality
+
+    g = _build_graph_from_keys(ps_edges_str(sf_dir), directed=False, tag="katz")
+    res = katz_centrality(g, alpha=0.005, beta=1.0, tol=1e-8, max_iter=200)
+    return g.unrenumber(res, "vertex").map_batches(
+        lambda df: pd.DataFrame(
+            {"vertex_key": df["vertex"], "katz_centrality": df["katz_centrality"]}
+        ),
+        batch_format="pandas",
+    )
+
+
+def q_hits(sf_dir: str):
+    from raygraph.algos.centrality import hits
+
+    g = _build_graph_from_keys(ps_edges_str(sf_dir), directed=False, tag="hits")
+    res = hits(g, tol=1e-8, max_iter=100)
+    return g.unrenumber(res, "vertex").map_batches(
+        lambda df: pd.DataFrame(
+            {
+                "vertex_key": df["vertex"],
+                "hubs": df["hubs"],
+                "authorities": df["authorities"],
+            }
+        ),
+        batch_format="pandas",
+    )
+
+
+def q_bfs(sf_dir: str):
+    """BFS distances/predecessors from internal vid 0 (rows-only)."""
+    from raygraph.algos.traversal import bfs
+
+    g = _build_graph_from_keys(ps_edges_str(sf_dir), directed=False, tag="bfs")
+    res = bfs(g, 0)
+    return g.unrenumber(res, "vertex").map_batches(
+        lambda df: pd.DataFrame(
+            {
+                "vertex_key": df["vertex"],
+                "distance": df["distance"].astype(np.int64),
+            }
+        ),
+        batch_format="pandas",
+    )
+
+
+def q_sssp(sf_dir: str):
+    from raygraph.algos.traversal import sssp
+
+    g = _build_graph_from_keys(ps_edges_str(sf_dir), directed=False, tag="sssp")
+    res = sssp(g, 0)
+    return g.unrenumber(res, "vertex").map_batches(
+        lambda df: pd.DataFrame(
+            {
+                "vertex_key": df["vertex"],
+                "distance": df["distance"].astype(np.float64),
+            }
+        ),
+        batch_format="pandas",
+    )
+
+
+def q_fingerprint(sf_dir: str):
+    from raygraph.data import text
+
+    rd = _rd()
+    docs = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    return text.fingerprint(docs)
+
+
 # ---------------------------------------------------------------------------
 # catalog
 
@@ -652,6 +745,12 @@ QUERIES = {
     "ivf_knn": q_ivf_knn,
     "tumbling": q_tumbling,
     "sessionize": q_sessionize,
+    "louvain": q_louvain,
+    "katz": q_katz,
+    "hits": q_hits,
+    "bfs": q_bfs,
+    "sssp": q_sssp,
+    "fingerprint": q_fingerprint,
 }
 
 ORACLES = {

@@ -1,0 +1,77 @@
+"""Louvain: modularity improvement + known community structure."""
+
+import numpy as np
+import pandas as pd
+import pytest
+import ray.data as rd
+
+from raygraph.algos.louvain import louvain
+from raygraph.graph import Graph
+
+from tests import fixtures
+
+
+def _modularity_check(df_part, edges_df, V):
+    part = df_part.sort_values("vertex")["partition"].to_numpy()
+    src = np.concatenate([edges_df["src"], edges_df["dst"]])
+    dst = np.concatenate([edges_df["dst"], edges_df["src"]])
+    w = np.ones(len(src))
+    m2 = w.sum()
+    k = np.bincount(src, weights=w, minlength=V)
+    internal = w[part[src] == part[dst]].sum()
+    sig = np.bincount(part, weights=k)
+    return internal / m2 - float((sig / m2) @ (sig / m2))
+
+
+def test_louvain_karate(tmp_path):
+    g = Graph.from_edges(
+        rd.from_pandas(fixtures.karate_df()),
+        src="src", dst="dst", weight="weight",
+        directed=False, renumber=False, num_partitions=4,
+        out_dir=str(tmp_path / "lv"),
+    )
+    res, q = louvain(g)
+    df = res.to_pandas()
+    assert len(df) == fixtures.KARATE_V
+    # karate's optimal modularity is ~0.42; any decent Louvain exceeds 0.35
+    assert q > 0.35
+    # reported modularity matches a recomputation from the partition
+    q2 = _modularity_check(df, fixtures.karate_df(), fixtures.KARATE_V)
+    assert abs(q - q2) < 1e-9
+    ncomm = df["partition"].nunique()
+    assert 2 <= ncomm <= 6
+
+
+def test_louvain_two_cliques(tmp_path):
+    # two 5-cliques joined by one edge → exactly two communities
+    edges = []
+    for base in (0, 5):
+        for a in range(5):
+            for b in range(a + 1, 5):
+                edges.append((base + a, base + b))
+    edges.append((0, 5))
+    df = pd.DataFrame(
+        {"src": [e[0] for e in edges], "dst": [e[1] for e in edges],
+         "weight": np.ones(len(edges))}
+    )
+    g = Graph.from_edges(
+        rd.from_pandas(df), src="src", dst="dst", weight="weight",
+        directed=False, renumber=False, num_partitions=2,
+        out_dir=str(tmp_path / "cl"),
+    )
+    res, q = louvain(g)
+    p = res.to_pandas().sort_values("vertex")["partition"].to_numpy()
+    assert len(set(p[:5])) == 1 and len(set(p[5:])) == 1
+    assert p[0] != p[5]
+    assert q > 0.4
+
+
+def test_louvain_requires_undirected(tmp_path):
+    g = Graph.from_edges(
+        rd.from_pandas(fixtures.line_df(5)),
+        src="src", dst="dst", weight="weight",
+        directed=True, renumber=False, num_partitions=2,
+        out_dir=str(tmp_path / "ld"),
+    )
+    with pytest.raises(ValueError):
+        louvain(g)
