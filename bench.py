@@ -193,7 +193,8 @@ def run_rmat_pagerank() -> dict:
     """
     import ray
 
-    scale = int(os.environ.get("GRAFT_RMAT_SCALE", "23"))
+    scale = int(os.environ.get("GRAFT_RMAT_SCALE", "18"))
+    edgefactor = int(os.environ.get("GRAFT_RMAT_EDGEFACTOR", "512"))
     iters = int(os.environ.get("GRAFT_RMAT_ITERS", "15"))
     ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
              ignore_reinit_error=True, logging_level="ERROR")
@@ -206,13 +207,20 @@ def run_rmat_pagerank() -> dict:
     from raygraph.superstep import SuperstepEngine
     from raygraph.algos.pagerank import _iteration
 
-    gdir = f"/tmp/raygraph-bench/rmat{scale}"
+    gdir = f"/tmp/raygraph-bench/rmat{scale}x{edgefactor}"
     if not os.path.exists(os.path.join(gdir, "meta.json")):
-        edges = generators.rmat_dataset(scale=scale, edgefactor=16, seed=42)
+        # build into a unique dir and rename atomically: two concurrent
+        # bench processes must not interleave writes into one cache dir
+        tmp = f"{gdir}.tmp-{os.getpid()}"
+        edges = generators.rmat_dataset(scale=scale, edgefactor=edgefactor, seed=42)
         Graph.from_edges(
             edges, src="src", dst="dst", weight="weight",
-            directed=True, renumber=False, num_partitions=32, out_dir=gdir,
+            directed=True, renumber=False, num_partitions=32, out_dir=tmp,
         )
+        try:
+            os.rename(tmp, gdir)
+        except OSError:
+            pass  # another process won the race; use theirs
     g = Graph.load(gdir)
     eng = SuperstepEngine(g, num_workers=None)
     try:
@@ -231,6 +239,7 @@ def run_rmat_pagerank() -> dict:
         "value": round(dt, 3),
         "unit": "sec",
         "rmat_scale": scale,
+        "edgefactor": edgefactor,
         "iters": iters,
         "num_cpus": NUM_CPUS,
         "edges": g.num_edges,
