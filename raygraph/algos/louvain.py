@@ -87,6 +87,12 @@ def louvain(graph, max_levels: int = 10, max_inner: int = 20,
         comm = np.arange(V, dtype=np.int64)
         q_cur = _modularity(src, dst, w, comm, k, m2, resolution)
 
+        # local fast path: level edge arrays are already driver-resident
+        # (fetched above); below ~5M edges the per-sweep aggregate is faster
+        # as one numpy pass than as a round of Ray stages.  The distributed
+        # path is identical math over hash_aggregate for bigger levels.
+        local = len(src) <= 5_000_000
+
         improved_level = False
         for sweep in range(max_inner):
             sig = np.bincount(comm, weights=k, minlength=V)
@@ -107,8 +113,22 @@ def louvain(graph, max_levels: int = 10, max_inner: int = 20,
                     }
                 )
 
-            linked = level_edges.map_batches(attach, batch_format="pandas")
-            agg = hash_aggregate(linked, ["src", "cdst"], {"w": ("weight", "sum")})
+            if local:
+                keep = src != dst
+                sl, cdl, wl = src[keep], comm[dst[keep]], w[keep]
+                key = (sl.astype(np.int64) << np.int64(32)) | cdl
+                uk, inv = np.unique(key, return_inverse=True)
+                wv_l = np.bincount(inv, weights=wl, minlength=len(uk))
+                agg_df = pd.DataFrame(
+                    {
+                        "src": (uk >> np.int64(32)).astype(np.int64),
+                        "cdst": (uk & np.int64(0xFFFFFFFF)).astype(np.int64),
+                        "w": wv_l,
+                    }
+                )
+            else:
+                linked = level_edges.map_batches(attach, batch_format="pandas")
+                agg = hash_aggregate(linked, ["src", "cdst"], {"w": ("weight", "sum")})
 
             def best_move(df: pd.DataFrame) -> pd.DataFrame:
                 c = ray.get(cref)
@@ -153,15 +173,18 @@ def louvain(graph, max_levels: int = 10, max_inner: int = 20,
                 ).astype(np.int32)
                 return df
 
-            picked = (
-                agg.map_batches(tag, batch_format="pandas")
-                .groupby("__bk")
-                .map_groups(
-                    lambda g: best_move(g.drop(columns="__bk")),
-                    batch_format="pandas",
+            if local:
+                picked = best_move(agg_df)
+            else:
+                picked = (
+                    agg.map_batches(tag, batch_format="pandas")
+                    .groupby("__bk")
+                    .map_groups(
+                        lambda g: best_move(g.drop(columns="__bk")),
+                        batch_format="pandas",
+                    )
+                    .to_pandas()
                 )
-                .to_pandas()
-            )
 
             # alternate hash-parity half-sweeps: simultaneous pairwise swaps
             # (the synchronous-Louvain oscillation) cannot happen inside one
@@ -210,11 +233,26 @@ def louvain(graph, max_levels: int = 10, max_inner: int = 20,
                 }
             )
 
-        level_edges = hash_aggregate(
-            level_edges.map_batches(contract, batch_format="pandas"),
-            ["src", "dst"],
-            {"weight": ("weight", "sum")},
-        ).materialize()
+        if local:
+            cs, cd = dense[src], dense[dst]
+            key = (cs.astype(np.int64) << np.int64(32)) | cd
+            uk, inv = np.unique(key, return_inverse=True)
+            wsum = np.bincount(inv, weights=w, minlength=len(uk))
+            level_edges = rd.from_pandas(
+                pd.DataFrame(
+                    {
+                        "src": (uk >> np.int64(32)).astype(np.int64),
+                        "dst": (uk & np.int64(0xFFFFFFFF)).astype(np.int64),
+                        "weight": wsum,
+                    }
+                )
+            )
+        else:
+            level_edges = hash_aggregate(
+                level_edges.map_batches(contract, batch_format="pandas"),
+                ["src", "dst"],
+                {"weight": ("weight", "sum")},
+            ).materialize()
         if Vc == V:
             break
         V = Vc
