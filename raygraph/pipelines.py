@@ -716,6 +716,36 @@ def q_fingerprint(sf_dir: str):
     return text.fingerprint(docs)
 
 
+
+def q_core_number(sf_dir: str):
+    """Core numbers of the undirected ps graph (rows-only; exact peeling)."""
+    from raygraph.algos.cores import core_number
+
+    g = _build_graph_from_keys(ps_edges_str(sf_dir), directed=False, tag="core")
+    res = core_number(g)
+    return g.unrenumber(res, "vertex").map_batches(
+        lambda df: pd.DataFrame(
+            {"vertex_key": df["vertex"],
+             "core_number": df["core_number"].astype(np.int64)}
+        ),
+        batch_format="pandas",
+    )
+
+
+def q_neighbor_sample(sf_dir: str):
+    """Deterministic 2-hop uniform neighbor sample from the 5 lowest-id
+    part vertices (rows-only; seeded counter-stream RNG)."""
+    from raygraph.algos.sampling import uniform_neighbor_sample
+
+    g = _build_graph_from_keys(ps_edges_str(sf_dir), directed=False, tag="uns")
+    vmap = g.vmap_dataset().to_pandas()
+    starts = (
+        vmap[vmap["vertex_key"].str.startswith("part::")]
+        .sort_values("vertex_key")["vid"].head(5).to_numpy()
+    )
+    return uniform_neighbor_sample(g, starts, fanouts=[4, 2], seed=42)
+
+
 # ---------------------------------------------------------------------------
 # catalog
 
@@ -751,6 +781,8 @@ QUERIES = {
     "bfs": q_bfs,
     "sssp": q_sssp,
     "fingerprint": q_fingerprint,
+    "core_number": q_core_number,
+    "neighbor_sample": q_neighbor_sample,
 }
 
 ORACLES = {

@@ -1,0 +1,130 @@
+"""PropertyGraph, core number / k-core, and sampling tests."""
+
+import numpy as np
+import pandas as pd
+import pytest
+import ray.data as rd
+
+from raygraph.algos.cores import core_number, k_core
+from raygraph.algos.sampling import random_walks, uniform_neighbor_sample
+from raygraph.graph import Graph
+from raygraph.property_graph import PropertyGraph
+
+from tests import fixtures
+
+
+@pytest.fixture(scope="module")
+def karate(tmp_path_factory):
+    d = tmp_path_factory.mktemp("pcs")
+    return Graph.from_edges(
+        rd.from_pandas(fixtures.karate_df()),
+        src="src", dst="dst", weight="weight",
+        directed=False, renumber=False, num_partitions=4,
+        out_dir=str(d / "g"),
+    )
+
+
+# ---------------------------------------------------------------- property graph
+
+
+def test_property_graph_select_and_extract(tmp_path):
+    people = pd.DataFrame(
+        {"pid": [1, 2, 3], "age": [20, 35, 50], "city": ["a", "b", "a"]}
+    )
+    follows = pd.DataFrame(
+        {"from": [1, 2, 3, 1], "to": [2, 3, 1, 3], "since": [2019, 2021, 2020, 2022]}
+    )
+    pg = PropertyGraph()
+    pg.add_vertex_data(rd.from_pandas(people), vertex_col="pid", type_name="person")
+    pg.add_edge_data(rd.from_pandas(follows), src_col="from", dst_col="to",
+                     type_name="follows")
+    assert pg.vertex_types == ["person"] and pg.edge_types == ["follows"]
+
+    sel = pg.select_vertices("age > 30").to_pandas()
+    assert sorted(sel["pid"]) == [2, 3]
+    sel2 = pg.select_edges(lambda df: df["since"] >= 2021).to_pandas()
+    assert len(sel2) == 2
+
+    g = pg.extract_subgraph(edge_selector="since >= 2021", directed=True,
+                            out_dir=str(tmp_path / "pg"))
+    assert g.num_edges == 2
+    e = g.unrenumber(g.edges_dataset(), "src").to_pandas()
+    assert set(e["src"]) <= {"1", "2", "3"}
+
+
+# ---------------------------------------------------------------- cores
+
+
+def _brute_core(edges, V):
+    adj = [set() for _ in range(V)]
+    for u, v in edges:
+        if u != v:
+            adj[u].add(v)
+            adj[v].add(u)
+    core = np.zeros(V, dtype=int)
+    alive = set(range(V))
+    k = 0
+    cur = {v: len(adj[v]) for v in range(V)}
+    while alive:
+        k_min = min(cur[v] for v in alive)
+        k = max(k, k_min)
+        peel = [v for v in alive if cur[v] <= k]
+        while peel:
+            v = peel.pop()
+            if v not in alive:
+                continue
+            core[v] = k
+            alive.remove(v)
+            for u in adj[v]:
+                if u in alive:
+                    cur[u] -= 1
+                    if cur[u] <= k:
+                        peel.append(u)
+    return core
+
+
+def test_core_number_karate(karate):
+    got = core_number(karate).to_pandas().sort_values("vertex")["core_number"].to_numpy()
+    want = _brute_core(fixtures.KARATE_EDGES, fixtures.KARATE_V)
+    assert np.array_equal(got, want)
+
+
+def test_k_core_edges(karate):
+    cn = core_number(karate)
+    kc = k_core(karate, 4, core_numbers=cn).to_pandas()
+    cdf = cn.to_pandas().set_index("vertex")["core_number"]
+    assert (cdf[kc["src"]].to_numpy() >= 4).all()
+    assert (cdf[kc["dst"]].to_numpy() >= 4).all()
+    assert len(kc) > 0
+
+
+# ---------------------------------------------------------------- sampling
+
+
+def test_uniform_neighbor_sample(karate):
+    out = uniform_neighbor_sample(karate, [0, 33], fanouts=[3, 2], seed=7).to_pandas()
+    hop0 = out[out["hop"] == 0]
+    assert set(hop0["src"]) == {0, 33}
+    assert (hop0.groupby("src").size() <= 3).all()
+    # edges actually exist in the graph
+    eset = set(map(tuple, fixtures.karate_df()[["src", "dst"]].to_numpy()))
+    eset |= {(b, a) for a, b in eset}
+    for r in out.itertuples():
+        assert (r.src, r.dst) in eset
+    # deterministic
+    out2 = uniform_neighbor_sample(karate, [0, 33], fanouts=[3, 2], seed=7).to_pandas()
+    pd.testing.assert_frame_equal(
+        out.sort_values(["hop", "src", "dst"]).reset_index(drop=True),
+        out2.sort_values(["hop", "src", "dst"]).reset_index(drop=True),
+    )
+
+
+def test_random_walks(karate):
+    out = random_walks(karate, [0, 5, 33], max_length=4, seed=3).to_pandas()
+    for w in (0, 1, 2):
+        path = out[out["walker"] == w].sort_values("step")["vertex"].tolist()
+        assert len(path) == 4
+        eset = set(map(tuple, fixtures.karate_df()[["src", "dst"]].to_numpy()))
+        eset |= {(b, a) for a, b in eset}
+        for a, b in zip(path, path[1:]):
+            assert (a, b) in eset
