@@ -330,6 +330,43 @@ class Graph:
 
         return ds.map_batches(fn, batch_format="pandas")
 
+    # -- point lookups (test/REPL convenience — ``simpleGraph.py:928-1014``;
+    # each is a filtered scan, not meant for hot paths) --------------------
+    def has_node(self, vid: int) -> bool:
+        return 0 <= int(vid) < self.num_vertices
+
+    def has_edge(self, src: int, dst: int) -> bool:
+        import pyarrow.compute as pc
+
+        e = self.edges_dataset(columns=["src", "dst"])
+        n = e.map_batches(
+            lambda t: t.filter(
+                pc.and_(pc.equal(t.column("src"), int(src)),
+                        pc.equal(t.column("dst"), int(dst)))
+            ),
+            batch_format="pyarrow",
+        ).count()
+        return n > 0
+
+    def neighbors(self, vid: int) -> np.ndarray:
+        """Out-neighbors of ``vid`` (reads only vid's hash partition)."""
+        import pyarrow.dataset as pads
+
+        # int() before %: numpy uint64 % python int silently promotes to
+        # float64 and mangles the partition id
+        pdir = self.part_dir(int(hash_int64(np.array([vid]))[0]) % self.num_partitions)
+        if not os.path.isdir(pdir):
+            return np.empty(0, np.int64)
+        t = pads.dataset(pdir).to_table(columns=["src", "dst"])
+        s = t.column("src").to_numpy()
+        return np.unique(t.column("dst").to_numpy()[s == int(vid)])
+
+    def nodes(self):
+        return self.vertices_dataset()
+
+    def edges(self):
+        return self.edges_dataset()
+
     # -- persistence ------------------------------------------------------
     @staticmethod
     def load(base_dir: str) -> "Graph":

@@ -127,3 +127,21 @@ def test_from_edges_int_keys_no_renumber(tmp_path):
     )
     assert g.num_vertices == 6
     assert g.num_edges == 3
+
+
+def test_point_lookups(tmp_path):
+    g = Graph.from_edges(
+        rd.from_pandas(_edges_df()),
+        src="s", dst="d", weight="w",
+        directed=True, dedup="min", num_partitions=4,
+        out_dir=str(tmp_path / "pl"),
+    )
+    vmap = g.vmap_dataset().to_pandas()
+    k2v = dict(zip(vmap["vertex_key"], vmap["vid"]))
+    assert g.has_node(k2v["a"]) and not g.has_node(99)
+    assert g.has_edge(k2v["a"], k2v["b"])
+    assert not g.has_edge(k2v["b"], k2v["a"])
+    nb = g.neighbors(k2v["a"])
+    assert set(nb) == {k2v["b"], k2v["c"]}
+    assert g.nodes().count() == 4
+    assert g.edges().count() == 5
