@@ -45,8 +45,6 @@ def _tmpdir(tag: str) -> str:
 
 def ps_edges(sf_dir: str):
     """lineitem → deduped weighted edge table (src,dst,weight)."""
-    from ray.data.aggregate import Count
-
     rd = _rd()
     li = rd.read_parquet(
         os.path.join(sf_dir, "lineitem.parquet"), columns=["l_partkey", "l_suppkey"]
@@ -84,8 +82,6 @@ PS_EDGES_SQL = (
 
 def ps_edges_str(sf_dir: str):
     """Same edges with category-qualified string keys (for renumbered graphs)."""
-    from ray.data.aggregate import Count
-
     rd = _rd()
     li = rd.read_parquet(
         os.path.join(sf_dir, "lineitem.parquet"), columns=["l_partkey", "l_suppkey"]
@@ -178,8 +174,6 @@ def q_symmetrize(sf_dir: str):
 
 def q_degrees(sf_dir: str):
     """Degrees over the deduped directed ps edge table (endpoint vertices)."""
-    from ray.data.aggregate import Sum
-
     e = ps_edges(sf_dir)
 
     def partials(t: pa.Table) -> pa.Table:
@@ -301,8 +295,6 @@ def q_coarsen_brand(sf_dir: str):
 
 def q_hypergraph_events(sf_dir: str):
     """user↔event_type bipartite hypergraph edges with multiplicity weight."""
-    from ray.data.aggregate import Count
-
     rd = _rd()
     ev = rd.read_parquet(
         os.path.join(sf_dir, "events.parquet"), columns=["user_id", "event_type"]
