@@ -193,8 +193,8 @@ def run_rmat_pagerank() -> dict:
     """
     import ray
 
-    scale = int(os.environ.get("GRAFT_RMAT_SCALE", "18"))
-    edgefactor = int(os.environ.get("GRAFT_RMAT_EDGEFACTOR", "512"))
+    scale = int(os.environ.get("GRAFT_RMAT_SCALE", "23"))
+    edgefactor = int(os.environ.get("GRAFT_RMAT_EDGEFACTOR", "16"))
     iters = int(os.environ.get("GRAFT_RMAT_ITERS", "15"))
     ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
              ignore_reinit_error=True, logging_level="ERROR")

@@ -179,6 +179,12 @@ class PartitionWorker:
         np.add.at(ows, self.src_local, self.w)
         self.state["out_wsum"] = ows
         self.state["dangling"] = ows == 0.0
+        # per-edge coefficient w/out_wsum[src] is constant across supersteps
+        with np.errstate(divide="ignore", invalid="ignore"):
+            denom = ows[self.src_local]
+            self._pr_edge_coef = np.where(
+                denom > 0, self.w / np.where(denom > 0, denom, 1.0), 0.0
+            )
         if nstart is not None:
             vids, vals = nstart
             pr = np.zeros(self.n_owned)
@@ -206,10 +212,7 @@ class PartitionWorker:
         unvarying term themselves — the driver never sits between scatter
         and update (single barrier per superstep)."""
         pr = self.state["pr"]
-        ows = self.state["out_wsum"]
-        with np.errstate(divide="ignore", invalid="ignore"):
-            coef = np.where(ows > 0, pr / np.where(ows > 0, ows, 1.0), 0.0)
-        contrib = coef[self.src_local] * self.w
+        contrib = pr[self.src_local] * self._pr_edge_coef
         partial = np.bincount(self.dst_inverse, weights=contrib,
                               minlength=len(self.dst_unique))
         dangling_sum = float(pr[self.state["dangling"]].sum())
