@@ -66,12 +66,18 @@ class PartitionWorker:
     """
 
     def __init__(self, graph_dir: str, wid: int, num_workers: int,
-                 num_parts: int, num_vertices: int):
+                 num_parts: int, num_vertices: int, part2worker=None):
         self.wid = wid
         self.W = num_workers
         self.P = num_parts
         self.V = num_vertices
-        self.parts = [p for p in range(num_parts) if p % num_workers == wid]
+        # partition→worker assignment: edge-count-balanced (LPT) when the
+        # engine provides it, else round-robin — bounds the load of hot
+        # (high-degree-src) partitions without touching placement hashes
+        if part2worker is None:
+            part2worker = np.arange(num_parts, dtype=np.int64) % num_workers
+        self.part2worker = np.asarray(part2worker, dtype=np.int64)
+        self.parts = [p for p in range(num_parts) if self.part2worker[p] == wid]
 
         tables = []
         for p in self.parts:
@@ -100,7 +106,7 @@ class PartitionWorker:
         # dst message routing, precomputed once: unique dsts, inverse index,
         # and per-destination-worker slices
         self.dst_unique, self.dst_inverse = np.unique(self.dst, return_inverse=True)
-        ow = part_of_vertex(self.dst_unique, self.P) % self.W
+        ow = self.part2worker[part_of_vertex(self.dst_unique, self.P)]
         self.route = [np.flatnonzero(ow == q) for q in range(self.W)]
         # packed-message layout: one concatenated array + offsets instead of
         # W separate arrays per round (fewer plasma deserializes per receive)
@@ -196,7 +202,7 @@ class PartitionWorker:
         if personalization is not None:
             vids, vals = personalization
             pv = np.zeros(self.n_owned)
-            sel = part_of_vertex(np.asarray(vids, np.int64), self.P) % self.W == self.wid
+            sel = self.part2worker[part_of_vertex(np.asarray(vids, np.int64), self.P)] == self.wid
             idx = np.searchsorted(self.owned, np.asarray(vids, np.int64)[sel])
             pv[idx] = np.asarray(vals, np.float64)[sel]
             self.state["pers"] = pv
@@ -388,7 +394,7 @@ class PartitionWorker:
         packed = np.full(self.n_owned, self._UNREACHED, dtype=np.int64)
         active = np.zeros(self.n_owned, dtype=bool)
         srcs = np.asarray(sources, dtype=np.int64)
-        mine = srcs[part_of_vertex(srcs, self.P) % self.W == self.wid]
+        mine = srcs[self.part2worker[part_of_vertex(srcs, self.P)] == self.wid]
         idx = np.searchsorted(self.owned, mine)
         packed[idx] = (np.int64(0) << np.int64(32)) | mine  # dist 0, pred=self
         active[idx] = True
@@ -450,7 +456,7 @@ class PartitionWorker:
         pred = np.full(self.n_owned, -1, dtype=np.int64)
         active = np.zeros(self.n_owned, dtype=bool)
         srcs = np.asarray(sources, dtype=np.int64)
-        mine = srcs[part_of_vertex(srcs, self.P) % self.W == self.wid]
+        mine = srcs[self.part2worker[part_of_vertex(srcs, self.P)] == self.wid]
         idx = np.searchsorted(self.owned, mine)
         dist[idx] = 0.0
         active[idx] = True
@@ -475,7 +481,7 @@ class PartitionWorker:
             di_f = di_s[first]
             nd_f = nd[order][first]
             pr_f = self.src[emask][order][first]
-            ow = part_of_vertex(self.dst_unique[di_f], self.P) % self.W
+            ow = self.part2worker[part_of_vertex(self.dst_unique[di_f], self.P)]
             for q in range(self.W):
                 sel = np.flatnonzero(ow == q)
                 m = (self.dst_unique[di_f[sel]], nd_f[sel], pr_f[sel])
@@ -529,7 +535,7 @@ class PartitionWorker:
         wsum = np.bincount(inv, weights=self.w, minlength=len(uk))
         di = (uk >> np.int64(32)).astype(np.int64)
         lab = (uk & np.int64(0xFFFFFFFF)).astype(np.int64)
-        ow = part_of_vertex(self.dst_unique[di], self.P) % self.W
+        ow = self.part2worker[part_of_vertex(self.dst_unique[di], self.P)]
         out = []
         rows_out = bytes_out = 0
         for q in range(self.W):
@@ -586,13 +592,39 @@ class SuperstepEngine:
         self.W = num_workers
         self.checkpoint_dir = checkpoint_dir
         self.checkpoint_every = max(1, checkpoint_every)
+        self.part2worker = self._balanced_assignment(graph, P, self.W)
         self.workers = [
             PartitionWorker.options(num_cpus=1).remote(
-                graph.base_dir, wid, self.W, P, graph.num_vertices
+                graph.base_dir, wid, self.W, P, graph.num_vertices,
+                part2worker=self.part2worker,
             )
             for wid in range(self.W)
         ]
         ray.get([w.info.remote() for w in self.workers])
+
+    @staticmethod
+    def _balanced_assignment(graph, P: int, W: int) -> np.ndarray:
+        """LPT partition→worker assignment by edge count (parquet metadata
+        only — no data read).  Mirrors the intent of the reference's
+        degree-segment balancing (``graph_view.hpp:258-263``): a hot
+        partition (skewed high-out-degree src) lands alone on a worker
+        instead of stacking with P/W round-robin siblings.  Deterministic;
+        checkpoints stay partition-keyed so resume is unaffected."""
+        import pyarrow.dataset as pads
+
+        sizes = np.zeros(P, dtype=np.int64)
+        for p in range(P):
+            pdir = os.path.join(graph.base_dir, "edges", f"part={p}")
+            if os.path.isdir(pdir):
+                sizes[p] = pads.dataset(pdir).count_rows()
+        order = np.argsort(-sizes, kind="stable")
+        load = np.zeros(W, dtype=np.int64)
+        assign = np.zeros(P, dtype=np.int64)
+        for p in order:
+            w = int(np.argmin(load))
+            assign[p] = w
+            load[w] += sizes[p]
+        return assign
 
     # -- checkpoint plumbing ---------------------------------------------
     def _lineage_path(self):

@@ -78,3 +78,45 @@ def test_pagerank_on_rmat_skewed(tmp_path):
     assert abs(a.sum() - 1.0) < 1e-8
     # hubs exist and get large mass (skew actually present)
     assert a.max() > 20 * np.median(a[a > 0])
+
+
+def test_lpt_assignment_balances_hot_partitions(tmp_path):
+    """M7: a hot-src partition must not stack with siblings on one worker."""
+    import pandas as pd
+
+    from raygraph.superstep import SuperstepEngine
+
+    # one vertex with 8000 out-edges (one hot partition), plus a light ring
+    hot = pd.DataFrame({"src": np.zeros(8000, np.int64),
+                        "dst": np.arange(1, 8001), "weight": np.ones(8000)})
+    ring = pd.DataFrame({"src": np.arange(1, 8001),
+                         "dst": np.roll(np.arange(1, 8001), 1),
+                         "weight": np.ones(8000)})
+    df = pd.concat([hot, ring], ignore_index=True)
+    g = Graph.from_edges(
+        rd.from_pandas(df), src="src", dst="dst", weight="weight",
+        directed=True, renumber=False, num_partitions=8,
+        out_dir=str(tmp_path / "hotg"),
+    )
+    import ray
+
+    eng = SuperstepEngine(g, num_workers=4)
+    try:
+        infos = ray.get([w.info.remote() for w in eng.workers])
+        loads = sorted(i["edges"] for i in infos)
+        # the heaviest worker carries the hot partition but not much more;
+        # round-robin (p % W) would give ~8000 + 2000 to one worker
+        assert loads[-1] <= 8000 + 2500
+        assert sum(loads) == g.num_edges
+        # correctness unchanged under the balanced assignment
+        from raygraph.algos import pagerank as _pr  # noqa: F401
+    finally:
+        eng.shutdown()
+
+    from raygraph.algos import pagerank
+
+    a = pagerank(g, tol=1e-8, max_iter=200, num_workers=4).to_pandas()
+    b = pagerank(g, tol=1e-8, max_iter=200, num_workers=2).to_pandas()
+    av = a.sort_values("vertex")["pagerank"].to_numpy()
+    bv = b.sort_values("vertex")["pagerank"].to_numpy()
+    assert np.allclose(av, bv, atol=1e-10)
