@@ -82,3 +82,21 @@ def test_wcc_resume(tmp_path):
         weakly_connected_components(g, checkpoint_dir=ckpt, resume=True), "labels"
     )
     assert np.array_equal(full, resumed)
+
+
+def test_checkpoint_every_sparse_cadence(tmp_path):
+    """checkpoint_every=3 writes every 3rd superstep; resume starts from the
+    latest complete one and still converges to the same scores."""
+    g = _build(tmp_path, "g4")
+    full = _vec(pagerank(g, tol=1e-8, max_iter=300), "pagerank")
+    ckpt = str(tmp_path / "ckpt4")
+    with pytest.raises(ConvergenceError):
+        pagerank(g, tol=1e-8, max_iter=8, checkpoint_dir=ckpt, checkpoint_every=3)
+    lineage = [json.loads(l) for l in open(tmp_path / "ckpt4" / "lineage.jsonl")]
+    assert [r["iteration"] for r in lineage] == [0, 3, 6]
+    resumed = _vec(
+        pagerank(g, tol=1e-8, max_iter=300, checkpoint_dir=ckpt, resume=True,
+                 checkpoint_every=3),
+        "pagerank",
+    )
+    assert np.allclose(full, resumed, atol=1e-10)
