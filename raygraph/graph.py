@@ -273,7 +273,17 @@ class Graph:
 
     @property
     def num_edges(self) -> int:
+        """STORED directed edge rows (an undirected graph stores both
+        directions, so this is 2× the logical edge count — it is the right
+        figure for per-iteration traversal rates).  For the reference's
+        ``number_of_edges()`` convention use :meth:`number_of_edges`."""
         return self.meta["num_edges"]
+
+    def number_of_edges(self) -> int:
+        """Logical edge count, cuGraph convention (``graph_classes.py``):
+        each undirected edge counted once."""
+        e = self.meta["num_edges"]
+        return e if self.directed else e // 2
 
     @property
     def num_partitions(self) -> int:
@@ -309,26 +319,46 @@ class Graph:
             batch_format="pyarrow",
         )
 
-    def unrenumber(self, ds, col: str):
+    def unrenumber(self, ds, col: str,
+                   broadcast_limit: int = DEFAULT_BROADCAST_LIMIT):
         """Map internal vids in ``ds[col]`` back to external keys.
 
         ``graph_classes.py:412-451`` — inverse of the renumber translate.
+        Small maps broadcast once (``ray.put`` + searchsorted); past
+        ``broadcast_limit`` vertices it falls back to a bucketed hash join
+        (same size switch as ``translate_edges``) so the driver never holds
+        the vmap.
         """
         if not self.renumbered:
             return ds
-        vdf = self.vmap_dataset().to_pandas().sort_values("vid")
-        import ray
+        if self.num_vertices <= broadcast_limit:
+            vdf = self.vmap_dataset().to_pandas().sort_values("vid")
+            import ray
 
-        ref = ray.put((vdf["vid"].to_numpy(), vdf["vertex_key"].to_numpy()))
+            ref = ray.put((vdf["vid"].to_numpy(), vdf["vertex_key"].to_numpy()))
 
-        def fn(df: pd.DataFrame) -> pd.DataFrame:
-            karr, varr = ray.get(ref)
-            pos = np.searchsorted(karr, df[col].to_numpy())
+            def fn(df: pd.DataFrame) -> pd.DataFrame:
+                karr, varr = ray.get(ref)
+                pos = np.searchsorted(karr, df[col].to_numpy())
+                df = df.copy()
+                df[col] = varr[pos]
+                return df
+
+            return ds.map_batches(fn, batch_format="pandas")
+
+        # large-map path: one bucketed hash join on the vid column
+        vm = self.vmap_dataset().map_batches(
+            lambda df: df.rename(columns={"vid": col, "vertex_key": "__ext"}),
+            batch_format="pandas",
+        )
+        joined = joins.hash_join(ds, vm, on=col)
+
+        def swap(df: pd.DataFrame) -> pd.DataFrame:
             df = df.copy()
-            df[col] = varr[pos]
-            return df
+            df[col] = df["__ext"]
+            return df.drop(columns="__ext")
 
-        return ds.map_batches(fn, batch_format="pandas")
+        return joined.map_batches(swap, batch_format="pandas")
 
     # -- point lookups (test/REPL convenience — ``simpleGraph.py:928-1014``;
     # each is a filtered scan, not meant for hot paths) --------------------
@@ -404,6 +434,13 @@ class Graph:
         os.makedirs(out_dir, exist_ok=True)
 
         ds = normalize_edges(edges_ds, src=src, dst=dst, weight=weight)
+        # Execute the upstream edge-derivation lineage exactly ONCE.  Both
+        # build_vertex_map and translate_edges consume the normalized edges;
+        # without this the whole derivation (corpus read, regex extraction,
+        # joins) runs twice.  The normalized table is 3 narrow columns —
+        # small relative to the source corpus — and materialize() keeps it
+        # as spillable object-store blocks, so this stays streaming-safe.
+        ds = ds.materialize()
 
         if renumber:
             # detect key type from schema

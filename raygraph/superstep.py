@@ -125,8 +125,16 @@ class PartitionWorker:
         self._pos_cache: dict[int, np.ndarray] = {}
 
     def _recv_pos(self, sender: int, vids: np.ndarray) -> np.ndarray:
+        # cache is only valid for the static packed-layout paths (pagerank /
+        # spmv), whose vid sets never change; verify cheaply (length + ends)
+        # so a dynamic-routing caller can't pick up stale positions
         pos = self._pos_cache.get(sender)
-        if pos is None or len(pos) != len(vids):
+        if (
+            pos is None
+            or len(pos) != len(vids)
+            or (len(vids) and (self.owned[pos[0]] != vids[0]
+                               or self.owned[pos[-1]] != vids[-1]))
+        ):
             pos = np.searchsorted(self.owned, vids)
             self._pos_cache[sender] = pos
         return pos
@@ -193,9 +201,15 @@ class PartitionWorker:
             )
         if nstart is not None:
             vids, vals = nstart
+            vids = np.asarray(vids, np.int64)
+            vals = np.asarray(vals, np.float64)
             pr = np.zeros(self.n_owned)
-            idx = np.searchsorted(self.owned, vids)
-            pr[idx] = vals
+            # keep only vids this worker owns (same filter as the
+            # personalization branch below) — unfiltered searchsorted either
+            # raises or silently warm-starts the wrong vertices
+            sel = self.part2worker[part_of_vertex(vids, self.P)] == self.wid
+            idx = np.searchsorted(self.owned, vids[sel])
+            pr[idx] = vals[sel]
             self.state["pr"] = pr
         else:
             self.state["pr"] = np.full(self.n_owned, 1.0 / self.V)
@@ -391,6 +405,11 @@ class PartitionWorker:
     _UNREACHED = np.iinfo(np.int64).max
 
     def bfs_init(self, sources):
+        if self.V >= 2 ** 32:
+            raise NotImplementedError(
+                "BFS packs (dist<<32 | pred) into one int64; V >= 2^32 needs "
+                "the two-pass lexsort path (not yet implemented)"
+            )
         packed = np.full(self.n_owned, self._UNREACHED, dtype=np.int64)
         active = np.zeros(self.n_owned, dtype=bool)
         srcs = np.asarray(sources, dtype=np.int64)
@@ -523,6 +542,11 @@ class PartitionWorker:
     # contract: SURVEY.md §2.4 (absent in reference; kin weak_cc.cuh:60-130
     # and Louvain's assign step louvain_impl.cuh:119-139)
     def lpa_init(self):
+        if self.V >= 2 ** 32:
+            raise NotImplementedError(
+                "LPA packs (dst<<32 | label) into one int64; V >= 2^32 needs "
+                "the two-pass lexsort path (not yet implemented)"
+            )
         self.state["labels"] = self.owned.copy()
 
     def lpa_scatter(self):

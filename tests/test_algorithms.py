@@ -85,6 +85,25 @@ def test_pagerank_personalization(tmp_path):
     assert np.allclose(got, want, atol=1e-6)
 
 
+def test_pagerank_nstart_multiworker_warm_start(tmp_path):
+    # regression: nstart vids must be filtered to each worker's owned set —
+    # with >1 worker an unfiltered searchsorted raised IndexError or warm-
+    # started the wrong vertices (ADVICE r1, superstep.py pagerank_init)
+    g = build(fixtures.karate_df(), False, tmp_path, "kns")
+    cold = pagerank(g, tol=1e-8, max_iter=300, num_workers=2).to_pandas()
+    warm = pr_vec(
+        pagerank(
+            g, tol=1e-8, max_iter=300, num_workers=2,
+            nstart=(cold["vertex"].to_numpy(), cold["pagerank"].to_numpy()),
+        ),
+        fixtures.KARATE_V,
+    )
+    want = oracles.ref_pagerank(
+        fixtures.karate_sym_arrays(), fixtures.KARATE_V, tol=1e-8, max_iter=300
+    )
+    assert np.allclose(warm, want, atol=1e-6)
+
+
 def test_pagerank_raises_without_convergence(tmp_path):
     g = build(fixtures.karate_df(), False, tmp_path, "kfail")
     with pytest.raises(ConvergenceError):

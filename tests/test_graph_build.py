@@ -116,6 +116,14 @@ def test_unrenumber_roundtrip(tmp_path):
     res = rd.from_pandas(pd.DataFrame({"vertex": [0, 1, 2, 3], "score": [0.1, 0.2, 0.3, 0.4]}))
     back = g.unrenumber(res, "vertex").to_pandas()
     assert sorted(back["vertex"]) == ["a", "b", "c", "d"]
+    # forced join fallback (broadcast_limit=0) must match the broadcast path
+    back2 = (
+        g.unrenumber(res, "vertex", broadcast_limit=0)
+        .to_pandas()
+        .sort_values("vertex")
+        .reset_index(drop=True)
+    )
+    assert back2.equals(back.sort_values("vertex").reset_index(drop=True))
 
 
 def test_from_edges_int_keys_no_renumber(tmp_path):
