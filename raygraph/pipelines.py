@@ -665,12 +665,33 @@ def q_hits(sf_dir: str):
     )
 
 
+def _min_key_vid(g) -> int:
+    """Internal vid of the globally-minimum external key — per-batch partial
+    mins, tiny driver merge (never materializes the vmap)."""
+    part = g.vmap_dataset().map_batches(
+        lambda df: df.sort_values("vertex_key").head(1), batch_format="pandas"
+    ).to_pandas()
+    return int(part.sort_values("vertex_key").iloc[0]["vid"])
+
+
+def _w3_subgraph(sf_dir: str, tag: str):
+    """Undirected graph over the weight≥3 ps subgraph (the same sparse
+    subgraph the wcc oracle uses — keeps recursive-CTE oracles tractable)."""
+    edges = ps_edges_str(sf_dir).map_batches(
+        lambda df: df[df["weight"] >= 3.0], batch_format="pandas"
+    )
+    return _build_graph_from_keys(edges, directed=False, tag=tag)
+
+
 def q_bfs(sf_dir: str):
-    """BFS distances/predecessors from internal vid 0 (rows-only)."""
+    """BFS distances from the min external key on the weight≥3 subgraph.
+
+    Driver hash-checked vs a distance-bounded recursive-CTE frontier walk
+    (unreached vertices report −1, the cuGraph convention)."""
     from raygraph.algos.traversal import bfs
 
-    g = _build_graph_from_keys(ps_edges_str(sf_dir), directed=False, tag="bfs")
-    res = bfs(g, 0)
+    g = _w3_subgraph(sf_dir, "bfs")
+    res = bfs(g, _min_key_vid(g))
     return g.unrenumber(res, "vertex").map_batches(
         lambda df: pd.DataFrame(
             {
@@ -683,15 +704,22 @@ def q_bfs(sf_dir: str):
 
 
 def q_sssp(sf_dir: str):
+    """Weighted SSSP from the min external key on the weight≥3 subgraph.
+
+    Edge weights are the (integer) duplicate counts, so the recursive-CTE
+    oracle's (vertex, dist) pair space stays finite; unreached → −1."""
     from raygraph.algos.traversal import sssp
 
-    g = _build_graph_from_keys(ps_edges_str(sf_dir), directed=False, tag="sssp")
-    res = sssp(g, 0)
+    g = _w3_subgraph(sf_dir, "sssp")
+    res = sssp(g, _min_key_vid(g))
     return g.unrenumber(res, "vertex").map_batches(
         lambda df: pd.DataFrame(
             {
                 "vertex_key": df["vertex"],
-                "distance": df["distance"].astype(np.float64),
+                "distance": np.where(
+                    np.isinf(df["distance"].to_numpy()), -1.0,
+                    df["distance"].to_numpy(),
+                ),
             }
         ),
         batch_format="pandas",
@@ -719,6 +747,132 @@ def q_core_number(sf_dir: str):
         lambda df: pd.DataFrame(
             {"vertex_key": df["vertex"],
              "core_number": df["core_number"].astype(np.int64)}
+        ),
+        batch_format="pandas",
+    )
+
+
+def q_eigenvector(sf_dir: str):
+    """Eigenvector centrality on the tripartite hyper graph (rows-only;
+    pinned by pytest vs a dense power-iteration oracle).  The hyper graph
+    is non-bipartite (p–s–o triangles), so power iteration converges — the
+    bipartite ps graph oscillates between the ±λ eigenpair."""
+    from raygraph.algos.centrality import eigenvector_centrality
+
+    g = _build_graph_from_keys(hyper_edges(sf_dir), directed=False, tag="eig")
+    res = eigenvector_centrality(g, tol=1e-6, max_iter=500)
+    return g.unrenumber(res, "vertex").map_batches(
+        lambda df: pd.DataFrame(
+            {
+                "vertex_key": df["vertex"],
+                "eigenvector_centrality": df["eigenvector_centrality"],
+            }
+        ),
+        batch_format="pandas",
+    )
+
+
+def q_random_walks(sf_dir: str):
+    """Seeded uniform random walks from the 5 lowest part keys (rows-only;
+    determinism pinned by pytest)."""
+    from raygraph.algos.sampling import random_walks
+
+    g = _w3_subgraph(sf_dir, "rw")
+    vmap_part = g.vmap_dataset().map_batches(
+        lambda df: df[df["vertex_key"].str.startswith("part::")]
+        .sort_values("vertex_key").head(5),
+        batch_format="pandas",
+    ).to_pandas().sort_values("vertex_key").head(5)
+    starts = vmap_part["vid"].to_numpy(np.int64)
+    walks = random_walks(g, starts, max_length=4, seed=42)
+    return g.unrenumber(walks, "vertex").map_batches(
+        lambda df: pd.DataFrame(
+            {
+                "walker": df["walker"].astype(np.int64),
+                "step": df["step"].astype(np.int64),
+                "vertex_key": df["vertex"],
+            }
+        ),
+        batch_format="pandas",
+    )
+
+
+def q_k_core(sf_dir: str):
+    """Edges of the 2-core of the weight≥3 subgraph (rows-only; exact
+    peeling pinned by pytest)."""
+    from raygraph.algos.cores import k_core
+
+    g = _w3_subgraph(sf_dir, "kcore")
+    e = k_core(g, k=2)
+    e = g.unrenumber(e, "src")
+    e = g.unrenumber(e, "dst")
+    return e.map_batches(
+        lambda df: pd.DataFrame(
+            {
+                "src_key": df["src"],
+                "dst_key": df["dst"],
+                "weight": df["weight"].astype(np.float64),
+            }
+        ),
+        batch_format="pandas",
+    )
+
+
+def q_property_extract(sf_dir: str):
+    """PropertyGraph select+extract: two typed edge tables (orders
+    cust→ord, lineitem ord→part) filtered by a per-type selector, projected
+    to a Graph, edge table returned with external keys.  Hash-checked."""
+    from raygraph.property_graph import PropertyGraph
+
+    rd = _rd()
+    orders = rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_custkey", "o_orderkey", "o_totalprice"],
+    ).map_batches(
+        lambda df: pd.DataFrame(
+            {
+                "cust": "cust::" + df["o_custkey"].astype(str),
+                "ord": "ord::" + df["o_orderkey"].astype(str),
+                "o_totalprice": df["o_totalprice"],
+            }
+        ),
+        batch_format="pandas",
+    )
+    li = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_partkey", "l_quantity"],
+    ).map_batches(
+        lambda df: pd.DataFrame(
+            {
+                "ord": "ord::" + df["l_orderkey"].astype(str),
+                "prt": "part::" + df["l_partkey"].astype(str),
+                "l_quantity": df["l_quantity"],
+            }
+        ),
+        batch_format="pandas",
+    )
+    pg = PropertyGraph()
+    pg.add_edge_data(orders, src_col="cust", dst_col="ord", type_name="placed")
+    pg.add_edge_data(li, src_col="ord", dst_col="prt", type_name="contains")
+
+    def sel(df: pd.DataFrame):
+        if "l_quantity" in df.columns:
+            return df["l_quantity"] >= 30
+        return df["o_totalprice"] > 50_000
+
+    g = pg.extract_subgraph(
+        edge_selector=sel, directed=True, dedup="sum",
+        num_partitions=8, out_dir=_tmpdir("pextract"),
+    )
+    e = g.unrenumber(g.edges_dataset(), "src")
+    e = g.unrenumber(e, "dst")
+    return e.map_batches(
+        lambda df: pd.DataFrame(
+            {
+                "src_key": df["src"],
+                "dst_key": df["dst"],
+                "weight": df["weight"].astype(np.float64),
+            }
         ),
         batch_format="pandas",
     )
@@ -775,6 +929,10 @@ QUERIES = {
     "fingerprint": q_fingerprint,
     "core_number": q_core_number,
     "neighbor_sample": q_neighbor_sample,
+    "eigenvector": q_eigenvector,
+    "random_walks": q_random_walks,
+    "k_core": q_k_core,
+    "property_extract": q_property_extract,
 }
 
 ORACLES = {
@@ -861,6 +1019,56 @@ corners AS (SELECT a AS vertex_key FROM tri
 cnt AS (SELECT vertex_key, COUNT(*) AS counts FROM corners GROUP BY 1)
 SELECT d.v AS vertex_key, CAST(COALESCE(cnt.counts, 0) AS BIGINT) AS counts
 FROM deg d LEFT JOIN cnt ON cnt.vertex_key = d.v
+""",
+    "bfs": """
+WITH RECURSIVE
+e AS (SELECT 'part::' || l_partkey AS src, 'supp::' || l_suppkey AS dst
+      FROM lineitem GROUP BY 1, 2 HAVING COUNT(*) >= 3),
+sym AS MATERIALIZED (SELECT src, dst FROM e UNION SELECT dst, src FROM e),
+v AS (SELECT src AS vertex FROM sym GROUP BY 1),
+s AS (SELECT MIN(vertex) AS sv FROM v),
+walk(vertex, dist) AS (
+    SELECT sv, 0 FROM s
+    UNION
+    SELECT sy.dst, w.dist + 1 FROM walk w JOIN sym sy ON sy.src = w.vertex
+    WHERE w.dist < 64
+),
+md AS (SELECT vertex, MIN(dist) AS d FROM walk GROUP BY 1)
+SELECT v.vertex AS vertex_key,
+       CAST(COALESCE(md.d, -1) AS BIGINT) AS distance
+FROM v LEFT JOIN md ON md.vertex = v.vertex
+""",
+    "sssp": """
+WITH RECURSIVE
+e AS (SELECT 'part::' || l_partkey AS src, 'supp::' || l_suppkey AS dst,
+             CAST(COUNT(*) AS BIGINT) AS w
+      FROM lineitem GROUP BY 1, 2 HAVING COUNT(*) >= 3),
+sym AS MATERIALIZED (SELECT src, dst, MIN(w) AS w FROM
+        (SELECT src, dst, w FROM e UNION ALL SELECT dst, src, w FROM e)
+        GROUP BY 1, 2),
+v AS (SELECT src AS vertex FROM sym GROUP BY 1),
+s AS (SELECT MIN(vertex) AS sv FROM v),
+walk(vertex, dist) AS (
+    SELECT sv, CAST(0 AS BIGINT) FROM s
+    UNION
+    SELECT sy.dst, w.dist + sy.w FROM walk w JOIN sym sy ON sy.src = w.vertex
+    WHERE w.dist < 512
+),
+md AS (SELECT vertex, MIN(dist) AS d FROM walk GROUP BY 1)
+SELECT v.vertex AS vertex_key,
+       CAST(COALESCE(md.d, -1) AS DOUBLE) AS distance
+FROM v LEFT JOIN md ON md.vertex = v.vertex
+""",
+    "property_extract": """
+WITH e AS (
+  SELECT 'cust::' || o_custkey AS src_key, 'ord::' || o_orderkey AS dst_key
+  FROM orders WHERE o_totalprice > 50000
+  UNION ALL
+  SELECT 'ord::' || l_orderkey, 'part::' || l_partkey
+  FROM lineitem WHERE l_quantity >= 30
+)
+SELECT src_key, dst_key, CAST(COUNT(*) AS DOUBLE) AS weight
+FROM e GROUP BY 1, 2
 """,
     "exact_dedup": """
 SELECT MIN(doc_id) AS doc_id, CAST(COUNT(*) AS BIGINT) AS n_copies
