@@ -18,10 +18,15 @@ reduction — exactly our combiner + bucketed aggregate):
 * coarsen: relabel + combine parallel edges summing weights
   (``coarsen_graph_impl.cuh`` semantics via ops.coarsen's pattern).
 
-Vertex-sized state (community array, degrees, community totals) is
-broadcast via ``ray.put`` — the per-level V shrinks geometrically; the
-first level's V-sized arrays are the same broadcast-limit trade documented
-for renumbering (swap for hash joins beyond ~2e7 vertices).
+Scale contract: the driver (and each broadcast) holds only **V-sized**
+state — community array, weighted degrees, community totals, the contract
+relabel map.  Edge-sized data never leaves the cluster on the distributed
+path: weighted degrees come from per-batch compact partials streamed into a
+V-sized accumulator, and modularity is a distributed scalar sum (per-batch
+internal-weight partials) plus a V-sized driver reduction for the Σ_tot²
+term.  Levels with ≤ ``local_edge_limit`` edges (default 5M) drop to a
+driver-local numpy fast path — identical math, just fewer Ray rounds; pass
+``local_edge_limit=0`` to force the distributed path everywhere.
 """
 
 from __future__ import annotations
@@ -30,6 +35,7 @@ from typing import Optional
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 
 
 def _edge_arrays(edges_ds):
@@ -41,19 +47,57 @@ def _edge_arrays(edges_ds):
     )
 
 
-def _modularity(src, dst, w, comm, k, m2, resolution):
+def _modularity_local(src, dst, w, comm, k, m2, resolution):
     internal = w[comm[src] == comm[dst]].sum()  # both directions counted
-    sig = np.bincount(comm, weights=k, minlength=comm.max() + 1)
+    sig = np.bincount(comm, weights=k, minlength=int(comm.max()) + 1)
+    return internal / m2 - resolution * float((sig / m2) @ (sig / m2))
+
+
+def _distributed_degrees(edges_ds, V: int) -> np.ndarray:
+    """Weighted out-degrees as a V-sized array: per-batch compact
+    (vertex, k) partials streamed into a driver accumulator — the edge list
+    itself never lands on the driver."""
+    def partials(t: pa.Table) -> pa.Table:
+        s = t.column("src").to_numpy()
+        w = t.column("weight").to_numpy()
+        uv, inv = np.unique(s, return_inverse=True)
+        return pa.table({"vertex": uv, "k": np.bincount(inv, weights=w)})
+
+    k = np.zeros(V, dtype=np.float64)
+    p = edges_ds.map_batches(partials, batch_format="pyarrow")
+    for b in p.iter_batches(batch_format="pyarrow"):
+        np.add.at(k, b.column("vertex").to_numpy(), b.column("k").to_numpy())
+    return k
+
+
+def _distributed_modularity(edges_ds, comm_ref, comm, k, m2, resolution):
+    """Q = internal/m2 − res·Σ(Σ_tot/m2)²; internal is a distributed scalar
+    sum (per-batch partials), Σ_tot a V-sized driver bincount."""
+    import ray
+
+    def internal_partial(t: pa.Table) -> pa.Table:
+        c = ray.get(comm_ref)
+        s = t.column("src").to_numpy()
+        d = t.column("dst").to_numpy()
+        w = t.column("weight").to_numpy()
+        return pa.table({"internal": [float(w[c[s] == c[d]].sum())]})
+
+    internal = float(
+        edges_ds.map_batches(internal_partial, batch_format="pyarrow").sum("internal")
+    )
+    sig = np.bincount(comm, weights=k, minlength=int(comm.max()) + 1)
     return internal / m2 - resolution * float((sig / m2) @ (sig / m2))
 
 
 def louvain(graph, max_levels: int = 10, max_inner: int = 20,
             resolution: float = 1.0, min_gain: float = 1e-9,
-            broadcast_limit: int = 20_000_000):
+            local_edge_limit: int = 5_000_000):
     """Returns (Dataset (vertex, partition), modularity: float).
 
     Requires an undirected (symmetrized) simple graph, like the reference
-    (``louvain.py`` asserts undirected input).
+    (``louvain.py`` asserts undirected input).  Driver memory is O(V)
+    (community / degree / relabel arrays); edge-sized data stays
+    distributed unless a level has ≤ ``local_edge_limit`` edges.
     """
     import ray
     import ray.data as rd
@@ -63,14 +107,11 @@ def louvain(graph, max_levels: int = 10, max_inner: int = 20,
     if graph.directed:
         raise ValueError("louvain requires an undirected graph (directed=False)")
     V0 = graph.num_vertices
-    if V0 > broadcast_limit:
-        raise NotImplementedError("join-based louvain path not wired; V too large")
 
     edges_ds = graph.edges_dataset(columns=["src", "dst", "weight"])
-    # level-0 edge arrays stay in Dataset form for the sweeps; the driver
-    # keeps only V-sized state.
     assign0 = np.arange(V0, dtype=np.int64)  # original vertex → current comm
     level_edges = edges_ds
+    E_level = graph.num_edges
     V = V0
 
     # m2 = Σ_directed w = 2m (graph stores both directions)
@@ -82,16 +123,20 @@ def louvain(graph, max_levels: int = 10, max_inner: int = 20,
 
     final_modularity = 0.0
     for level in range(max_levels):
-        src, dst, w = _edge_arrays(level_edges)  # level graphs shrink fast
-        k = np.bincount(src, weights=w, minlength=V)  # weighted degrees
+        local = E_level <= local_edge_limit
+        if local:
+            src, dst, w = _edge_arrays(level_edges)
+            k = np.bincount(src, weights=w, minlength=V)
+        else:
+            src = dst = w = None
+            k = _distributed_degrees(level_edges, V)
         comm = np.arange(V, dtype=np.int64)
-        q_cur = _modularity(src, dst, w, comm, k, m2, resolution)
-
-        # local fast path: level edge arrays are already driver-resident
-        # (fetched above); below ~5M edges the per-sweep aggregate is faster
-        # as one numpy pass than as a round of Ray stages.  The distributed
-        # path is identical math over hash_aggregate for bigger levels.
-        local = len(src) <= 5_000_000
+        if local:
+            q_cur = _modularity_local(src, dst, w, comm, k, m2, resolution)
+        else:
+            q_cur = _distributed_modularity(
+                level_edges, ray.put(comm), comm, k, m2, resolution
+            )
 
         improved_level = False
         for sweep in range(max_inner):
@@ -183,7 +228,7 @@ def louvain(graph, max_levels: int = 10, max_inner: int = 20,
                         lambda g: best_move(g.drop(columns="__bk")),
                         batch_format="pandas",
                     )
-                    .to_pandas()
+                    .to_pandas()  # ≤ V rows (one candidate move per vertex)
                 )
 
             # alternate hash-parity half-sweeps: simultaneous pairwise swaps
@@ -202,7 +247,12 @@ def louvain(graph, max_levels: int = 10, max_inner: int = 20,
             new_comm[movers[sel]] = picked["best"].to_numpy(np.int64)[sel]
             if np.array_equal(new_comm, comm):
                 break
-            q_new = _modularity(src, dst, w, new_comm, k, m2, resolution)
+            if local:
+                q_new = _modularity_local(src, dst, w, new_comm, k, m2, resolution)
+            else:
+                q_new = _distributed_modularity(
+                    level_edges, ray.put(new_comm), new_comm, k, m2, resolution
+                )
             if q_new <= q_cur + min_gain:
                 if sweep % 2 == 1:
                     break  # both parity classes exhausted
@@ -247,12 +297,14 @@ def louvain(graph, max_levels: int = 10, max_inner: int = 20,
                     }
                 )
             )
+            E_level = len(uk)
         else:
             level_edges = hash_aggregate(
                 level_edges.map_batches(contract, batch_format="pandas"),
                 ["src", "dst"],
                 {"weight": ("weight", "sum")},
             ).materialize()
+            E_level = level_edges.count()  # materialized → metadata only
         if Vc == V:
             break
         V = Vc

@@ -66,6 +66,21 @@ def test_louvain_two_cliques(tmp_path):
     assert q > 0.4
 
 
+def test_louvain_distributed_path_matches_local(tmp_path):
+    # force the distributed sweep/modularity path (local_edge_limit=0) on
+    # the same weight>=3 subgraph the q_louvain query uses, and require the
+    # exact partition the local numpy fast path produces
+    from raygraph.pipelines import _w3_subgraph
+
+    g = _w3_subgraph("/root/testdata/sf0.001", "louv-dist-test")
+    res_local, q_local = louvain(g)
+    res_dist, q_dist = louvain(g, local_edge_limit=0)
+    a = res_local.to_pandas().sort_values("vertex").reset_index(drop=True)
+    b = res_dist.to_pandas().sort_values("vertex").reset_index(drop=True)
+    assert a.equals(b)
+    assert abs(q_local - q_dist) < 1e-9
+
+
 def test_louvain_requires_undirected(tmp_path):
     g = Graph.from_edges(
         rd.from_pandas(fixtures.line_df(5)),
