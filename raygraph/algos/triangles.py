@@ -46,27 +46,67 @@ def triangle_count(graph, broadcast_limit: int = 20_000_000):
     V = graph.num_vertices
 
     deg_ds = ops.degrees(graph)
-    if V > broadcast_limit:
-        raise NotImplementedError(
-            "degree-join orientation path for V > broadcast_limit not wired yet; "
-            "raise broadcast_limit or reduce the graph"
-        )
-    ddf = deg_ds.to_pandas().sort_values("vertex")
-    deg = np.zeros(V, dtype=np.int64)
-    deg[ddf["vertex"].to_numpy()] = ddf["out_degree"].to_numpy()
-    dref = ray.put(deg)
+    if V <= broadcast_limit:
+        # broadcast orientation: V-sized degree array placed once, read
+        # zero-copy in every map task; the dst's degree rides along on each
+        # oriented edge so wedge generation needs no V-sized state at all
+        ddf = deg_ds.to_pandas().sort_values("vertex")
+        deg = np.zeros(V, dtype=np.int64)
+        deg[ddf["vertex"].to_numpy()] = ddf["out_degree"].to_numpy()
+        dref = ray.put(deg)
 
-    def orient(t: pa.Table) -> pa.Table:
-        d = ray.get(dref)
-        src = t.column("src").to_numpy()
-        dst = t.column("dst").to_numpy()
-        keep = (src != dst) & (
-            (d[src] < d[dst]) | ((d[src] == d[dst]) & (src < dst))
-        )
-        return pa.table({"src": src[keep], "dst": dst[keep]})
+        def orient(t: pa.Table) -> pa.Table:
+            d = ray.get(dref)
+            src = t.column("src").to_numpy()
+            dst = t.column("dst").to_numpy()
+            keep = (src != dst) & (
+                (d[src] < d[dst]) | ((d[src] == d[dst]) & (src < dst))
+            )
+            return pa.table(
+                {"src": src[keep], "dst": dst[keep], "ddeg": d[dst[keep]]}
+            )
 
-    oriented = edges.map_batches(orient, batch_format="pyarrow", zero_copy_batch=True)
-    oriented = oriented.materialize()  # reused: wedge source + join probe side
+        oriented3 = edges.map_batches(
+            orient, batch_format="pyarrow", zero_copy_batch=True
+        )
+    else:
+        # degree-join orientation (scale path): two bucketed hash joins
+        # attach sdeg/ddeg, then the same low→high filter — no V-sized
+        # object anywhere (the reference's low_to_high_degree_t as a join)
+        sdeg = deg_ds.map_batches(
+            lambda df: pd.DataFrame(
+                {"src": df["vertex"].to_numpy(np.int64),
+                 "sdeg": df["out_degree"].to_numpy(np.int64)}
+            ),
+            batch_format="pandas",
+        )
+        ddeg = deg_ds.map_batches(
+            lambda df: pd.DataFrame(
+                {"dst": df["vertex"].to_numpy(np.int64),
+                 "ddeg": df["out_degree"].to_numpy(np.int64)}
+            ),
+            batch_format="pandas",
+        )
+        e1 = joins.hash_join(edges, sdeg, on="src")
+        e2 = joins.hash_join(e1, ddeg, on="dst")
+
+        def orient_joined(df: pd.DataFrame) -> pd.DataFrame:
+            src = df["src"].to_numpy(np.int64)
+            dst = df["dst"].to_numpy(np.int64)
+            ds_ = df["sdeg"].to_numpy(np.int64)
+            dd = df["ddeg"].to_numpy(np.int64)
+            keep = (src != dst) & ((ds_ < dd) | ((ds_ == dd) & (src < dst)))
+            return pd.DataFrame(
+                {"src": src[keep], "dst": dst[keep], "ddeg": dd[keep]}
+            )
+
+        oriented3 = e2.map_batches(orient_joined, batch_format="pandas")
+
+    oriented3 = oriented3.materialize()  # reused: wedge source + join probe side
+    oriented = oriented3.map_batches(
+        lambda t: t.select(["src", "dst"]), batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
 
     # Wedge generation needs all out-edges of an apex together.  A per-vertex
     # map_groups pays per-group overhead × V; instead group by a hash BUCKET
@@ -82,11 +122,11 @@ def triangle_count(graph, broadcast_limit: int = 20_000_000):
         return t.append_column("wb", pa.array(b, pa.int32()))
 
     def make_wedges(g: pd.DataFrame) -> pa.Table:
-        d = ray.get(dref)
         srcs = g["src"].to_numpy(np.int64)
         dsts = g["dst"].to_numpy(np.int64)
+        degs = g["ddeg"].to_numpy(np.int64)  # degree of each neighbor (dst)
         order = np.argsort(srcs, kind="stable")
-        srcs, dsts = srcs[order], dsts[order]
+        srcs, dsts, degs = srcs[order], dsts[order], degs[order]
         # group boundaries over the sorted apex column
         starts = np.flatnonzero(np.r_[True, srcs[1:] != srcs[:-1]])
         ends = np.r_[starts[1:], len(srcs)]
@@ -96,11 +136,13 @@ def triangle_count(graph, broadcast_limit: int = 20_000_000):
             if n < 2:
                 continue
             nbrs = dsts[s:e]
+            nbrd = degs[s:e]
             i, j = np.triu_indices(n, k=1)
             a, b = nbrs[i], nbrs[j]
+            da, db = nbrd[i], nbrd[j]
             # orient each wedge pair by the (degree, id) total order so it
             # can only match the single stored direction of the closing edge
-            swap = (d[b] < d[a]) | ((d[b] == d[a]) & (b < a))
+            swap = (db < da) | ((db == da) & (b < a))
             out_a.append(np.where(swap, b, a))
             out_b.append(np.where(swap, a, b))
             out_u.append(np.full(len(a), srcs[s]))
@@ -114,7 +156,7 @@ def triangle_count(graph, broadcast_limit: int = 20_000_000):
              "apex": np.concatenate(out_u)}
         )
 
-    bucketed = oriented.map_batches(add_bucket, batch_format="pyarrow")
+    bucketed = oriented3.map_batches(add_bucket, batch_format="pyarrow")
     wedges = bucketed.groupby("wb").map_groups(make_wedges, batch_format="pandas")
 
     triangles = joins.hash_join(wedges, oriented, on=["src", "dst"])

@@ -90,13 +90,33 @@ class MinHasher:
         vals = (sh[None, :] * self.a[:, None] + self.b[:, None]) % self.p
         return vals.min(axis=1)
 
+    # permutations are processed in blocks so the (block × total_shingles)
+    # work matrix stays bounded (~128 MB at 2M shingles) regardless of
+    # batch size — one reduceat per block instead of a Python loop per doc
+    _PERM_BLOCK = 8
+
     def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-        sigs = np.stack(
-            [self.signature(t) for t in df[self.text_col].astype(str)], axis=0
+        texts = df[self.text_col].astype(str)
+        sh_list = [_shingles(t, self.k) for t in texts]
+        counts = np.fromiter((len(s) for s in sh_list), np.int64, count=len(sh_list))
+        allsh = (
+            np.concatenate(sh_list) if sh_list else np.empty(0, np.uint64)
         )
+        starts = np.zeros(len(counts), dtype=np.int64)
+        np.cumsum(counts[:-1], out=starts[1:])
+        num_perm = len(self.a)
+        sigs = np.empty((len(counts), num_perm), dtype=np.uint64)
+        for lo in range(0, num_perm, self._PERM_BLOCK):
+            hi = min(lo + self._PERM_BLOCK, num_perm)
+            vals = (
+                allsh[None, :] * self.a[lo:hi, None] + self.b[lo:hi, None]
+            ) % self.p
+            # per-doc min over each doc's shingle segment (_shingles always
+            # returns >= 1 shingle, so every segment is non-empty)
+            sigs[:, lo:hi] = np.minimum.reduceat(vals, starts, axis=1).T
         out = pd.DataFrame({self.id_col: df[self.id_col].to_numpy()})
         # store the signature matrix as flat int64 columns (no ragged cols)
-        for j in range(sigs.shape[1]):
+        for j in range(num_perm):
             out[f"mh{j}"] = sigs[:, j].astype(np.int64)
         return out
 
@@ -165,63 +185,163 @@ def lsh_candidate_pairs(sig_ds, id_col="doc_id", num_perm=64, bands=16):
 
     from raygraph.agg import bucketed_map_groups, distinct
 
-    cand = bucketed_map_groups(banded, ["band", "bhash"], pairs)
+    # materialize once: the emptiness check and the distinct both consume
+    # the LSH lineage — without this the shingle/band pipeline ran twice
+    cand = bucketed_map_groups(banded, ["band", "bhash"], pairs).materialize()
     if cand.count() == 0:
         return cand
     return distinct(cand, ["a", "b"])
 
 
 def verify_jaccard_pairs(ds, pairs_ds, text_col="text", id_col="doc_id",
-                         shingle_k=5, threshold=0.8):
-    """Exact shingle-Jaccard for candidate pairs (broadcast shingle sets).
+                         shingle_k=5, threshold=0.8,
+                         broadcast_limit: int = 2_000_000):
+    """Exact shingle-Jaccard for candidate pairs → Dataset (a, b, jaccard).
 
-    Candidate sets are tiny relative to the corpus; docs involved in pairs
-    are collected once and broadcast. At 100 TB scale this becomes a join of
-    pairs against the doc table — the broadcast guard raises if abused.
+    Small candidate sets (≤ ``broadcast_limit`` distinct docs) use the
+    broadcast path: involved docs are collected once and their shingle sets
+    compared on the driver.  Larger sets use the scale path: two bucketed
+    hash joins ship each pair's two texts into the same task and the
+    Jaccard is computed per pair inside ``map_batches`` — nothing
+    pair-shaped ever lands on the driver.
     """
     import ray
+    import ray.data as rd
 
-    pairs = pairs_ds.to_pandas()
-    if not len(pairs):
-        pairs["jaccard"] = pd.Series(dtype=float)
-        return pairs
-    needed = np.unique(np.concatenate([pairs["a"].to_numpy(), pairs["b"].to_numpy()]))
-    if len(needed) > 2_000_000:
-        raise NotImplementedError("candidate set too large for broadcast verify")
-    nref = ray.put(np.sort(needed))
+    from raygraph import joins
 
-    def collect(df: pd.DataFrame) -> pd.DataFrame:
-        ns = ray.get(nref)
-        m = df[np.isin(df[id_col].to_numpy(), ns)]
-        return m[[id_col, text_col]]
+    n_pairs = pairs_ds.count()
+    if n_pairs == 0:
+        return rd.from_pandas(
+            pd.DataFrame({"a": pd.Series(dtype=np.int64),
+                          "b": pd.Series(dtype=np.int64),
+                          "jaccard": pd.Series(dtype=float)})
+        )
 
-    docs = ds.map_batches(collect, batch_format="pandas").to_pandas()
-    sh = {
-        int(r[id_col]): set(_shingles(str(r[text_col]), shingle_k).tolist())
-        for _, r in docs.iterrows()
-    }
-    jac = []
-    for a, b in zip(pairs["a"], pairs["b"]):
-        sa, sb = sh.get(int(a), set()), sh.get(int(b), set())
-        inter = len(sa & sb)
-        union = len(sa | sb)
-        jac.append(inter / union if union else 0.0)
-    pairs = pairs.copy()
-    pairs["jaccard"] = jac
-    return pairs[pairs["jaccard"] >= threshold].reset_index(drop=True)
+    # 2 distinct docs per pair is the upper bound — cheap dispatch test
+    if 2 * n_pairs <= broadcast_limit:
+        pairs = pairs_ds.to_pandas()
+        needed = np.unique(
+            np.concatenate([pairs["a"].to_numpy(), pairs["b"].to_numpy()])
+        )
+        nref = ray.put(np.sort(needed))
+
+        def collect(df: pd.DataFrame) -> pd.DataFrame:
+            ns = ray.get(nref)
+            m = df[np.isin(df[id_col].to_numpy(), ns)]
+            return m[[id_col, text_col]]
+
+        docs = ds.map_batches(collect, batch_format="pandas").to_pandas()
+        sh = {
+            int(r[id_col]): set(_shingles(str(r[text_col]), shingle_k).tolist())
+            for _, r in docs.iterrows()
+        }
+        jac = []
+        for a, b in zip(pairs["a"], pairs["b"]):
+            sa, sb = sh.get(int(a), set()), sh.get(int(b), set())
+            inter = len(sa & sb)
+            union = len(sa | sb)
+            jac.append(inter / union if union else 0.0)
+        pairs = pairs.copy()
+        pairs["jaccard"] = jac
+        return rd.from_pandas(
+            pairs[pairs["jaccard"] >= threshold].reset_index(drop=True)
+        )
+
+    # scale path: pairs ⋈ docs on a, then on b — texts move through two
+    # bucketed shuffles, the driver never sees a pair
+    docs_a = ds.map_batches(
+        lambda df: pd.DataFrame(
+            {"a": df[id_col].to_numpy(np.int64), "__text_a": df[text_col]}
+        ),
+        batch_format="pandas",
+    )
+    docs_b = ds.map_batches(
+        lambda df: pd.DataFrame(
+            {"b": df[id_col].to_numpy(np.int64), "__text_b": df[text_col]}
+        ),
+        batch_format="pandas",
+    )
+    p1 = joins.hash_join(pairs_ds, docs_a, on="a")
+    p2 = joins.hash_join(p1, docs_b, on="b")
+
+    def jaccard_rows(df: pd.DataFrame) -> pd.DataFrame:
+        jac = np.empty(len(df), dtype=np.float64)
+        for i, (ta, tb) in enumerate(zip(df["__text_a"], df["__text_b"])):
+            sa = set(_shingles(str(ta), shingle_k).tolist())
+            sb = set(_shingles(str(tb), shingle_k).tolist())
+            union = len(sa | sb)
+            jac[i] = len(sa & sb) / union if union else 0.0
+        out = pd.DataFrame(
+            {"a": df["a"].to_numpy(np.int64), "b": df["b"].to_numpy(np.int64),
+             "jaccard": jac}
+        )
+        return out[out["jaccard"] >= threshold]
+
+    return p2.map_batches(jaccard_rows, batch_format="pandas")
+
+
+def _pair_components_engine(verified_ds):
+    """Distributed connected components over the verified-pair graph via
+    the WCC superstep engine (renumbered int-key graph); dup_group = min
+    doc id per component.  The scale path: the verified-pair graph of a
+    crawl corpus can exceed any driver."""
+    from raygraph import joins
+    from raygraph.agg import hash_aggregate
+    from raygraph.algos import weakly_connected_components
+    from raygraph.graph import Graph
+
+    edges = verified_ds.map_batches(
+        lambda df: pd.DataFrame(
+            {"src_key": df["a"].to_numpy(np.int64),
+             "dst_key": df["b"].to_numpy(np.int64),
+             "weight": np.ones(len(df))}
+        ),
+        batch_format="pandas",
+    )
+    g = Graph.from_edges(
+        edges, directed=False, renumber=True, num_partitions=8
+    )
+    res = weakly_connected_components(g)
+    keyed = g.unrenumber(res, "vertex")  # (vertex: doc id, labels: vid)
+    comp = hash_aggregate(keyed, ["labels"], {"dup_group": ("vertex", "min")})
+    out = joins.hash_join(keyed, comp, on="labels")
+    return out.map_batches(
+        lambda df: pd.DataFrame(
+            {"doc_id": df["vertex"].to_numpy(np.int64),
+             "dup_group": df["dup_group"].to_numpy(np.int64)}
+        ),
+        batch_format="pandas",
+    )
 
 
 def near_dedup_minhash(ds, text_col="text", id_col="doc_id", num_perm=64,
-                       bands=16, shingle_k=5, threshold=0.8, seed=42):
+                       bands=16, shingle_k=5, threshold=0.8, seed=42,
+                       engine_pair_limit: int = 5_000_000):
     """Full near-dup pipeline → (doc_id, dup_group) for docs in dup groups.
 
-    Components over verified pairs are computed with union-find on the
-    verified pair list (pairs ≪ corpus; for pathological pair volumes the
-    WCC superstep engine over the pair graph is the scale path).
-    """
+    Verified pair counts ≤ ``engine_pair_limit`` use driver union-find
+    (pairs ≪ corpus in the common case); larger pair graphs run the WCC
+    superstep engine distributed (``engine_pair_limit=0`` forces it)."""
     sigs = minhash_signatures(ds, text_col, id_col, num_perm, shingle_k, seed)
     cand = lsh_candidate_pairs(sigs, id_col, num_perm, bands)
-    verified = verify_jaccard_pairs(ds, cand, text_col, id_col, shingle_k, threshold)
+    verified_ds = verify_jaccard_pairs(
+        ds, cand, text_col, id_col, shingle_k, threshold
+    ).materialize()
+    n_verified = verified_ds.count()
+    if n_verified == 0:
+        return pd.DataFrame(
+            {"doc_id": pd.Series(dtype=np.int64),
+             "dup_group": pd.Series(dtype=np.int64)}
+        )
+    if n_verified > engine_pair_limit:
+        return (
+            _pair_components_engine(verified_ds)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+    verified = verified_ds.to_pandas()
     parent: dict[int, int] = {}
 
     def find(x):
@@ -246,7 +366,13 @@ def near_dedup_minhash(ds, text_col="text", id_col="doc_id", num_perm=64,
 
 
 class SimHasher:
-    """64-bit SimHash over word tokens (Charikar 2002)."""
+    """64-bit SimHash over word tokens (Charikar 2002).
+
+    Batch-vectorized kernel: tokens of the whole batch are hashed through a
+    per-actor vocab cache (crc32 → splitmix64 on cache misses only — no
+    per-word md5), bit votes are one (tokens × 64) matrix, and per-doc sums
+    are a single segmented ``reduceat``.  The token hash is deterministic
+    across runs/processes (crc32+splitmix64, never builtin ``hash``)."""
 
     def __init__(self, text_col="text", id_col="doc_id"):
         import re
@@ -254,30 +380,57 @@ class SimHasher:
         self.text_col = text_col
         self.id_col = id_col
         self.tok = re.compile(r"\w+")
+        self._vocab: dict[str, int] = {}  # token → uint64 hash (per actor)
+
+    def _token_hashes(self, uniq: np.ndarray) -> np.ndarray:
+        from raygraph.hashing import hash_str_array, splitmix64
+
+        out = np.empty(len(uniq), dtype=np.uint64)
+        miss_idx = [i for i, t in enumerate(uniq) if t not in self._vocab]
+        if miss_idx:
+            miss = uniq[miss_idx]
+            # 64-bit token hash: crc32 widened with the length, finalized
+            h = hash_str_array(miss).astype(np.uint64)
+            lens = np.fromiter((len(t) for t in miss), np.uint64, count=len(miss))
+            hv = splitmix64(h ^ (lens << np.uint64(32)))
+            for t, v in zip(miss, hv):
+                self._vocab[t] = int(v)
+        for i, t in enumerate(uniq):
+            out[i] = self._vocab[t]
+        return out
 
     def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-        out = []
-        for t in df[self.text_col].astype(str):
-            words = self.tok.findall(t.lower())
-            if not words:
-                out.append(0)
-                continue
-            hs = np.array(
-                [int.from_bytes(hashlib.md5(w.encode()).digest()[:8], "little")
-                 for w in words],
-                dtype=np.uint64,
+        toks_per_doc = [
+            self.tok.findall(t.lower()) for t in df[self.text_col].astype(str)
+        ]
+        counts = np.fromiter(
+            (len(x) for x in toks_per_doc), np.int64, count=len(toks_per_doc)
+        )
+        sims = np.zeros(len(counts), dtype=np.int64)
+        total = int(counts.sum())
+        if total:
+            all_toks = np.empty(total, dtype=object)
+            pos = 0
+            for toks in toks_per_doc:
+                all_toks[pos : pos + len(toks)] = toks
+                pos += len(toks)
+            uniq, inv = np.unique(all_toks, return_inverse=True)
+            th = self._token_hashes(uniq)
+            hs = th[inv]
+            shifts = np.arange(64, dtype=np.uint64)[None, :]
+            pm = (
+                ((hs[:, None] >> shifts) & np.uint64(1)).astype(np.int8) * 2 - 1
             )
-            bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :])
-                    & np.uint64(1)).astype(np.int64)
-            vote = (2 * bits - 1).sum(axis=0)
-            sim = np.uint64(0)
-            for i in range(64):
-                if vote[i] > 0:
-                    sim |= np.uint64(1) << np.uint64(i)
-            out.append(int(sim.view(np.int64) if hasattr(sim, "view") else sim))
+            nz = counts > 0
+            starts = np.zeros(len(counts), dtype=np.int64)
+            np.cumsum(counts[:-1], out=starts[1:])
+            votes = np.add.reduceat(pm.astype(np.int32), starts[nz], axis=0)
+            pos_bits = (votes > 0).astype(np.uint64)
+            sims[nz] = (
+                (pos_bits << np.arange(64, dtype=np.uint64)[None, :]).sum(axis=1)
+            ).view(np.int64)
         return pd.DataFrame(
-            {self.id_col: df[self.id_col].to_numpy(),
-             "simhash": np.array(out, dtype=np.int64)}
+            {self.id_col: df[self.id_col].to_numpy(), "simhash": sims}
         )
 
 

@@ -50,6 +50,28 @@ def test_minhash_near_dedup_plants_duplicates():
     assert out["dup_group"].nunique() == 1
 
 
+def test_minhash_scale_paths_match(docs):
+    # the join-verify path (broadcast_limit=0) and the engine components
+    # path (engine_pair_limit=0) must reproduce the default result exactly
+    base = dedup.near_dedup_minhash(docs, threshold=0.7)
+    engine = dedup.near_dedup_minhash(docs, threshold=0.7, engine_pair_limit=0)
+    a = base.sort_values("doc_id").reset_index(drop=True)
+    b = engine.sort_values("doc_id").reset_index(drop=True)
+    assert a.equals(b)
+
+    sigs = dedup.minhash_signatures(docs)
+    cand = dedup.lsh_candidate_pairs(sigs)
+    vb = dedup.verify_jaccard_pairs(docs, cand, threshold=0.7).to_pandas()
+    vj = dedup.verify_jaccard_pairs(
+        docs, cand, threshold=0.7, broadcast_limit=0
+    ).to_pandas()
+    key = ["a", "b"]
+    vb = vb.sort_values(key).reset_index(drop=True)
+    vj = vj.sort_values(key).reset_index(drop=True)
+    assert np.array_equal(vb[key].to_numpy(), vj[key].to_numpy())
+    assert np.allclose(vb["jaccard"].to_numpy(), vj["jaccard"].to_numpy())
+
+
 def test_minhash_deterministic(docs):
     a = dedup.minhash_signatures(docs.limit(50)).to_pandas().sort_values("doc_id")
     b = dedup.minhash_signatures(docs.limit(50)).to_pandas().sort_values("doc_id")

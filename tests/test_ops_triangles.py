@@ -113,6 +113,20 @@ def test_triangles_karate(karate_und):
     assert got.sum() == 3 * 45  # karate has 45 triangles
 
 
+def test_triangles_degree_join_path(karate_und):
+    # forced join orientation (broadcast_limit=0) must match the broadcast
+    # path exactly — the scale path for V past the broadcast limit
+    got = (
+        triangle_count(karate_und, broadcast_limit=0)
+        .to_pandas()
+        .sort_values("vertex")["counts"]
+        .to_numpy()
+    )
+    src, dst, _ = fixtures.karate_sym_arrays()
+    want = oracles.ref_triangles((src, dst), fixtures.KARATE_V)
+    assert np.array_equal(got, want)
+
+
 def test_triangles_two_components(tmp_path):
     df = fixtures.two_components_df()
     g = Graph.from_edges(
