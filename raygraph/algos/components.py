@@ -55,6 +55,108 @@ def weakly_connected_components(
         engine.shutdown()
 
 
+def strongly_connected_components(
+    graph,
+    max_outer: int = 200,
+    max_iter: int = 10_000,
+    num_workers: Optional[int] = None,
+    out_dir: Optional[str] = None,
+):
+    """SCC on a directed graph via forward-backward coloring with trim.
+
+    Reference export: ``pylibcugraph.strongly_connected_components``
+    (``cpp/src/components/legacy/connectivity.cu``).  Scheme per outer
+    round: (1) trim — active vertices with zero active in- or out-degree
+    are singleton SCCs (peels DAG regions in diameter rounds); (2) forward
+    min-color fixpoint within the active subgraph; (3) backward root-mark
+    fixpoint (marks = vertices reaching their color's root within the
+    color class) via the dst-property fetch; (4) assign marked vertices
+    ``scc = color`` and deactivate.  Labels are canonical: the minimum
+    vertex id in each SCC.  Output: Dataset ``(vertex, labels)``.
+    """
+    if not graph.directed:
+        raise ValueError(
+            "strongly_connected_components requires a directed graph; "
+            "for undirected graphs use weakly_connected_components"
+        )
+    engine = SuperstepEngine(graph, num_workers=num_workers)
+    W = engine.W
+    try:
+        # one-time dst-property fetch wiring (same as HITS)
+        needed = ray.get([w.needed_dst_ids.remote() for w in engine.workers])
+        ray.get(
+            [
+                engine.workers[p].register_requests.remote(
+                    [needed[q][p] for q in range(W)]
+                )
+                for p in range(W)
+            ]
+        )
+        ray.get([w.scc_init.remote() for w in engine.workers])
+
+        def fetch(name):
+            served = [
+                w.serve_dst_values.options(num_returns=W).remote(name)
+                for w in engine.workers
+            ]
+            ray.get(
+                [
+                    engine.workers[q].apply_dst_values.remote(
+                        name, [served[p][q] for p in range(W)]
+                    )
+                    for q in range(W)
+                ]
+            )
+
+        active = graph.num_vertices
+        for outer in range(max_outer):
+            # trim loop: each pass peels current sources/sinks
+            while active:
+                engine._exchange("scc_trim_scatter", "scc_trim_update")
+                fetch("scc_active")
+                ray.get([w.scc_outdeg_apply.remote() for w in engine.workers])
+                stats = ray.get([w.scc_trim_apply.remote() for w in engine.workers])
+                trimmed = sum(s["trimmed"] for s in stats)
+                active = sum(s["active"] for s in stats)
+                if trimmed == 0:
+                    break
+            if active == 0:
+                break
+            # forward color fixpoint over the active subgraph
+            ray.get([w.scc_color_init.remote() for w in engine.workers])
+            for _ in range(max_iter):
+                _, upd = engine._exchange("scc_color_scatter", "scc_color_update")
+                if sum(u["changed"] for u in upd) == 0:
+                    break
+            # backward mark fixpoint from the color roots
+            ray.get([w.scc_mark_init.remote() for w in engine.workers])
+            for _ in range(max_iter):
+                fetch("scc_bw")
+                upd = ray.get([w.scc_mark_round.remote() for w in engine.workers])
+                if sum(u["changed"] for u in upd) == 0:
+                    break
+            stats = ray.get([w.scc_assign.remote() for w in engine.workers])
+            active = sum(s["active"] for s in stats)
+            if active == 0:
+                break
+        if active:
+            raise RuntimeError(
+                f"SCC did not converge within {max_outer} outer rounds"
+            )
+
+        import pyarrow as pa
+
+        ds = engine.result_dataset(["scc"], out_dir=out_dir)
+        return ds.map_batches(
+            lambda t: pa.table(
+                {"vertex": t.column("vertex"), "labels": t.column("scc")}
+            ),
+            batch_format="pyarrow",
+        )
+    finally:
+        engine.shutdown()
+
+
 def _run(engine, max_iter, checkpoint_dir, resume, out_dir):
     ray.get([w.cc_init.remote() for w in engine.workers])
 

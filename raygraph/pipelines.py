@@ -752,6 +752,45 @@ def q_core_number(sf_dir: str):
     )
 
 
+def q_scc(sf_dir: str):
+    """SCC on a directed graph with real cycles: part→supp where count≥3
+    plus the reverse supp→part where count≥4 (2-cycles wherever count≥4).
+    Labels canonicalized to the min vertex_key; hash-checked against a
+    transitive-closure mutual-reach oracle."""
+    from raygraph import joins
+    from raygraph.agg import hash_aggregate
+    from raygraph.algos import strongly_connected_components
+
+    e = ps_edges_str(sf_dir)
+    fwd = e.map_batches(
+        lambda df: df.loc[df["weight"] >= 3.0, ["src_key", "dst_key"]],
+        batch_format="pandas",
+    )
+    bwd = e.map_batches(
+        lambda df: pd.DataFrame(
+            {
+                "src_key": df.loc[df["weight"] >= 4.0, "dst_key"],
+                "dst_key": df.loc[df["weight"] >= 4.0, "src_key"],
+            }
+        ),
+        batch_format="pandas",
+    )
+    edges = fwd.union(bwd).map_batches(
+        lambda df: df.assign(weight=1.0), batch_format="pandas"
+    )
+    g = _build_graph_from_keys(edges, directed=True, tag="scc")
+    res = strongly_connected_components(g)
+    keyed = g.unrenumber(res, "vertex")  # (vertex: str key, labels: vid)
+    comp = hash_aggregate(keyed, ["labels"], {"component": ("vertex", "min")})
+    out = joins.hash_join(keyed, comp, on="labels")
+    return out.map_batches(
+        lambda df: pd.DataFrame(
+            {"vertex_key": df["vertex"], "component": df["component"]}
+        ),
+        batch_format="pandas",
+    )
+
+
 def q_eigenvector(sf_dir: str):
     """Eigenvector centrality on the tripartite hyper graph (rows-only;
     pinned by pytest vs a dense power-iteration oracle).  The hyper graph
@@ -929,6 +968,7 @@ QUERIES = {
     "fingerprint": q_fingerprint,
     "core_number": q_core_number,
     "neighbor_sample": q_neighbor_sample,
+    "scc": q_scc,
     "eigenvector": q_eigenvector,
     "random_walks": q_random_walks,
     "k_core": q_k_core,
@@ -1058,6 +1098,23 @@ md AS (SELECT vertex, MIN(dist) AS d FROM walk GROUP BY 1)
 SELECT v.vertex AS vertex_key,
        CAST(COALESCE(md.d, -1) AS DOUBLE) AS distance
 FROM v LEFT JOIN md ON md.vertex = v.vertex
+""",
+    "scc": """
+WITH RECURSIVE
+e0 AS (SELECT 'part::' || l_partkey AS p, 'supp::' || l_suppkey AS s, COUNT(*) AS n
+       FROM lineitem GROUP BY 1, 2),
+e AS MATERIALIZED (SELECT p AS src, s AS dst FROM e0 WHERE n >= 3
+     UNION SELECT s, p FROM e0 WHERE n >= 4),
+v AS (SELECT src AS vertex FROM e UNION SELECT dst FROM e),
+reach(a, b) AS (
+    SELECT vertex, vertex FROM v
+    UNION
+    SELECT r.a, e.dst FROM reach r JOIN e ON e.src = r.b
+),
+mutual AS (SELECT r1.a AS vertex, MIN(r1.b) AS component
+           FROM reach r1 JOIN reach r2 ON r2.a = r1.b AND r2.b = r1.a
+           GROUP BY 1)
+SELECT vertex AS vertex_key, component FROM mutual
 """,
     "property_extract": """
 WITH e AS (

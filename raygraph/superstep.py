@@ -336,9 +336,11 @@ class PartitionWorker:
         return [x[pos] for pos in self._serve_pos]
 
     def apply_dst_values(self, name: str, value_refs):
-        """Install served dst values into a dense per-dst_unique array."""
+        """Install served dst values into a dense per-dst_unique array
+        (dtype follows the served state — int64/bool survive the trip)."""
         vals = ray.get(list(value_refs))
-        full = np.zeros(len(self.dst_unique))
+        dtype = next((v.dtype for v in vals if hasattr(v, "dtype")), np.float64)
+        full = np.zeros(len(self.dst_unique), dtype=dtype)
         for q in range(self.W):
             full[self.route[q]] = vals[q]
         self._dst_vals = {**getattr(self, "_dst_vals", {}), name: full}
@@ -601,6 +603,163 @@ class PartitionWorker:
         changed = int((new != labels).sum())
         self.state["labels"] = new
         return {"changed": changed, "rows_in": rows_in}
+
+
+    # -- SCC: forward-backward coloring with trim -------------------------
+    # semantics: cpp/src/components/legacy/connectivity.cu (exported as
+    # pylibcugraph strongly_connected_components); realized here as the
+    # label-coloring FW-BW scheme (Slota et al. style): trim singleton
+    # sources/sinks, forward min-color fixpoint within the active subgraph,
+    # backward root-mark fixpoint via the dst-property fetch, assign, repeat.
+    def scc_init(self):
+        if self.V >= 2 ** 32:
+            raise NotImplementedError(
+                "SCC packs (color | flags<<33) into one int64; V >= 2^32 "
+                "needs a two-array exchange (not yet implemented)"
+            )
+        self.state["scc"] = np.full(self.n_owned, -1, dtype=np.int64)
+        self.state["scc_active"] = np.ones(self.n_owned, dtype=bool)
+
+    def scc_trim_scatter(self):
+        """Partial in-degrees of the active subgraph (active-src edges per
+        dst; dst-activeness filtered receiver-side)."""
+        act = self.state["scc_active"]
+        emask = act[self.src_local]
+        cnt = np.bincount(self.dst_inverse[emask], minlength=len(self.dst_unique))
+        live = cnt > 0
+        out = []
+        rows_out = bytes_out = 0
+        for q in range(self.W):
+            idx = self.route[q]
+            sel = idx[live[idx]]
+            m = (self.dst_unique[sel], cnt[sel])
+            rows_out += len(sel)
+            bytes_out += m[0].nbytes + m[1].nbytes
+            out.append(m)
+        return out, {"rows_out": rows_out, "bytes_out": bytes_out}
+
+    def scc_trim_update(self, msg_refs):
+        all_msgs = ray.get(list(msg_refs))
+        indeg = np.zeros(self.n_owned, dtype=np.int64)
+        rows_in = 0
+        for msgs in all_msgs:
+            vids, c = msgs[self.wid]
+            idx = np.searchsorted(self.owned, vids)
+            indeg[idx] += c
+            rows_in += len(vids)
+        self.state["scc_indeg"] = indeg
+        return {"rows_in": rows_in}
+
+    def scc_outdeg_apply(self):
+        """Out-degree within the active subgraph — needs the dst
+        'scc_active' flags installed via apply_dst_values first."""
+        ad = self._dst_vals["scc_active"]
+        act = self.state["scc_active"]
+        emask = act[self.src_local] & ad[self.dst_inverse].astype(bool)
+        self.state["scc_outdeg"] = np.bincount(
+            self.src_local[emask], minlength=self.n_owned
+        )
+        return True
+
+    def scc_trim_apply(self):
+        """Active vertices with zero active in- or out-degree are singleton
+        SCCs — assign and deactivate (FW-BW-Trim)."""
+        act = self.state["scc_active"]
+        trim = act & (
+            (self.state["scc_indeg"] == 0) | (self.state["scc_outdeg"] == 0)
+        )
+        self.state["scc"][trim] = self.owned[trim]
+        act[trim] = False
+        return {"trimmed": int(trim.sum()), "active": int(act.sum())}
+
+    def scc_color_init(self):
+        self.state["scc_color"] = self.owned.copy()
+        self.state["scc_frontier"] = self.state["scc_active"].copy()
+
+    def scc_color_scatter(self):
+        color = self.state["scc_color"]
+        emask = self.state["scc_frontier"][self.src_local]
+        nmsg = len(self.dst_unique)
+        best = np.full(nmsg, np.iinfo(np.int64).max, dtype=np.int64)
+        np.minimum.at(best, self.dst_inverse[emask], color[self.src_local[emask]])
+        live = best != np.iinfo(np.int64).max
+        out = []
+        rows_out = bytes_out = 0
+        for q in range(self.W):
+            idx = self.route[q]
+            sel = idx[live[idx]]
+            m = (self.dst_unique[sel], best[sel])
+            rows_out += len(sel)
+            bytes_out += m[0].nbytes + m[1].nbytes
+            out.append(m)
+        return out, {"rows_out": rows_out, "bytes_out": bytes_out}
+
+    def scc_color_update(self, msg_refs):
+        all_msgs = ray.get(list(msg_refs))
+        act = self.state["scc_active"]
+        color = self.state["scc_color"]
+        incoming = np.full(self.n_owned, np.iinfo(np.int64).max, dtype=np.int64)
+        rows_in = 0
+        for msgs in all_msgs:
+            vids, best = msgs[self.wid]
+            idx = np.searchsorted(self.owned, vids)
+            incoming[idx] = np.minimum(incoming[idx], best)
+            rows_in += len(vids)
+        new = np.where(act, np.minimum(color, incoming), color)
+        changed = new != color
+        self.state["scc_color"] = new
+        # only still-active vertices re-emit (and senders mask by frontier,
+        # so colors never conduct through assigned vertices)
+        self.state["scc_frontier"] = changed & act
+        return {"changed": int((changed & act).sum()), "rows_in": rows_in}
+
+    def _scc_pack(self):
+        """bits 0..32 color (< 2^32), bit 33 mark, bit 34 active — one
+        int64 per dst to fetch instead of three."""
+        self.state["scc_bw"] = (
+            self.state["scc_color"]
+            | (self.state["scc_mark"].astype(np.int64) << np.int64(33))
+            | (self.state["scc_active"].astype(np.int64) << np.int64(34))
+        )
+
+    def scc_mark_init(self):
+        act = self.state["scc_active"]
+        self.state["scc_mark"] = act & (self.state["scc_color"] == self.owned)
+        self._scc_pack()
+        return int(self.state["scc_mark"].sum())
+
+    def scc_mark_round(self):
+        """One backward step: u becomes marked if some out-edge (u→w) has w
+        active+marked with color[w]==color[u].  Needs 'scc_bw' dst values
+        installed via apply_dst_values first."""
+        bw = self._dst_vals["scc_bw"]
+        color_d = bw & np.int64(0x1FFFFFFFF)
+        mark_d = (bw >> np.int64(33)) & np.int64(1)
+        act_d = (bw >> np.int64(34)) & np.int64(1)
+        act = self.state["scc_active"]
+        color = self.state["scc_color"]
+        mark = self.state["scc_mark"]
+        di = self.dst_inverse
+        e_ok = (
+            act[self.src_local]
+            & (act_d[di] == 1)
+            & (mark_d[di] == 1)
+            & (color_d[di] == color[self.src_local])
+        )
+        upd = np.zeros(self.n_owned, dtype=bool)
+        upd[self.src_local[e_ok]] = True
+        newm = mark | (upd & act)
+        changed = int((newm & ~mark).sum())
+        self.state["scc_mark"] = newm
+        self._scc_pack()
+        return {"changed": changed}
+
+    def scc_assign(self):
+        act = self.state["scc_active"]
+        sel = act & self.state["scc_mark"]
+        self.state["scc"][sel] = self.state["scc_color"][sel]
+        act[sel] = False
+        return {"assigned": int(sel.sum()), "active": int(act.sum())}
 
 
 class SuperstepEngine:

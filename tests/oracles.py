@@ -113,3 +113,51 @@ def canonical_map_equal(a: np.ndarray, b: np.ndarray) -> bool:
         if bwd.setdefault(y, x) != x:
             return False
     return True
+
+
+def ref_scc(edges, V):
+    """Canonical SCC labels (min member id) via iterative Kosaraju."""
+    src = np.asarray(edges[0], dtype=np.int64)
+    dst = np.asarray(edges[1], dtype=np.int64)
+    fwd = [[] for _ in range(V)]
+    bwd = [[] for _ in range(V)]
+    for u, v in zip(src.tolist(), dst.tolist()):
+        fwd[u].append(v)
+        bwd[v].append(u)
+    # pass 1: finish order on the forward graph (iterative DFS)
+    seen = np.zeros(V, dtype=bool)
+    order = []
+    for s in range(V):
+        if seen[s]:
+            continue
+        stack = [(s, 0)]
+        seen[s] = True
+        while stack:
+            v, i = stack.pop()
+            if i < len(fwd[v]):
+                stack.append((v, i + 1))
+                w = fwd[v][i]
+                if not seen[w]:
+                    seen[w] = True
+                    stack.append((w, 0))
+            else:
+                order.append(v)
+    # pass 2: reverse-graph DFS in reverse finish order
+    comp = np.full(V, -1, dtype=np.int64)
+    for s in reversed(order):
+        if comp[s] != -1:
+            continue
+        members = [s]
+        comp[s] = s
+        stack = [s]
+        while stack:
+            v = stack.pop()
+            for w in bwd[v]:
+                if comp[w] == -1:
+                    comp[w] = s
+                    members.append(w)
+                    stack.append(w)
+        m = min(members)
+        for v in members:
+            comp[v] = m
+    return comp

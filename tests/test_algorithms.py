@@ -177,3 +177,59 @@ def test_lpa_deterministic_across_workers(tmp_path):
     a = label_propagation(g, max_iter=15, num_workers=1).to_pandas().sort_values("vertex")["label"].to_numpy()
     b = label_propagation(g, max_iter=15, num_workers=4).to_pandas().sort_values("vertex")["label"].to_numpy()
     assert np.array_equal(a, b)
+
+
+# ---------------------------------------------------------------- SCC
+
+
+def _scc_check(df, g, tmp_path_name=None):
+    from raygraph.algos import strongly_connected_components
+
+    got = (
+        strongly_connected_components(g)
+        .to_pandas()
+        .sort_values("vertex")["labels"]
+        .to_numpy()
+    )
+    e = g.edges_dataset().to_pandas()
+    want = oracles.ref_scc(
+        (e["src"].to_numpy(), e["dst"].to_numpy()), g.num_vertices
+    )
+    assert np.array_equal(got, want)
+    return got
+
+
+def test_scc_cycles_and_dag(tmp_path):
+    # two directed 3-cycles bridged one-way, plus a dangling chain
+    df = pd.DataFrame(
+        {
+            "src": [0, 1, 2, 3, 4, 5, 2, 6, 7],
+            "dst": [1, 2, 0, 4, 5, 3, 3, 7, 8],
+            "weight": np.ones(9),
+        }
+    )
+    g = build(df, True, tmp_path, "scc1")
+    got = _scc_check(None, g)
+    assert set(got[:3]) == {0} and set(got[3:6]) == {3}
+    assert got[6] == 6 and got[7] == 7 and got[8] == 8
+
+
+def test_scc_random_directed(tmp_path):
+    rng = np.random.RandomState(11)
+    V = 60
+    src = rng.randint(0, V, 300)
+    dst = rng.randint(0, V, 300)
+    keep = src != dst
+    df = pd.DataFrame(
+        {"src": src[keep], "dst": dst[keep], "weight": np.ones(keep.sum())}
+    ).drop_duplicates(["src", "dst"])
+    g = build(df, True, tmp_path, "sccr")
+    _scc_check(None, g)
+
+
+def test_scc_requires_directed(tmp_path):
+    from raygraph.algos import strongly_connected_components
+
+    g = build(fixtures.karate_df(), False, tmp_path, "sccund")
+    with pytest.raises(ValueError):
+        strongly_connected_components(g)
