@@ -223,14 +223,18 @@ def run_rmat_pagerank() -> dict:
             pass  # another process won the race; use theirs
     g = Graph.load(gdir)
     eng = SuperstepEngine(g, num_workers=None)
+    bytes_in_total = 0
     try:
         ray.get([w.pagerank_init.remote() for w in eng.workers])
         for _ in range(3):  # warm caches / routing tables
             _iteration(eng, 0.85, False, g.num_vertices)
         t0 = time.perf_counter()
         for _ in range(iters):
-            _iteration(eng, 0.85, False, g.num_vertices)
+            _, upd = _iteration(eng, 0.85, False, g.num_vertices)
+            bytes_in_total += sum(u.get("bytes_in", 0) for u in upd)
         dt = time.perf_counter() - t0
+        W = eng.W
+        mode = eng.exchange_mode
     finally:
         eng.shutdown()
     ray.shutdown()
@@ -245,28 +249,52 @@ def run_rmat_pagerank() -> dict:
         "edges": g.num_edges,
         "iters_per_sec": round(iters / dt, 3),
         "edges_per_sec": round(g.num_edges * iters / dt, 1),
+        "exchange_mode": mode,
+        "workers": W,
+        # bytes one worker deserializes per superstep — the cross-node
+        # inbound volume a real cluster would pay per node (÷ workers/node)
+        "bytes_in_per_worker_per_iter": round(bytes_in_total / iters / W),
     }
+
+
+def _one_subproc(ncpu: int, extra_args=(), extra_env=None) -> dict:
+    env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_SF_DIR=SF_DIR)
+    if extra_env:
+        env.update(extra_env)
+    out = subprocess.run(
+        [sys.executable, os.path.abspath(__file__), *extra_args],
+        env=env, capture_output=True, text=True, check=True,
+    ).stdout
+    return json.loads(out.strip().splitlines()[-1])
 
 
 def run_scaling():
     """Run the headline PageRank scaling workload at num_cpus=8 and 32 in
     fresh processes on the same cached input, plus the full sf pipeline at
-    both levels for context; print ONE JSON line with the efficiencies."""
+    both levels for context; print ONE JSON line with the efficiencies.
 
-    def one(ncpu: int, extra_args=()) -> dict:
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_SF_DIR=SF_DIR)
-        out = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), *extra_args],
-            env=env, capture_output=True, text=True, check=True,
-        ).stdout
-        return json.loads(out.strip().splitlines()[-1])
+    Methodology: this single VM has up to 4× run-to-run throughput variance
+    (noisy neighbor), so the RMAT measurement runs REPEATS interleaved
+    (8,32,8,32,…) and reports medians — one pair of runs is noise."""
+    one = _one_subproc
+    repeats = int(os.environ.get("GRAFT_SCALING_REPEATS", "3"))
 
     lo_cpus, hi_cpus = 8, 32
     # warm the graph cache (untimed) so both levels measure compute+exchange
     one(hi_cpus, ["--rmat-pagerank"])
-    lo_r = one(lo_cpus, ["--rmat-pagerank"])
-    hi_r = one(hi_cpus, ["--rmat-pagerank"])
-    pr_eff = (hi_r["edges_per_sec"] / lo_r["edges_per_sec"]) / (hi_cpus / lo_cpus)
+    lo_runs, hi_runs = [], []
+    for _ in range(repeats):
+        lo_runs.append(one(lo_cpus, ["--rmat-pagerank"]))
+        hi_runs.append(one(hi_cpus, ["--rmat-pagerank"]))
+
+    def median(xs):
+        xs = sorted(xs)
+        n = len(xs)
+        return xs[n // 2] if n % 2 else 0.5 * (xs[n // 2 - 1] + xs[n // 2])
+
+    lo_med = median([r["edges_per_sec"] for r in lo_runs])
+    hi_med = median([r["edges_per_sec"] for r in hi_runs])
+    pr_eff = (hi_med / lo_med) / (hi_cpus / lo_cpus)
 
     lo = one(lo_cpus)
     hi = one(hi_cpus)
@@ -274,10 +302,12 @@ def run_scaling():
     print(
         json.dumps(
             {
-                "metric": "scaling efficiency (same input, fresh ray.init at 8 vs 32 cpus)",
-                "pagerank_rmat_scale": lo_r["rmat_scale"],
-                "pagerank_edges_per_sec_8": lo_r["edges_per_sec"],
-                "pagerank_edges_per_sec_32": hi_r["edges_per_sec"],
+                "metric": "scaling efficiency (same input, fresh ray.init at 8 vs 32 cpus; interleaved medians of %d pairs)" % repeats,
+                "pagerank_rmat_scale": lo_runs[0]["rmat_scale"],
+                "pagerank_edges_per_sec_8": lo_med,
+                "pagerank_edges_per_sec_32": hi_med,
+                "pagerank_edges_per_sec_8_runs": [r["edges_per_sec"] for r in lo_runs],
+                "pagerank_edges_per_sec_32_runs": [r["edges_per_sec"] for r in hi_runs],
                 "pagerank_scaling_efficiency": round(pr_eff, 3),
                 "pipeline_sec_8": lo["value"],
                 "pipeline_sec_32": hi["value"],
@@ -289,9 +319,39 @@ def run_scaling():
     )
 
 
+def run_exchange_bytes():
+    """Packed vs sliced exchange: per-worker deserialized bytes per
+    superstep on the RMAT workload — evidences the ~W× cross-node message
+    volume reduction of the per-receiver layout (single-node wall times are
+    reported for the overhead trade-off)."""
+    one = _one_subproc
+    one(NUM_CPUS, ["--rmat-pagerank"])  # warm graph cache
+    packed = one(NUM_CPUS, ["--rmat-pagerank"], {"RAYGRAPH_EXCHANGE": "packed"})
+    sliced = one(NUM_CPUS, ["--rmat-pagerank"], {"RAYGRAPH_EXCHANGE": "sliced"})
+    print(
+        json.dumps(
+            {
+                "metric": "exchange layout: per-worker deserialized bytes per superstep",
+                "rmat_scale": packed["rmat_scale"],
+                "workers": packed["workers"],
+                "packed_bytes_in_per_worker_per_iter": packed["bytes_in_per_worker_per_iter"],
+                "sliced_bytes_in_per_worker_per_iter": sliced["bytes_in_per_worker_per_iter"],
+                "reduction_factor": round(
+                    packed["bytes_in_per_worker_per_iter"]
+                    / max(1, sliced["bytes_in_per_worker_per_iter"]), 2,
+                ),
+                "packed_edges_per_sec": packed["edges_per_sec"],
+                "sliced_edges_per_sec": sliced["edges_per_sec"],
+            }
+        )
+    )
+
+
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         run_scaling()
+    elif "--exchange-bytes" in sys.argv:
+        run_exchange_bytes()
     elif "--rmat-pagerank" in sys.argv:
         print(json.dumps(run_rmat_pagerank()))
     else:

@@ -37,12 +37,10 @@ def _result(engine, src_name, out_name, out_dir=None):
 
 
 def _spmv_round(engine, name):
-    outs = [
-        w.spmv_scatter.options(num_returns=2).remote(name) for w in engine.workers
-    ]
-    msg_refs = [o[0] for o in outs]
-    stats = ray.get([o[1] for o in outs])
-    return msg_refs, stats
+    """Returns (per-receiver msg ref lists indexed by receiver, stats) —
+    mode-aware (packed: every receiver shares the same W refs; sliced:
+    receiver q gets only its own per-sender slices)."""
+    return engine.spmv_round_refs(name)
 
 
 def katz_centrality(graph, alpha: float = 0.1, beta: float = 1.0,
@@ -53,11 +51,11 @@ def katz_centrality(graph, alpha: float = 0.1, beta: float = 1.0,
     try:
         ray.get([w.set_state.remote("x", 0.0) for w in engine.workers])
         for it in range(max_iter):
-            msg_refs, _ = _spmv_round(engine, "x")
+            per_recv, _ = _spmv_round(engine, "x")
             upd = ray.get(
                 [
                     engine.workers[q].gather_into.remote(
-                        "x", msg_refs, alpha=alpha, beta=beta
+                        "x", per_recv[q], alpha=alpha, beta=beta
                     )
                     for q in range(engine.W)
                 ]
@@ -81,10 +79,10 @@ def eigenvector_centrality(graph, tol: float = 1e-6, max_iter: int = 100,
     try:
         ray.get([w.set_state.remote("x", 1.0 / math.sqrt(V)) for w in engine.workers])
         for it in range(max_iter):
-            msg_refs, _ = _spmv_round(engine, "x")
+            per_recv, _ = _spmv_round(engine, "x")
             upd = ray.get(
                 [
-                    engine.workers[q].gather_into.remote("y", msg_refs)
+                    engine.workers[q].gather_into.remote("y", per_recv[q])
                     for q in range(engine.W)
                 ]
             )
@@ -126,10 +124,10 @@ def hits(graph, tol: float = 1e-5, max_iter: int = 100,
         ray.get([w.set_state.remote("h", 1.0 / V) for w in engine.workers])
         for it in range(max_iter):
             # authorities: a = Aᵀ h, L1-normalized
-            msg_refs, _ = _spmv_round(engine, "h")
+            per_recv, _ = _spmv_round(engine, "h")
             upd = ray.get(
                 [
-                    engine.workers[q].gather_into.remote("a", msg_refs)
+                    engine.workers[q].gather_into.remote("a", per_recv[q])
                     for q in range(W)
                 ]
             )

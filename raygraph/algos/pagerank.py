@@ -137,14 +137,8 @@ def _run(engine, graph, alpha, tol, max_iter, nstart, personalization,
 def _iteration(engine, alpha, has_personalization, V):
     """Single-barrier superstep: updates consume the scatter message refs
     directly (Ray resolves them when ready); the driver only joins on the
-    update stats — no scatter-side barrier, no driver-held scalar."""
-    import ray
-
-    W = engine.W
-    msg_refs = [w.pagerank_scatter.remote() for w in engine.workers]
-    upd = [
-        engine.workers[q].pagerank_update.remote(alpha, has_personalization, msg_refs)
-        for q in range(W)
-    ]
-    update_stats = ray.get(upd)
+    update stats — no scatter-side barrier, no driver-held scalar.
+    Exchange layout (packed vs per-receiver sliced) follows the engine's
+    ``exchange_mode``."""
+    update_stats = engine.pagerank_round(alpha, has_personalization)
     return update_stats, update_stats

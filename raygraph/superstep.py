@@ -139,6 +139,56 @@ class PartitionWorker:
             self._pos_cache[sender] = pos
         return pos
 
+    def _take_mine(self, m):
+        """Normalize a received message: packed mode ships each sender's
+        full per-receiver list (slice out ours); sliced mode ships exactly
+        our tuple."""
+        return m[self.wid] if isinstance(m, list) else m
+
+    # -- sliced (per-receiver) exchange variants --------------------------
+    # One plasma object PER (sender, receiver) pair instead of one per
+    # sender: O(W²) objects per round, but a receiver fetches only its own
+    # slice — on a multi-node cluster this cuts per-node inbound bytes by
+    # ~W× versus shipping every sender's full list to every node (the 1D
+    # placement message-volume gap, SCALE.md item 1).
+    def scatter_sliced(self, scatter_name: str):
+        """Generic wrapper: call with num_returns=W+1 — W per-receiver
+        message objects followed by the stats dict."""
+        out, stats = getattr(self, scatter_name)()
+        return (*out, stats)
+
+    def pagerank_scatter_sliced(self):
+        """Per-receiver pagerank messages (num_returns=W):
+        (vids_q, partials_q, dangling_partial)."""
+        pr = self.state["pr"]
+        contrib = pr[self.src_local] * self._pr_edge_coef
+        partial = np.bincount(self.dst_inverse, weights=contrib,
+                              minlength=len(self.dst_unique))
+        dangling_sum = float(pr[self.state["dangling"]].sum())
+        offs = self.route_offsets
+        pv, pp = self.packed_vids, partial[self.route_order]
+        return tuple(
+            (pv[offs[q]:offs[q + 1]], pp[offs[q]:offs[q + 1]], dangling_sum)
+            for q in range(self.W)
+        )
+
+    def spmv_scatter_sliced(self, name: str):
+        """Per-receiver spmv messages (num_returns=W+1): W (vids, partials)
+        tuples followed by the stats dict."""
+        x = self.state[name]
+        contrib = x[self.src_local] * self.w
+        partial = np.bincount(self.dst_inverse, weights=contrib,
+                              minlength=len(self.dst_unique))
+        offs = self.route_offsets
+        pv, pp = self.packed_vids, partial[self.route_order]
+        msgs = tuple(
+            (pv[offs[q]:offs[q + 1]], pp[offs[q]:offs[q + 1]])
+            for q in range(self.W)
+        )
+        return (*msgs, {"rows_out": len(pv), "bytes_out": pv.nbytes * 2,
+                        "local_sum": float(x.sum()),
+                        "local_sq": float((x * x).sum())})
+
     # -- bookkeeping ------------------------------------------------------
     def info(self):
         return {
@@ -241,22 +291,33 @@ class PartitionWorker:
 
     def pagerank_update(self, alpha: float, has_pers: bool, msg_refs):
         """Gather + state update; computes unvarying locally from the
-        dangling partials carried in the message objects."""
+        dangling partials carried in the message objects.  Accepts packed
+        messages (4-tuple with offsets — slice ours out) or sliced ones
+        (3-tuple already ours); ``bytes_in`` counts what this worker
+        actually deserialized."""
         all_msgs = ray.get(list(msg_refs))
-        dangling = sum(m[3] for m in all_msgs)
+        gather = np.zeros(self.n_owned)
+        rows_in = 0
+        bytes_in = 0
+        dangling = 0.0
+        lo, hi = self.wid, self.wid + 1
+        for sender, m in enumerate(all_msgs):
+            if len(m) == 4:  # packed: full arrays shipped, slice ours
+                vids_all, part_all, offs, d = m
+                bytes_in += vids_all.nbytes + part_all.nbytes + offs.nbytes
+                vids = vids_all[offs[lo]:offs[hi]]
+                partials = part_all[offs[lo]:offs[hi]]
+            else:  # sliced: exactly our slice shipped
+                vids, partials, d = m
+                bytes_in += vids.nbytes + partials.nbytes
+            dangling += d
+            pos = self._recv_pos(sender, vids)
+            gather[pos] += partials  # vids unique per sender → plain fancy add
+            rows_in += len(vids)
         if has_pers:
             unvarying = alpha * dangling + (1.0 - alpha)
         else:
             unvarying = (alpha * dangling + (1.0 - alpha)) / self.V
-        gather = np.zeros(self.n_owned)
-        rows_in = 0
-        lo, hi = self.wid, self.wid + 1
-        for sender, (vids_all, part_all, offs, _d) in enumerate(all_msgs):
-            vids = vids_all[offs[lo]:offs[hi]]
-            partials = part_all[offs[lo]:offs[hi]]
-            pos = self._recv_pos(sender, vids)
-            gather[pos] += partials  # vids unique per sender → plain fancy add
-            rows_in += len(vids)
         pr_old = self.state["pr"]
         if "pers" in self.state:
             pr_new = unvarying * self.state["pers"] + alpha * gather
@@ -265,7 +326,7 @@ class PartitionWorker:
         l1 = float(np.abs(pr_new - pr_old).sum())
         self.state["pr"] = pr_new
         return {"l1": l1, "pr_sum": float(pr_new.sum()), "rows_in": rows_in,
-                "rows_out": len(self.packed_vids),
+                "bytes_in": bytes_in, "rows_out": len(self.packed_vids),
                 "bytes_out": self.packed_vids.nbytes * 2, "dangling": dangling}
 
     # -- generic SpMV scatter + dst-property exchange ---------------------
@@ -290,9 +351,13 @@ class PartitionWorker:
         gather = np.zeros(self.n_owned)
         rows_in = 0
         lo, hi = self.wid, self.wid + 1
-        for sender, (vids_all, part_all, offs) in enumerate(all_msgs):
-            vids = vids_all[offs[lo]:offs[hi]]
-            partials = part_all[offs[lo]:offs[hi]]
+        for sender, m in enumerate(all_msgs):
+            if len(m) == 3:  # packed
+                vids_all, part_all, offs = m
+                vids = vids_all[offs[lo]:offs[hi]]
+                partials = part_all[offs[lo]:offs[hi]]
+            else:  # sliced
+                vids, partials = m
             pos = self._recv_pos(sender, vids)
             gather[pos] += partials
             rows_in += len(vids)
@@ -389,7 +454,7 @@ class PartitionWorker:
         incoming = np.full(self.n_owned, np.iinfo(np.int64).max, dtype=np.int64)
         rows_in = 0
         for msgs in all_msgs:
-            vids, best = msgs[self.wid]
+            vids, best = self._take_mine(msgs)
             # frontier messages are sparse subsets → positions not cached
             idx = np.searchsorted(self.owned, vids)
             incoming[idx] = np.minimum(incoming[idx], best)
@@ -450,7 +515,7 @@ class PartitionWorker:
         incoming = np.full(self.n_owned, self._UNREACHED, dtype=np.int64)
         rows_in = 0
         for msgs in all_msgs:
-            vids, best = msgs[self.wid]
+            vids, best = self._take_mine(msgs)
             idx = np.searchsorted(self.owned, vids)
             incoming[idx] = np.minimum(incoming[idx], best)
             rows_in += len(vids)
@@ -523,7 +588,7 @@ class PartitionWorker:
         best_d = np.full(self.n_owned, np.inf)
         best_p = np.full(self.n_owned, -1, dtype=np.int64)
         for msgs in all_msgs:
-            vids, nds, prs = msgs[self.wid]
+            vids, nds, prs = self._take_mine(msgs)
             if not len(vids):
                 continue
             idx = np.searchsorted(self.owned, vids)
@@ -574,7 +639,7 @@ class PartitionWorker:
 
     def lpa_update(self, msg_refs):
         all_msgs = ray.get(list(msg_refs))
-        mine = [m[self.wid] for m in all_msgs]
+        mine = [self._take_mine(m) for m in all_msgs]
         vids = np.concatenate([m[0] for m in mine]) if mine else np.empty(0, np.int64)
         labs = np.concatenate([m[1] for m in mine]) if mine else np.empty(0, np.int64)
         ws = np.concatenate([m[2] for m in mine]) if mine else np.empty(0)
@@ -643,7 +708,7 @@ class PartitionWorker:
         indeg = np.zeros(self.n_owned, dtype=np.int64)
         rows_in = 0
         for msgs in all_msgs:
-            vids, c = msgs[self.wid]
+            vids, c = self._take_mine(msgs)
             idx = np.searchsorted(self.owned, vids)
             indeg[idx] += c
             rows_in += len(vids)
@@ -701,7 +766,7 @@ class PartitionWorker:
         incoming = np.full(self.n_owned, np.iinfo(np.int64).max, dtype=np.int64)
         rows_in = 0
         for msgs in all_msgs:
-            vids, best = msgs[self.wid]
+            vids, best = self._take_mine(msgs)
             idx = np.searchsorted(self.owned, vids)
             incoming[idx] = np.minimum(incoming[idx], best)
             rows_in += len(vids)
@@ -766,7 +831,8 @@ class SuperstepEngine:
     """Driver-side BSP loop + checkpoint/lineage/resume over PartitionWorkers."""
 
     def __init__(self, graph, num_workers: Optional[int] = None,
-                 checkpoint_dir: Optional[str] = None, checkpoint_every: int = 1):
+                 checkpoint_dir: Optional[str] = None, checkpoint_every: int = 1,
+                 exchange_mode: Optional[str] = None):
         self.graph = graph
         P = graph.num_partitions
         if num_workers is None:
@@ -775,6 +841,17 @@ class SuperstepEngine:
         self.W = num_workers
         self.checkpoint_dir = checkpoint_dir
         self.checkpoint_every = max(1, checkpoint_every)
+        # "packed": one object per sender per round (O(W) objects; every
+        # receiver reads every sender's full list — cheapest single-node,
+        # zero-copy within the node).  "sliced": one object per
+        # (sender, receiver) pair (O(W²) objects; each receiver fetches only
+        # its own bytes — the multi-node shape: per-node inbound volume
+        # drops ~W×).  Default from $RAYGRAPH_EXCHANGE, else packed.
+        if exchange_mode is None:
+            exchange_mode = os.environ.get("RAYGRAPH_EXCHANGE", "packed")
+        if exchange_mode not in ("packed", "sliced"):
+            raise ValueError(f"unknown exchange_mode {exchange_mode!r}")
+        self.exchange_mode = exchange_mode
         self.part2worker = self._balanced_assignment(graph, P, self.W)
         self.workers = [
             PartitionWorker.options(num_cpus=1).remote(
@@ -855,24 +932,81 @@ class SuperstepEngine:
         """One superstep: scatter on all workers, share the W message-list
         refs with every worker (each slices its own entry), update on all.
 
-        Two plasma objects per worker per round — O(W), not O(W²); reads of
-        peer message lists are zero-copy within a node.  On a multi-node
-        cluster this trades an O(W) object count for shipping each sender's
-        full message list to every node; revisit with per-receiver objects
-        if inter-node bandwidth ever dominates (documented trade-off).
+        packed mode: two plasma objects per worker per round — O(W), not
+        O(W²); reads of peer message lists are zero-copy within a node, but
+        every node deserializes every sender's full list (W× the necessary
+        cross-node bytes).  sliced mode: one object per (sender, receiver)
+        pair — O(W²) small objects, each receiver fetches exactly its own
+        slice; the multi-node default once inter-node bandwidth dominates.
         """
+        if self.exchange_mode == "sliced":
+            W = self.W
+            outs = [
+                w.scatter_sliced.options(num_returns=W + 1).remote(scatter_name)
+                for w in self.workers
+            ]
+            scatter_stats = ray.get([o[W] for o in outs])
+            upd = [
+                getattr(self.workers[q], update_name).remote(
+                    *update_args, [outs[s][q] for s in range(W)]
+                )
+                for q in range(W)
+            ]
+        else:
+            outs = [
+                getattr(w, scatter_name).options(num_returns=2).remote()
+                for w in self.workers
+            ]
+            msg_refs = [o[0] for o in outs]
+            scatter_stats = ray.get([o[1] for o in outs])
+            upd = [
+                getattr(self.workers[q], update_name).remote(*update_args, msg_refs)
+                for q in range(self.W)
+            ]
+        update_stats = ray.get(upd)
+        return scatter_stats, update_stats
+
+    def pagerank_round(self, alpha: float, has_pers: bool):
+        """Single-barrier pagerank superstep in the engine's exchange mode."""
+        W = self.W
+        if self.exchange_mode == "sliced":
+            outs = [
+                w.pagerank_scatter_sliced.options(num_returns=W).remote()
+                for w in self.workers
+            ]
+            upd = [
+                self.workers[q].pagerank_update.remote(
+                    alpha, has_pers, [outs[s][q] for s in range(W)]
+                )
+                for q in range(W)
+            ]
+        else:
+            msg_refs = [w.pagerank_scatter.remote() for w in self.workers]
+            upd = [
+                self.workers[q].pagerank_update.remote(alpha, has_pers, msg_refs)
+                for q in range(W)
+            ]
+        return ray.get(upd)
+
+    def spmv_round_refs(self, name: str):
+        """Scatter for one spmv round; returns (per-receiver msg ref lists
+        indexed by receiver, scatter stats)."""
+        W = self.W
+        if self.exchange_mode == "sliced":
+            outs = [
+                w.spmv_scatter_sliced.options(num_returns=W + 1).remote(name)
+                for w in self.workers
+            ]
+            stats = ray.get([o[W] for o in outs])
+            per_receiver = [[outs[s][q] for s in range(W)] for q in range(W)]
+            return per_receiver, stats
         outs = [
-            getattr(w, scatter_name).options(num_returns=2).remote()
+            w.spmv_scatter.options(num_returns=2).remote(name)
             for w in self.workers
         ]
         msg_refs = [o[0] for o in outs]
-        scatter_stats = ray.get([o[1] for o in outs])
-        upd = [
-            getattr(self.workers[q], update_name).remote(*update_args, msg_refs)
-            for q in range(self.W)
-        ]
-        update_stats = ray.get(upd)
-        return scatter_stats, update_stats
+        stats = ray.get([o[1] for o in outs])
+        return [msg_refs] * W, stats
 
     def shutdown(self):
         """Release worker actors (and their CPU reservations).

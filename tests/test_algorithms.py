@@ -233,3 +233,32 @@ def test_scc_requires_directed(tmp_path):
     g = build(fixtures.karate_df(), False, tmp_path, "sccund")
     with pytest.raises(ValueError):
         strongly_connected_components(g)
+
+
+# ------------------------------------------------------- exchange modes
+
+
+def test_sliced_exchange_matches_packed(tmp_path, monkeypatch):
+    # per-receiver (sliced) exchange must reproduce packed-mode results
+    # bit-for-bit across pagerank / wcc / lpa / bfs
+    from raygraph.algos.traversal import bfs
+
+    g = build(fixtures.karate_df(), False, tmp_path, "kex")
+    pr_p = pr_vec(pagerank(g, tol=1e-8, max_iter=300, num_workers=4), fixtures.KARATE_V)
+    wcc_p = weakly_connected_components(g, num_workers=4).to_pandas().sort_values("vertex")
+    lpa_p = label_propagation(g, max_iter=15, num_workers=4).to_pandas().sort_values("vertex")
+    bfs_p = bfs(g, 0, num_workers=4).to_pandas().sort_values("vertex")
+
+    monkeypatch.setenv("RAYGRAPH_EXCHANGE", "sliced")
+    pr_s = pr_vec(pagerank(g, tol=1e-8, max_iter=300, num_workers=4), fixtures.KARATE_V)
+    wcc_s = weakly_connected_components(g, num_workers=4).to_pandas().sort_values("vertex")
+    lpa_s = label_propagation(g, max_iter=15, num_workers=4).to_pandas().sort_values("vertex")
+    bfs_s = bfs(g, 0, num_workers=4).to_pandas().sort_values("vertex")
+
+    assert np.allclose(pr_p, pr_s, atol=1e-12)
+    assert np.array_equal(wcc_p["labels"].to_numpy(), wcc_s["labels"].to_numpy())
+    assert np.array_equal(lpa_p["label"].to_numpy(), lpa_s["label"].to_numpy())
+    assert np.array_equal(bfs_p["distance"].to_numpy(), bfs_s["distance"].to_numpy())
+    assert np.array_equal(
+        bfs_p["predecessor"].to_numpy(), bfs_s["predecessor"].to_numpy()
+    )
