@@ -5,12 +5,17 @@ Reference: ``cpp/src/cores/core_number_impl.cuh`` (328) /
 k-core of the undirected simple graph; k_core(G, k) = induced subgraph on
 {v : core(v) ≥ k}.
 
-The peeling recurrence is inherently sequential in k; levels are computed
-with the standard O(E) bucket peeling over driver-resident arrays (same
-broadcast-limit trade as Louvain's level state — the edge list streams in
-once via the Dataset, only V-sized arrays live on the driver).  The
-Dataset-expressed alternative (iterate: degrees → filter) costs one shuffle
-per peel round and is strictly worse below the broadcast limit.
+Two paths, same result:
+
+* **local** (V ≤ ``broadcast_limit``): the O(E) Batagelj–Zaveršnik bucket
+  peel over driver arrays — fastest when the edge list fits the driver.
+* **distributed** (default past the limit; force with
+  ``broadcast_limit=0``): synchronized delta-peeling on the BSP engine —
+  per sub-round every alive vertex with remaining degree ≤ k is peeled
+  (core = k) and its neighbors' degrees are decremented via the message
+  exchange; k advances to the global min alive degree between waves.
+  Only V-sized state lives on any one worker; the driver holds scalars.
+  Round count is the peeling depth (inherent to parallel k-core).
 """
 
 from __future__ import annotations
@@ -19,7 +24,46 @@ import numpy as np
 import pandas as pd
 
 
-def core_number(graph, broadcast_limit: int = 20_000_000):
+def _core_number_distributed(graph, num_workers=None):
+    import ray
+    import ray.data as rd
+
+    from raygraph.superstep import SuperstepEngine
+
+    engine = SuperstepEngine(graph, num_workers=num_workers)
+    try:
+        ray.get([w.core_init.remote() for w in engine.workers])
+        k = 0
+        while True:
+            mins = [
+                m for m in ray.get(
+                    [w.core_min_deg.remote() for w in engine.workers]
+                )
+                if m is not None
+            ]
+            if not mins:
+                break
+            k = max(k, min(mins))
+            while True:
+                stats, _ = engine._exchange(
+                    "core_peel_scatter", "core_peel_update", scatter_args=(k,)
+                )
+                if sum(s["peeled"] for s in stats) == 0:
+                    break
+        ds = engine.result_dataset(["core"])
+        import pyarrow as pa
+
+        return ds.map_batches(
+            lambda t: pa.table(
+                {"vertex": t.column("vertex"), "core_number": t.column("core")}
+            ),
+            batch_format="pyarrow",
+        )
+    finally:
+        engine.shutdown()
+
+
+def core_number(graph, broadcast_limit: int = 20_000_000, num_workers=None):
     """Returns Dataset (vertex, core_number) — exact."""
     import ray.data as rd
 
@@ -27,7 +71,7 @@ def core_number(graph, broadcast_limit: int = 20_000_000):
         raise ValueError("core_number requires an undirected graph")
     V = graph.num_vertices
     if V > broadcast_limit:
-        raise NotImplementedError("dataset peeling path not wired; V too large")
+        return _core_number_distributed(graph, num_workers=num_workers)
     df = graph.edges_dataset(columns=["src", "dst"]).to_pandas()
     src = df["src"].to_numpy(np.int64)
     dst = df["dst"].to_numpy(np.int64)

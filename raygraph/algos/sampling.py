@@ -89,6 +89,102 @@ def uniform_neighbor_sample(graph, start_vertices, fanouts, seed: int = 42):
     return rd.from_pandas(result)
 
 
+def node2vec_walks(graph, start_vertices, max_length: int,
+                   p: float = 1.0, q: float = 1.0, seed: int = 42):
+    """node2vec biased walks (Grover & Leskovec 2016) — the reference's
+    ``random_walks_impl.cuh`` biased variant / ``sampling/node2vec.py``.
+
+    Per step from ``cur`` with previous vertex ``prev``, candidate x is
+    weighted ``w(cur,x)·α`` with α = 1/p if x==prev, 1 if (prev,x)∈E,
+    else 1/q.  The (prev,x) adjacency test is a bucketed left join of the
+    candidate rows against the edge list — no per-worker adjacency index.
+    Deterministic: the pick uses the (seed, walker, step) counter stream.
+    Returns Dataset (walker:int64, step:int32, vertex:int64).
+    """
+    import ray.data as rd
+
+    from raygraph import joins
+    from raygraph.agg import bucketed_map_groups
+
+    starts = np.asarray(list(start_vertices), dtype=np.int64)
+    walkers = pd.DataFrame(
+        {
+            "walker": np.arange(len(starts), dtype=np.int64),
+            "prev": np.full(len(starts), -1, dtype=np.int64),
+            "cur": starts,
+        }
+    )
+    rows = [
+        pd.DataFrame(
+            {"walker": walkers["walker"], "step": np.int32(0), "vertex": walkers["cur"]}
+        )
+    ]
+    edges = graph.edges_dataset(columns=["src", "dst", "weight"])
+    adj = edges.map_batches(
+        lambda df: pd.DataFrame(
+            {
+                "__pa": df["src"].to_numpy(np.int64),
+                "__pb": df["dst"].to_numpy(np.int64),
+                "__adj": np.ones(len(df)),
+            }
+        ),
+        batch_format="pandas",
+    )
+    for step in range(1, max_length):
+        if not len(walkers):
+            break
+        wds = rd.from_pandas(walkers.rename(columns={"cur": "src"}))
+        cand = joins.hash_join(wds, edges, on="src", num_buckets=16)
+        flagged = joins.hash_join(
+            cand.map_batches(
+                lambda df: df.assign(
+                    __pa=df["prev"].to_numpy(np.int64),
+                    __pb=df["dst"].to_numpy(np.int64),
+                ),
+                batch_format="pandas",
+            ),
+            adj,
+            on=["__pa", "__pb"],
+            how="left",
+            num_buckets=16,
+        )
+
+        def pick(g: pd.DataFrame, step=step) -> pd.DataFrame:
+            wid = np.int64(g["walker"].iloc[0])
+            prev = np.int64(g["prev"].iloc[0])
+            order = np.argsort(g["dst"].to_numpy(np.int64), kind="stable")
+            cands = g["dst"].to_numpy(np.int64)[order]
+            w = g["weight"].to_numpy(np.float64)[order]
+            is_adj = g["__adj"].to_numpy()[order] == 1.0
+            alpha = np.where(
+                cands == prev, 1.0 / p, np.where(is_adj, 1.0, 1.0 / q)
+            )
+            wt = w * alpha
+            cum = np.cumsum(wt)
+            u = _seeded_uniform(seed, np.array([wid], dtype=np.int64), step)[0, 0]
+            i = int(np.searchsorted(cum, u * cum[-1], side="right"))
+            nxt = cands[min(i, len(cands) - 1)]
+            return pd.DataFrame(
+                {"walker": [wid], "prev": [np.int64(g["src"].iloc[0])],
+                 "cur": [nxt]}
+            )
+
+        moved = bucketed_map_groups(flagged, ["walker"], pick, num_buckets=16)
+        walkers = moved.to_pandas()
+        if not len(walkers):
+            break
+        rows.append(
+            pd.DataFrame(
+                {
+                    "walker": walkers["walker"].to_numpy(np.int64),
+                    "step": np.full(len(walkers), step, dtype=np.int32),
+                    "vertex": walkers["cur"].to_numpy(np.int64),
+                }
+            )
+        )
+    return rd.from_pandas(pd.concat(rows, ignore_index=True))
+
+
 def random_walks(graph, start_vertices, max_length: int, seed: int = 42):
     """Uniform random walks; returns Dataset
     (walker:int64, step:int32, vertex:int64) — walk prefix per walker,

@@ -20,6 +20,8 @@ from __future__ import annotations
 
 from typing import Optional, Sequence
 
+import numpy as np
+import pandas as pd
 import ray
 
 from raygraph.superstep import SuperstepEngine
@@ -47,6 +49,66 @@ def bfs(graph, sources: Sequence[int] | int, max_iter: int = 10_000,
         return ds
     finally:
         engine.shutdown()
+
+
+def extract_bfs_paths(graph, bfs_result, destinations,
+                      max_depth: int = 10_000):
+    """Unwind source→destination paths from a BFS result.
+
+    Reference: ``cpp/src/traversal/extract_bfs_paths_impl.cuh`` (the
+    predecessor-unwind utility).  ``bfs_result`` is the (vertex, distance,
+    predecessor) Dataset from :func:`bfs`; ``destinations`` a small id
+    list.  Returns Dataset (dest:int64, pos:int64, vertex:int64) where
+    ``pos`` is the 0-based position along the path from the source
+    (pos == distance of that vertex).  Unreached destinations (distance
+    −1) produce no rows.
+
+    Each hop broadcasts the (tiny) frontier and filters the result Dataset
+    for the needed rows — O(depth) distributed scans, driver memory
+    O(|destinations| × path length) only.
+    """
+    import ray
+    import ray.data as rd
+
+    dests = np.unique(np.asarray(list(destinations), dtype=np.int64))
+    out_rows = []
+    cur = dests  # current vertex being resolved, aligned with dest
+    dest_of = dests.copy()
+    for _ in range(max_depth):
+        if not len(cur):
+            break
+        need = np.unique(cur)
+        nref = ray.put(need)
+
+        def pickrows(df, nref=nref):
+            ns = ray.get(nref)
+            return df[np.isin(df["vertex"].to_numpy(np.int64), ns)]
+
+        rows = (
+            bfs_result.map_batches(pickrows, batch_format="pandas")
+            .to_pandas()
+            .set_index("vertex")
+        )
+        d = rows.loc[cur, "distance"].to_numpy(np.int64)
+        p = rows.loc[cur, "predecessor"].to_numpy(np.int64)
+        reached = d >= 0
+        out_rows.append(
+            pd.DataFrame(
+                {"dest": dest_of[reached], "pos": d[reached],
+                 "vertex": cur[reached]}
+            )
+        )
+        cont = reached & (p >= 0)
+        cur = p[cont]
+        dest_of = dest_of[cont]
+    result = (
+        pd.concat(out_rows, ignore_index=True)
+        if out_rows
+        else pd.DataFrame({"dest": [], "pos": [], "vertex": []})
+    )
+    return rd.from_pandas(
+        result.astype({"dest": np.int64, "pos": np.int64, "vertex": np.int64})
+    )
 
 
 def sssp(graph, sources: Sequence[int] | int, max_iter: int = 10_000,

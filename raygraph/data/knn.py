@@ -75,9 +75,23 @@ def knn_bruteforce(ds, queries: np.ndarray, query_ids, k: int = 10,
 
 
 def train_ivf_centroids(ds, num_centroids: int = 16, emb_col: str = "embedding",
-                        sample_rows: int = 10_000, iters: int = 10, seed: int = 42):
-    """K-means on a driver-side sample (Lloyd's, deterministic seed)."""
-    sample = ds.limit(sample_rows).to_pandas()
+                        sample_rows: int = 10_000, iters: int = 10, seed: int = 42,
+                        id_col: str = "vec_id"):
+    """K-means on a deterministic hash-stride sample (Lloyd's).
+
+    The sample keeps rows with ``splitmix64(id) % stride == 0`` — unbiased
+    w.r.t. storage order (``ds.limit`` would train on the FIRST rows, which
+    is skewed on sorted inputs), deterministic across runs/parallelism."""
+    from raygraph.hashing import hash_int64
+
+    n = ds.count()
+    stride = max(1, n // max(1, sample_rows))
+
+    def take(df: pd.DataFrame) -> pd.DataFrame:
+        h = hash_int64(df[id_col].to_numpy(np.int64))
+        return df[h % np.uint64(stride) == 0]
+
+    sample = ds.map_batches(take, batch_format="pandas").to_pandas()
     X = _norm_rows(_emb_matrix(sample, emb_col))
     rng = np.random.RandomState(seed)
     C = X[rng.choice(len(X), size=min(num_centroids, len(X)), replace=False)]
@@ -107,6 +121,72 @@ def ivf_assign(ds, centroids: np.ndarray, emb_col="embedding", id_col="vec_id"):
         return out
 
     return ds.map_batches(fn, batch_format="pandas")
+
+
+class IvfIndex:
+    """Persisted IVF index: centroids + vectors partitioned by inverted
+    list on disk (hive ``list_id=`` dirs), so a probe reads ONLY the probed
+    partitions — the assignment is paid once at build, not per query (the
+    r1 version re-assigned the whole dataset on every call)."""
+
+    def __init__(self, base_dir: str, centroids: np.ndarray,
+                 emb_col: str = "embedding", id_col: str = "vec_id"):
+        self.base_dir = base_dir
+        self.centroids = centroids
+        self.emb_col = emb_col
+        self.id_col = id_col
+
+    @staticmethod
+    def build(ds, num_centroids: int = 16, out_dir: Optional[str] = None,
+              emb_col: str = "embedding", id_col: str = "vec_id",
+              sample_rows: int = 10_000, seed: int = 42) -> "IvfIndex":
+        import os
+        import tempfile
+        import uuid
+
+        if out_dir is None:
+            out_dir = os.path.join(
+                tempfile.gettempdir(), "raygraph", f"ivf-{uuid.uuid4().hex[:10]}"
+            )
+        os.makedirs(out_dir, exist_ok=True)
+        C = train_ivf_centroids(
+            ds, num_centroids, emb_col, sample_rows=sample_rows, seed=seed,
+            id_col=id_col,
+        )
+        assigned = ivf_assign(ds, C, emb_col, id_col)
+        assigned.write_parquet(
+            os.path.join(out_dir, "lists"), partition_cols=["list_id"]
+        )
+        np.save(os.path.join(out_dir, "centroids.npy"), C)
+        return IvfIndex(out_dir, C, emb_col, id_col)
+
+    @staticmethod
+    def load(base_dir: str, emb_col: str = "embedding",
+             id_col: str = "vec_id") -> "IvfIndex":
+        import os
+
+        C = np.load(os.path.join(base_dir, "centroids.npy"))
+        return IvfIndex(base_dir, C, emb_col, id_col)
+
+    def query(self, queries: np.ndarray, query_ids, k: int = 10,
+              nprobe: int = 4, exclude_ids: bool = True):
+        import os
+
+        import ray.data as rd
+
+        qm = _norm_rows(np.asarray(queries, dtype=np.float64))
+        probe = np.argsort(-(qm @ self.centroids.T), axis=1)[:, :nprobe]
+        import glob
+
+        files = []
+        for c in np.unique(probe):
+            d = os.path.join(self.base_dir, "lists", f"list_id={c}")
+            files.extend(sorted(glob.glob(os.path.join(d, "*.parquet"))))
+        probed = rd.read_parquet(files)  # partition pruning at the read
+        return knn_bruteforce(
+            probed, queries, query_ids, k, self.emb_col, self.id_col,
+            exclude_ids=exclude_ids,
+        )
 
 
 def knn_ivf(ds, queries: np.ndarray, query_ids, k: int = 10, nprobe: int = 4,

@@ -752,6 +752,74 @@ def q_core_number(sf_dir: str):
     )
 
 
+def q_node2vec(sf_dir: str):
+    """node2vec biased walks (p=2, q=0.5) from the 5 lowest part keys on
+    the weight≥3 subgraph (rows-only; bias semantics + determinism pinned
+    by pytest)."""
+    from raygraph.algos.sampling import node2vec_walks
+
+    g = _w3_subgraph(sf_dir, "n2v")
+    starts = (
+        g.vmap_dataset()
+        .map_batches(
+            lambda df: df[df["vertex_key"].str.startswith("part::")]
+            .sort_values("vertex_key").head(5),
+            batch_format="pandas",
+        )
+        .to_pandas()
+        .sort_values("vertex_key")
+        .head(5)["vid"]
+        .to_numpy(np.int64)
+    )
+    walks = node2vec_walks(g, starts, max_length=5, p=2.0, q=0.5, seed=42)
+    return g.unrenumber(walks, "vertex").map_batches(
+        lambda df: pd.DataFrame(
+            {
+                "walker": df["walker"].astype(np.int64),
+                "step": df["step"].astype(np.int64),
+                "vertex_key": df["vertex"],
+            }
+        ),
+        batch_format="pandas",
+    )
+
+
+def q_bfs_paths(sf_dir: str):
+    """Source→destination BFS path unwind (extract_bfs_paths) for the 5
+    highest reached keys on the weight≥3 subgraph (rows-only: path choice
+    follows the engine's min-internal-vid predecessor tie-break, which SQL
+    cannot reproduce; validity pinned by pytest)."""
+    from raygraph.algos.traversal import bfs, extract_bfs_paths
+
+    g = _w3_subgraph(sf_dir, "bfsp")
+    res = bfs(g, _min_key_vid(g)).materialize()
+    reached = res.map_batches(
+        lambda df: df.loc[df["distance"] >= 1, ["vertex"]],
+        batch_format="pandas",
+    )
+    keyed = g.unrenumber(reached, "vertex").map_batches(
+        lambda df: df.sort_values("vertex", ascending=False).head(5),
+        batch_format="pandas",
+    ).to_pandas().sort_values("vertex", ascending=False).head(5)
+    vm = g.vmap_dataset().map_batches(
+        lambda df: df[df["vertex_key"].isin(keyed["vertex"].tolist())],
+        batch_format="pandas",
+    ).to_pandas()
+    paths = extract_bfs_paths(g, res, vm["vid"].to_numpy(np.int64))
+    out = g.unrenumber(paths, "dest")
+    out = g.unrenumber(out, "vertex")
+    return out.map_batches(
+        lambda df: pd.DataFrame(
+            {
+                "dest_key": df["dest"],
+                "pos": df["pos"].astype(np.int64),
+                "vertex_key": df["vertex"],
+            }
+        ),
+        batch_format="pandas",
+    )
+
+
 def q_scc(sf_dir: str):
     """SCC on a directed graph with real cycles: part→supp where count≥3
     plus the reverse supp→part where count≥4 (2-cycles wherever count≥4).
@@ -969,6 +1037,8 @@ QUERIES = {
     "core_number": q_core_number,
     "neighbor_sample": q_neighbor_sample,
     "scc": q_scc,
+    "node2vec": q_node2vec,
+    "bfs_paths": q_bfs_paths,
     "eigenvector": q_eigenvector,
     "random_walks": q_random_walks,
     "k_core": q_k_core,

@@ -151,10 +151,10 @@ class PartitionWorker:
     # slice — on a multi-node cluster this cuts per-node inbound bytes by
     # ~W× versus shipping every sender's full list to every node (the 1D
     # placement message-volume gap, SCALE.md item 1).
-    def scatter_sliced(self, scatter_name: str):
+    def scatter_sliced(self, scatter_name: str, *args):
         """Generic wrapper: call with num_returns=W+1 — W per-receiver
         message objects followed by the stats dict."""
-        out, stats = getattr(self, scatter_name)()
+        out, stats = getattr(self, scatter_name)(*args)
         return (*out, stats)
 
     def pagerank_scatter_sliced(self):
@@ -826,6 +826,63 @@ class PartitionWorker:
         act[sel] = False
         return {"assigned": int(sel.sum()), "active": int(act.sum())}
 
+    # -- core number: distributed delta-peeling ---------------------------
+    # semantics: cpp/src/cores/core_number_impl.cuh — parallel variant of
+    # Batagelj–Zaveršnik: peel every vertex with remaining degree ≤ k in
+    # synchronized sub-rounds, decrementing surviving neighbors' degrees.
+    def core_init(self):
+        keep = self.src != self.dst  # self-loops don't count toward cores
+        self._core_edge_keep = keep
+        deg = np.bincount(self.src_local[keep], minlength=self.n_owned)
+        self.state["core_alive"] = np.ones(self.n_owned, dtype=bool)
+        self.state["core_deg"] = deg.astype(np.int64)
+        self.state["core"] = np.zeros(self.n_owned, dtype=np.int64)
+        return True
+
+    def core_min_deg(self):
+        alive = self.state["core_alive"]
+        if not alive.any():
+            return None
+        return int(self.state["core_deg"][alive].min())
+
+    def core_peel_scatter(self, k: int):
+        """Peel alive vertices with deg ≤ k (core = k), emit per-dst
+        decrement counts for their non-self-loop edges."""
+        alive = self.state["core_alive"]
+        deg = self.state["core_deg"]
+        peel = alive & (deg <= k)
+        self.state["core"][peel] = k
+        alive[peel] = False
+        emask = peel[self.src_local] & self._core_edge_keep
+        cnt = np.bincount(self.dst_inverse[emask], minlength=len(self.dst_unique))
+        live = cnt > 0
+        out = []
+        rows_out = bytes_out = 0
+        for q in range(self.W):
+            idx = self.route[q]
+            sel = idx[live[idx]]
+            m = (self.dst_unique[sel], cnt[sel])
+            rows_out += len(sel)
+            bytes_out += m[0].nbytes + m[1].nbytes
+            out.append(m)
+        return out, {"peeled": int(peel.sum()), "rows_out": rows_out,
+                     "bytes_out": bytes_out}
+
+    def core_peel_update(self, msg_refs):
+        all_msgs = ray.get(list(msg_refs))
+        alive = self.state["core_alive"]
+        deg = self.state["core_deg"]
+        dec = np.zeros(self.n_owned, dtype=np.int64)
+        rows_in = 0
+        for msgs in all_msgs:
+            vids, cnt = self._take_mine(msgs)
+            idx = np.searchsorted(self.owned, vids)
+            dec[idx] += cnt
+            rows_in += len(vids)
+        sel = alive & (dec > 0)
+        deg[sel] = np.maximum(deg[sel] - dec[sel], 0)
+        return {"rows_in": rows_in}
+
 
 class SuperstepEngine:
     """Driver-side BSP loop + checkpoint/lineage/resume over PartitionWorkers."""
@@ -928,7 +985,8 @@ class SuperstepEngine:
         ray.get([w.load_state.remote(it_dir, names) for w in self.workers])
 
     # -- generic BSP round ------------------------------------------------
-    def _exchange(self, scatter_name: str, update_name: str, update_args=()):
+    def _exchange(self, scatter_name: str, update_name: str, update_args=(),
+                  scatter_args=()):
         """One superstep: scatter on all workers, share the W message-list
         refs with every worker (each slices its own entry), update on all.
 
@@ -942,7 +1000,9 @@ class SuperstepEngine:
         if self.exchange_mode == "sliced":
             W = self.W
             outs = [
-                w.scatter_sliced.options(num_returns=W + 1).remote(scatter_name)
+                w.scatter_sliced.options(num_returns=W + 1).remote(
+                    scatter_name, *scatter_args
+                )
                 for w in self.workers
             ]
             scatter_stats = ray.get([o[W] for o in outs])
@@ -954,7 +1014,7 @@ class SuperstepEngine:
             ]
         else:
             outs = [
-                getattr(w, scatter_name).options(num_returns=2).remote()
+                getattr(w, scatter_name).options(num_returns=2).remote(*scatter_args)
                 for w in self.workers
             ]
             msg_refs = [o[0] for o in outs]

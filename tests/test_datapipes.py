@@ -218,3 +218,21 @@ def test_frame_sample_plan():
                   "duration_sec": pa.array([4.0], pa.float64())})
     out = multimodal.frame_sample_plan(rd.from_arrow(t), fps=0.5).to_pandas()
     assert list(out["frame_ts"]) == [0.0, 2.0]
+
+
+def test_ivf_index_persisted_matches_fresh(tmp_path):
+    emb = rd.read_parquet(f"{SF}/embeddings.parquet")
+    import pyarrow.parquet as pq
+
+    edf = pq.read_table(f"{SF}/embeddings.parquet").to_pandas().sort_values("vec_id").head(3)
+    Q = np.stack([np.asarray(v, np.float64) for v in edf["embedding"]])
+    qids = edf["vec_id"].to_numpy(np.int64)
+    idx = knn.IvfIndex.build(emb, num_centroids=8, out_dir=str(tmp_path / "ivf"))
+    a = idx.query(Q, qids, k=10, nprobe=4)
+    # reload from disk and re-query — identical
+    idx2 = knn.IvfIndex.load(str(tmp_path / "ivf"))
+    b = idx2.query(Q, qids, k=10, nprobe=4)
+    assert a.equals(b)
+    # matches the unpersisted path with the same centroids
+    c = knn.knn_ivf(emb, Q, qids, k=10, nprobe=4, centroids=idx.centroids)
+    assert a.equals(c)

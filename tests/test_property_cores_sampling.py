@@ -89,6 +89,19 @@ def test_core_number_karate(karate):
     assert np.array_equal(got, want)
 
 
+def test_core_number_distributed_matches_local(karate):
+    # forced BSP delta-peeling path (broadcast_limit=0) must equal the
+    # local Batagelj–Zaveršnik peel exactly
+    a = core_number(karate).to_pandas().sort_values("vertex").reset_index(drop=True)
+    b = (
+        core_number(karate, broadcast_limit=0)
+        .to_pandas()
+        .sort_values("vertex")
+        .reset_index(drop=True)
+    )
+    assert a.equals(b)
+
+
 def test_k_core_edges(karate):
     cn = core_number(karate)
     kc = k_core(karate, 4, core_numbers=cn).to_pandas()
@@ -128,3 +141,42 @@ def test_random_walks(karate):
         eset |= {(b, a) for a, b in eset}
         for a, b in zip(path, path[1:]):
             assert (a, b) in eset
+
+
+def test_node2vec_bias_extremes(tmp_path):
+    # path graph 0-1-2-3-4 (undirected). p tiny -> walk returns;
+    # q tiny -> walk explores outward.
+    from raygraph.algos.sampling import node2vec_walks
+
+    df = pd.DataFrame(
+        {"src": [0, 1, 2, 3], "dst": [1, 2, 3, 4], "weight": np.ones(4)}
+    )
+    g = Graph.from_edges(
+        rd.from_pandas(df), src="src", dst="dst", weight="weight",
+        directed=False, renumber=False, num_partitions=2,
+        out_dir=str(tmp_path / "n2v"),
+    )
+    ret = node2vec_walks(g, [0], max_length=4, p=1e-6, q=1.0, seed=3).to_pandas()
+    seq = ret.sort_values("step")["vertex"].to_numpy()
+    assert list(seq) == [0, 1, 0, 1]  # strong return bias oscillates
+    out = node2vec_walks(g, [0], max_length=4, p=1.0, q=1e-6, seed=3).to_pandas()
+    seq2 = out.sort_values("step")["vertex"].to_numpy()
+    assert list(seq2) == [0, 1, 2, 3]  # strong in-out bias explores
+
+
+def test_node2vec_deterministic(karate):
+    from raygraph.algos.sampling import node2vec_walks
+
+    a = node2vec_walks(karate, [0, 5, 9], 5, p=2.0, q=0.5, seed=42).to_pandas()
+    b = node2vec_walks(karate, [0, 5, 9], 5, p=2.0, q=0.5, seed=42).to_pandas()
+    key = ["walker", "step"]
+    assert a.sort_values(key).reset_index(drop=True).equals(
+        b.sort_values(key).reset_index(drop=True)
+    )
+    # every consecutive hop is a real edge
+    eset = set(map(tuple, fixtures.karate_df()[["src", "dst"]].to_numpy()))
+    eset |= {(y, x) for x, y in eset}
+    for w, grp in a.sort_values("step").groupby("walker"):
+        vs = grp["vertex"].to_numpy()
+        for x, y in zip(vs[:-1], vs[1:]):
+            assert (x, y) in eset

@@ -79,3 +79,47 @@ def test_sssp_weighted_line(tmp_path):
     assert out.loc[3, "distance"] == 3.0  # via the path, not the direct 10.0
     assert out.loc[3, "predecessor"] == 2
     assert out.loc[0, "predecessor"] == -1
+
+
+# --------------------------------------------------------- path extraction
+
+
+def test_extract_bfs_paths_karate(karate):
+    from raygraph.algos.traversal import extract_bfs_paths
+
+    res = bfs(karate, 0)
+    rdf = res.to_pandas().set_index("vertex")
+    dests = [33, 16, 0]
+    paths = (
+        extract_bfs_paths(karate, res, dests)
+        .to_pandas()
+        .sort_values(["dest", "pos"])
+    )
+    eset = set(map(tuple, fixtures.karate_df()[["src", "dst"]].to_numpy()))
+    eset |= {(b, a) for a, b in eset}
+    for d in dests:
+        p = paths[paths["dest"] == d]["vertex"].to_numpy()
+        # path starts at the source, ends at the dest, length = dist+1
+        assert p[0] == 0 and p[-1] == d
+        assert len(p) == rdf.loc[d, "distance"] + 1
+        # consecutive vertices are actual edges
+        for a, b in zip(p[:-1], p[1:]):
+            assert (a, b) in eset
+    # positions are 0..dist
+    g33 = paths[paths["dest"] == 33]
+    assert list(g33["pos"]) == list(range(len(g33)))
+
+
+def test_extract_bfs_paths_unreached(tmp_path):
+    from raygraph.algos.traversal import extract_bfs_paths
+
+    df = fixtures.two_components_df()
+    g = Graph.from_edges(
+        rd.from_pandas(df), src="src", dst="dst", weight="weight",
+        directed=False, renumber=False, num_partitions=2,
+        out_dir=str(tmp_path / "g2c"),
+    )
+    res = bfs(g, 0)
+    # vertex 10 is in the other component -> no rows for it
+    paths = extract_bfs_paths(g, res, [10, 1]).to_pandas()
+    assert set(paths["dest"]) == {1}
