@@ -279,7 +279,8 @@ def run_scaling():
     one = _one_subproc
     repeats = int(os.environ.get("GRAFT_SCALING_REPEATS", "3"))
 
-    lo_cpus, hi_cpus = 8, 32
+    lo_cpus = int(os.environ.get("GRAFT_SCALING_LO", "8"))
+    hi_cpus = int(os.environ.get("GRAFT_SCALING_HI", "32"))
     # warm the graph cache (untimed) so both levels measure compute+exchange
     one(hi_cpus, ["--rmat-pagerank"])
     lo_runs, hi_runs = [], []
@@ -302,15 +303,19 @@ def run_scaling():
     print(
         json.dumps(
             {
-                "metric": "scaling efficiency (same input, fresh ray.init at 8 vs 32 cpus; interleaved medians of %d pairs)" % repeats,
+                "metric": "scaling efficiency (same input, fresh ray.init at "
+                          f"{lo_cpus} vs {hi_cpus} cpus; interleaved medians "
+                          f"of {repeats} pairs)",
                 "pagerank_rmat_scale": lo_runs[0]["rmat_scale"],
-                "pagerank_edges_per_sec_8": lo_med,
-                "pagerank_edges_per_sec_32": hi_med,
-                "pagerank_edges_per_sec_8_runs": [r["edges_per_sec"] for r in lo_runs],
-                "pagerank_edges_per_sec_32_runs": [r["edges_per_sec"] for r in hi_runs],
+                "lo_cpus": lo_cpus,
+                "hi_cpus": hi_cpus,
+                f"pagerank_edges_per_sec_{lo_cpus}": lo_med,
+                f"pagerank_edges_per_sec_{hi_cpus}": hi_med,
+                f"pagerank_edges_per_sec_{lo_cpus}_runs": [r["edges_per_sec"] for r in lo_runs],
+                f"pagerank_edges_per_sec_{hi_cpus}_runs": [r["edges_per_sec"] for r in hi_runs],
                 "pagerank_scaling_efficiency": round(pr_eff, 3),
-                "pipeline_sec_8": lo["value"],
-                "pipeline_sec_32": hi["value"],
+                f"pipeline_sec_{lo_cpus}": lo["value"],
+                f"pipeline_sec_{hi_cpus}": hi["value"],
                 "pipeline_scaling_efficiency": round(pipe_eff, 3),
                 "scaling_efficiency": round(pr_eff, 3),
                 "sf": os.path.basename(os.path.normpath(SF_DIR)),

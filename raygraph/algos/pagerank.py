@@ -84,10 +84,20 @@ def _run(engine, graph, alpha, tol, max_iter, nstart, personalization,
     import ray
 
     V = graph.num_vertices
-    ray.get([
-        w.pagerank_init.remote(nstart=nstart, personalization=personalization)
-        for w in engine.workers
-    ])
+    if engine.wire_mirrors():
+        # split high-degree graph: 3-step init — extended out-weight
+        # partials → owner collect → fetch complete out_wsum for mirrors
+        engine._exchange(
+            "pagerank_init_partial", "pagerank_init_collect",
+            update_args=(nstart, personalization),
+        )
+        engine.fetch_mirror("out_wsum")
+        ray.get([w.pagerank_finish_init.remote() for w in engine.workers])
+    else:
+        ray.get([
+            w.pagerank_init.remote(nstart=nstart, personalization=personalization)
+            for w in engine.workers
+        ])
 
     start_iter = 0
     if resume and checkpoint_dir:

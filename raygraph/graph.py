@@ -227,7 +227,8 @@ def translate_edges(edges_ds, vmap_ds, num_vertices: int,
 # partition + persist
 
 
-def partition_and_write(edges_ds, out_dir: str, num_partitions: int):
+def partition_and_write(edges_ds, out_dir: str, num_partitions: int,
+                        split_degree_threshold: Optional[int] = None):
     """Hash-partition edges by src into hive dirs of sorted-run files.
 
     No shuffle: each block is sorted by (src,dst) locally (the reference
@@ -237,11 +238,51 @@ def partition_and_write(edges_ds, out_dir: str, num_partitions: int):
     partition is therefore a set of sorted runs; consumers (the superstep
     workers) merge them with one ``np.unique``/searchsorted pass at load —
     cheaper at every scale than a cluster-wide sort shuffle.
+
+    ``split_degree_threshold``: srcs with out-degree above it have their
+    edge ROWS spread over all partitions by (src,dst) hash instead of
+    landing in one src-hash partition — the reference's high-degree vertex
+    splitting (``renumber_edgelist_impl.cuh`` degree segments).  The
+    superstep engine detects the resulting foreign-src ("mirror") edges
+    and syncs mirror state per iteration (PageRank path).
     """
+    hot_ref = None
+    if split_degree_threshold is not None:
+        import ray
+
+        from raygraph.agg import hash_aggregate
+
+        edges_ds = edges_ds.materialize()  # consumed twice below
+        deg = hash_aggregate(
+            edges_ds.map_batches(
+                lambda t: pa.table({"src": t.column("src")}),
+                batch_format="pyarrow",
+            ),
+            ["src"], {"n": (None, "count")},
+        )
+        hot = deg.map_batches(
+            lambda df: df.loc[df["n"] > split_degree_threshold, ["src"]],
+            batch_format="pandas",
+        ).to_pandas()  # hot srcs are few by definition
+        hot_ref = ray.put(np.sort(hot["src"].to_numpy(np.int64)))
 
     def add_part_and_sort(t: pa.Table) -> pa.Table:
         t = t.sort_by([("src", "ascending"), ("dst", "ascending")])
-        part = (hash_int64(t.column("src").to_numpy()) % np.uint64(num_partitions)).astype(np.int32)
+        src = t.column("src").to_numpy()
+        part = (hash_int64(src) % np.uint64(num_partitions)).astype(np.int32)
+        if hot_ref is not None:
+            import ray
+
+            hs = ray.get(hot_ref)
+            m = np.isin(src, hs)
+            if m.any():
+                dst = t.column("dst").to_numpy()
+                spread = (
+                    (hash_int64(src[m]) ^ hash_int64(dst[m]))
+                    % np.uint64(num_partitions)
+                ).astype(np.int32)
+                part = part.copy()
+                part[m] = spread
         return t.append_column("part", pa.array(part, pa.int32()))
 
     withpart = edges_ds.map_batches(
@@ -420,6 +461,7 @@ class Graph:
         num_partitions: int = 16,
         out_dir: Optional[str] = None,
         broadcast_limit: int = DEFAULT_BROADCAST_LIMIT,
+        split_degree_threshold: Optional[int] = None,
     ) -> "Graph":
         """Build a partitioned Graph from an edge Dataset.
 
@@ -485,7 +527,10 @@ class Graph:
         elif dedup is not None:
             ds = dedup_edges(ds, dedup)
 
-        partition_and_write(ds, out_dir, num_partitions)
+        partition_and_write(
+            ds, out_dir, num_partitions,
+            split_degree_threshold=split_degree_threshold,
+        )
 
         # edge count from parquet metadata (no data read)
         import pyarrow.dataset as pads
@@ -500,6 +545,7 @@ class Graph:
             "renumbered": renumber,
             "dedup": dedup if directed else (dedup or "min"),
             "weighted": weight is not None,
+            "split_degree_threshold": split_degree_threshold,
             "schema_version": 1,
         }
         g = Graph(out_dir, meta)

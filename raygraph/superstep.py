@@ -101,8 +101,33 @@ class PartitionWorker:
             np.sort(np.concatenate(owned)) if owned else np.empty(0, np.int64)
         )
         self.n_owned = len(self.owned)
-        # local index of each edge's src in the owned array (all srcs owned here)
-        self.src_local = np.searchsorted(self.owned, self.src)
+        # Mirror (foreign-src) edges: with high-degree src splitting a hot
+        # vertex's edge rows are spread across partitions, so this worker
+        # may hold edges whose src it does NOT own.  src_local indexes an
+        # EXTENDED source-state vector [owned state ∥ mirror state]; the
+        # mirror tail is synced from the owners (``apply_mirror_values``).
+        # Unsplit graphs have n_mirror == 0 and pay nothing.
+        owner_of_src = self.part2worker[part_of_vertex(self.src, self.P)]
+        src_owned_edge = owner_of_src == wid
+        if (~src_owned_edge).any():
+            self.mirror_unique, mirror_inv = np.unique(
+                self.src[~src_owned_edge], return_inverse=True
+            )
+        else:
+            self.mirror_unique = np.empty(0, np.int64)
+            mirror_inv = np.empty(0, np.int64)
+        self.n_mirror = len(self.mirror_unique)
+        self.src_local = np.empty(len(self.src), dtype=np.int64)
+        self.src_local[src_owned_edge] = np.searchsorted(
+            self.owned, self.src[src_owned_edge]
+        )
+        self.src_local[~src_owned_edge] = self.n_owned + mirror_inv
+        mo = (
+            self.part2worker[part_of_vertex(self.mirror_unique, self.P)]
+            if self.n_mirror else np.empty(0, np.int64)
+        )
+        self.mirror_route = [np.flatnonzero(mo == q) for q in range(self.W)]
+        self._mirror_vals: dict[str, np.ndarray] = {}
         # dst message routing, precomputed once: unique dsts, inverse index,
         # and per-destination-worker slices
         self.dst_unique, self.dst_inverse = np.unique(self.dst, return_inverse=True)
@@ -161,7 +186,8 @@ class PartitionWorker:
         """Per-receiver pagerank messages (num_returns=W):
         (vids_q, partials_q, dangling_partial)."""
         pr = self.state["pr"]
-        contrib = pr[self.src_local] * self._pr_edge_coef
+        pr_ext = self._src_vec("pr")
+        contrib = pr_ext[self.src_local] * self._pr_edge_coef
         partial = np.bincount(self.dst_inverse, weights=contrib,
                               minlength=len(self.dst_unique))
         dangling_sum = float(pr[self.state["dangling"]].sum())
@@ -189,6 +215,51 @@ class PartitionWorker:
                         "local_sum": float(x.sum()),
                         "local_sq": float((x * x).sum())})
 
+    # -- mirror (foreign-src) state sync ----------------------------------
+    # The src-property exchange for split high-degree vertices: owners
+    # serve their state for the mirror ids each worker registered; workers
+    # install the values as the tail of the extended source vector.
+    def _require_unsplit(self, algo: str):
+        if self.n_mirror:
+            raise NotImplementedError(
+                f"{algo} does not support split high-degree graphs yet "
+                "(mirror edges present); rebuild without "
+                "split_degree_threshold or use PageRank"
+            )
+
+    def mirror_count(self):
+        return self.n_mirror
+
+    def mirror_ids_by_owner(self):
+        return [self.mirror_unique[self.mirror_route[q]] for q in range(self.W)]
+
+    def register_mirror_requests(self, request_lists):
+        self._mirror_serve_pos = [
+            np.searchsorted(self.owned, np.asarray(ids, dtype=np.int64))
+            for ids in request_lists
+        ]
+        return True
+
+    def serve_mirror_values(self, name: str):
+        x = self.state[name]
+        return [x[pos] for pos in self._mirror_serve_pos]
+
+    def apply_mirror_values(self, name: str, value_refs):
+        vals = ray.get(list(value_refs))
+        dtype = next((v.dtype for v in vals if hasattr(v, "dtype")), np.float64)
+        full = np.zeros(self.n_mirror, dtype=dtype)
+        for q in range(self.W):
+            full[self.mirror_route[q]] = vals[q]
+        self._mirror_vals[name] = full
+        return True
+
+    def _src_vec(self, name: str) -> np.ndarray:
+        """State vector indexed by src_local: [owned ∥ mirror tail]."""
+        x = self.state[name]
+        if not self.n_mirror:
+            return x
+        return np.concatenate([x, self._mirror_vals[name]])
+
     # -- bookkeeping ------------------------------------------------------
     def info(self):
         return {
@@ -196,6 +267,7 @@ class PartitionWorker:
             "parts": self.parts,
             "edges": len(self.src),
             "owned": self.n_owned,
+            "mirrors": self.n_mirror,
         }
 
     def set_state(self, name: str, arr_or_scalar):
@@ -238,7 +310,9 @@ class PartitionWorker:
     # semantics: cpp/src/link_analysis/pagerank_impl.cuh:156-292
     def pagerank_init(self, nstart=None, personalization=None):
         # out-weight sums: complete locally because all out-edges of an owned
-        # vertex live in this worker (graph_view.hpp:671-683 analogue)
+        # vertex live in this worker (graph_view.hpp:671-683 analogue).
+        # Split graphs (mirror edges) use the 3-step init below instead.
+        assert self.n_mirror == 0, "split graph: use pagerank_init_partial path"
         ows = np.zeros(self.n_owned)
         np.add.at(ows, self.src_local, self.w)
         self.state["out_wsum"] = ows
@@ -249,6 +323,10 @@ class PartitionWorker:
             self._pr_edge_coef = np.where(
                 denom > 0, self.w / np.where(denom > 0, denom, 1.0), 0.0
             )
+        self._pagerank_state_init(nstart, personalization)
+        return float(self.state["pr"].sum())
+
+    def _pagerank_state_init(self, nstart, personalization):
         if nstart is not None:
             vids, vals = nstart
             vids = np.asarray(vids, np.int64)
@@ -270,6 +348,45 @@ class PartitionWorker:
             idx = np.searchsorted(self.owned, np.asarray(vids, np.int64)[sel])
             pv[idx] = np.asarray(vals, np.float64)[sel]
             self.state["pers"] = pv
+
+    def pagerank_init_partial(self):
+        """Split-graph init 1/3: extended out-weight partials; foreign-src
+        partials routed to their owners."""
+        ows = np.zeros(self.n_owned + self.n_mirror)
+        np.add.at(ows, self.src_local, self.w)
+        self._ows_ext = ows
+        tail = ows[self.n_owned:]
+        out = []
+        rows_out = 0
+        for q in range(self.W):
+            sel = self.mirror_route[q]
+            out.append((self.mirror_unique[sel], tail[sel]))
+            rows_out += len(sel)
+        return out, {"rows_out": rows_out, "bytes_out": rows_out * 16}
+
+    def pagerank_init_collect(self, nstart, personalization, msg_refs):
+        """Split-graph init 2/3: owners sum foreign partials into their
+        out_wsum, then init pr state."""
+        all_msgs = ray.get(list(msg_refs))
+        ows = self._ows_ext[: self.n_owned].copy()
+        for msgs in all_msgs:
+            vids, vals = self._take_mine(msgs)
+            idx = np.searchsorted(self.owned, vids)
+            ows[idx] += vals  # vids unique per sender
+        self.state["out_wsum"] = ows
+        self.state["dangling"] = ows == 0.0
+        self._pagerank_state_init(nstart, personalization)
+        return {"rows_in": sum(len(self._take_mine(m)[0]) for m in all_msgs)}
+
+    def pagerank_finish_init(self):
+        """Split-graph init 3/3 (after fetching out_wsum mirror values):
+        constant per-edge coefficients over the extended vector."""
+        ows_ext = self._src_vec("out_wsum")
+        with np.errstate(divide="ignore", invalid="ignore"):
+            denom = ows_ext[self.src_local]
+            self._pr_edge_coef = np.where(
+                denom > 0, self.w / np.where(denom > 0, denom, 1.0), 0.0
+            )
         return float(self.state["pr"].sum())
 
     def pagerank_scatter(self):
@@ -282,7 +399,8 @@ class PartitionWorker:
         unvarying term themselves — the driver never sits between scatter
         and update (single barrier per superstep)."""
         pr = self.state["pr"]
-        contrib = pr[self.src_local] * self._pr_edge_coef
+        pr_ext = self._src_vec("pr")
+        contrib = pr_ext[self.src_local] * self._pr_edge_coef
         partial = np.bincount(self.dst_inverse, weights=contrib,
                               minlength=len(self.dst_unique))
         dangling_sum = float(pr[self.state["dangling"]].sum())
@@ -335,6 +453,7 @@ class PartitionWorker:
     # property.cuh) — the dst-side half that is not free under 1D placement.
     def spmv_scatter(self, name: str):
         """num_returns=2: (packed msgs, stats); packed = (vids, partials, offs)."""
+        self._require_unsplit("spmv algorithms (katz/eigenvector/hits)")
         x = self.state[name]
         contrib = x[self.src_local] * self.w
         partial = np.bincount(self.dst_inverse, weights=contrib,
@@ -427,6 +546,7 @@ class PartitionWorker:
     # semantics: cpp/src/components/legacy/weak_cc.cuh:60-130 (atomicMin
     # fixpoint); output contract components/connectivity.py:152-159
     def cc_init(self):
+        self._require_unsplit("wcc")
         self.state["labels"] = self.owned.copy()
         self.state["active"] = np.ones(self.n_owned, dtype=bool)
 
@@ -472,6 +592,7 @@ class PartitionWorker:
     _UNREACHED = np.iinfo(np.int64).max
 
     def bfs_init(self, sources):
+        self._require_unsplit("bfs")
         if self.V >= 2 ** 32:
             raise NotImplementedError(
                 "BFS packs (dist<<32 | pred) into one int64; V >= 2^32 needs "
@@ -538,6 +659,7 @@ class PartitionWorker:
         return True
 
     def sssp_init(self, sources):
+        self._require_unsplit("sssp")
         dist = np.full(self.n_owned, np.inf)
         pred = np.full(self.n_owned, -1, dtype=np.int64)
         active = np.zeros(self.n_owned, dtype=bool)
@@ -609,6 +731,7 @@ class PartitionWorker:
     # contract: SURVEY.md §2.4 (absent in reference; kin weak_cc.cuh:60-130
     # and Louvain's assign step louvain_impl.cuh:119-139)
     def lpa_init(self):
+        self._require_unsplit("lpa")
         if self.V >= 2 ** 32:
             raise NotImplementedError(
                 "LPA packs (dst<<32 | label) into one int64; V >= 2^32 needs "
@@ -677,6 +800,7 @@ class PartitionWorker:
     # sources/sinks, forward min-color fixpoint within the active subgraph,
     # backward root-mark fixpoint via the dst-property fetch, assign, repeat.
     def scc_init(self):
+        self._require_unsplit("scc")
         if self.V >= 2 ** 32:
             raise NotImplementedError(
                 "SCC packs (color | flags<<33) into one int64; V >= 2^32 "
@@ -831,6 +955,7 @@ class PartitionWorker:
     # Batagelj–Zaveršnik: peel every vertex with remaining degree ≤ k in
     # synchronized sub-rounds, decrementing surviving neighbors' degrees.
     def core_init(self):
+        self._require_unsplit("core_number")
         keep = self.src != self.dst  # self-loops don't count toward cores
         self._core_edge_keep = keep
         deg = np.bincount(self.src_local[keep], minlength=self.n_owned)
@@ -1026,8 +1151,47 @@ class SuperstepEngine:
         update_stats = ray.get(upd)
         return scatter_stats, update_stats
 
+    # -- mirror wiring (split high-degree graphs) ------------------------
+    def wire_mirrors(self) -> bool:
+        """Register the mirror-src fetch routes; returns True if any worker
+        holds foreign-src (split) edges."""
+        counts = ray.get([w.mirror_count.remote() for w in self.workers])
+        self.has_mirrors = any(counts)
+        if not self.has_mirrors:
+            return False
+        needed = ray.get([w.mirror_ids_by_owner.remote() for w in self.workers])
+        ray.get(
+            [
+                self.workers[p].register_mirror_requests.remote(
+                    [needed[q][p] for q in range(self.W)]
+                )
+                for p in range(self.W)
+            ]
+        )
+        return True
+
+    def fetch_mirror(self, name: str):
+        """One src-property exchange: owners serve ``state[name]`` for each
+        worker's registered mirror ids."""
+        served = [
+            w.serve_mirror_values.options(num_returns=self.W).remote(name)
+            for w in self.workers
+        ]
+        ray.get(
+            [
+                self.workers[q].apply_mirror_values.remote(
+                    name, [served[p][q] for p in range(self.W)]
+                )
+                for q in range(self.W)
+            ]
+        )
+
     def pagerank_round(self, alpha: float, has_pers: bool):
-        """Single-barrier pagerank superstep in the engine's exchange mode."""
+        """Single-barrier pagerank superstep in the engine's exchange mode.
+        Split graphs pay one extra mirror-sync round for the pr values of
+        foreign srcs."""
+        if getattr(self, "has_mirrors", False):
+            self.fetch_mirror("pr")
         W = self.W
         if self.exchange_mode == "sliced":
             outs = [

@@ -262,3 +262,74 @@ def test_sliced_exchange_matches_packed(tmp_path, monkeypatch):
     assert np.array_equal(
         bfs_p["predecessor"].to_numpy(), bfs_s["predecessor"].to_numpy()
     )
+
+
+# ---------------------------------------------- high-degree src splitting
+
+
+def test_split_high_degree_pagerank(tmp_path):
+    # hub vertex 0 with 4000 out-edges plus a chain for background structure
+    import pyarrow.dataset as pads
+    import ray
+
+    hub_dst = np.arange(1, 4001, dtype=np.int64)
+    chain_src = np.arange(1, 4000, dtype=np.int64)
+    df = pd.DataFrame(
+        {
+            "src": np.concatenate([np.zeros(4000, np.int64), chain_src]),
+            "dst": np.concatenate([hub_dst, chain_src + 1]),
+            "weight": np.ones(7999),
+        }
+    )
+    g_un = build(df, True, tmp_path, "hub-unsplit", num_partitions=8)
+    g_sp = Graph.from_edges(
+        rd.from_pandas(df), src="src", dst="dst", weight="weight",
+        directed=True, renumber=False, num_partitions=8,
+        out_dir=str(tmp_path / "hub-split"), split_degree_threshold=100,
+    )
+
+    def part_sizes(g):
+        import os
+
+        sizes = []
+        for p in range(g.num_partitions):
+            d = os.path.join(g.base_dir, "edges", f"part={p}")
+            sizes.append(pads.dataset(d).count_rows() if os.path.isdir(d) else 0)
+        return sizes
+
+    # unsplit: the hub's 4000 edges land in ONE partition; split: spread
+    assert max(part_sizes(g_un)) >= 4000
+    assert max(part_sizes(g_sp)) <= 2000  # bounded near E/P
+
+    a = pr_vec(pagerank(g_un, tol=1e-10, max_iter=500, num_workers=4), 4001)
+    b = pr_vec(pagerank(g_sp, tol=1e-10, max_iter=500, num_workers=4), 4001)
+    assert np.allclose(a, b, atol=1e-10)
+
+    # the split graph really exercises the mirror path
+    from raygraph.superstep import SuperstepEngine
+
+    eng = SuperstepEngine(g_sp, num_workers=4)
+    try:
+        infos = ray.get([w.info.remote() for w in eng.workers])
+        assert sum(i["mirrors"] for i in infos) > 0
+    finally:
+        eng.shutdown()
+
+
+def test_split_graph_guards_other_algos(tmp_path):
+    df = pd.DataFrame(
+        {
+            "src": np.zeros(300, np.int64),
+            "dst": np.arange(1, 301, dtype=np.int64),
+            "weight": np.ones(300),
+        }
+    )
+    g = Graph.from_edges(
+        rd.from_pandas(df), src="src", dst="dst", weight="weight",
+        directed=True, renumber=False, num_partitions=4,
+        out_dir=str(tmp_path / "hub-g"), split_degree_threshold=50,
+    )
+    from raygraph.algos.traversal import bfs
+
+    with pytest.raises((NotImplementedError, Exception)):
+        bfs(g, 0, num_workers=2)
