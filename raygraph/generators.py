@@ -94,3 +94,46 @@ def erdos_renyi_dataset(num_vertices: int, p: float, seed: int = 42):
         )
 
     return rd.range(n2).map_batches(gen, batch_format="pyarrow", batch_size=1 << 20)
+
+
+def mesh_graph_dataset(rows: int, cols: int):
+    """2D 4-neighbor mesh — ``graph_generators.hpp:160`` generate_2d_mesh
+    analogue.  Vertex (r, c) = r*cols + c; right + down edges emitted
+    (symmetrize at build for the undirected mesh)."""
+    import ray.data as rd
+
+    n = rows * cols
+
+    def gen(t: pa.Table) -> pa.Table:
+        i = t.column("id").to_numpy().astype(np.int64)
+        r, c = i // cols, i % cols
+        right = i[c < cols - 1]
+        down = i[r < rows - 1]
+        src = np.concatenate([right, down])
+        dst = np.concatenate([right + 1, down + cols])
+        return pa.table(
+            {"src": src, "dst": dst, "weight": np.ones(len(src), np.float64)}
+        )
+
+    return rd.range(n).map_batches(gen, batch_format="pyarrow")
+
+
+def complete_graph_dataset(num_vertices: int):
+    """K_n (all ordered pairs, no self loops) —
+    ``graph_generators.hpp:279`` generate_complete_graph analogue.
+    O(n²) rows; generated from a flat pair index so it streams."""
+    import ray.data as rd
+
+    n2 = num_vertices * num_vertices
+
+    def gen(t: pa.Table) -> pa.Table:
+        i = t.column("id").to_numpy().astype(np.int64)
+        src = i // num_vertices
+        dst = i % num_vertices
+        m = src != dst
+        return pa.table(
+            {"src": src[m], "dst": dst[m],
+             "weight": np.ones(int(m.sum()), np.float64)}
+        )
+
+    return rd.range(n2).map_batches(gen, batch_format="pyarrow", batch_size=1 << 20)

@@ -44,6 +44,7 @@ from raygraph.hashing import hash_int64, hash_str_array
 
 CANON = ("src", "dst", "weight")
 DEFAULT_BROADCAST_LIMIT = 20_000_000  # keys; above this, renumber uses a shuffle join
+MULTI_KEY_SEP = "\x1f"  # unit separator — composite multi-column keys
 
 
 def _rd():
@@ -56,11 +57,28 @@ def _rd():
 # normalize
 
 
-def normalize_edges(ds, src: str, dst: str, weight: Optional[str] = None):
-    """Rename/project to canonical columns; fill weight=1.0 when absent."""
+def normalize_edges(ds, src, dst, weight: Optional[str] = None):
+    """Rename/project to canonical columns; fill weight=1.0 when absent.
+
+    ``src``/``dst`` may be a single column name or a LIST of names — the
+    reference's multi-column external vertex keys (``number_map.py:47-171``
+    renumbers column tuples).  Multi-column keys are joined into one
+    composite string with the unit separator; :func:`split_key_column`
+    restores the original columns after unrenumbering.
+    """
+    import pyarrow.compute as pc
+
+    src_cols = [src] if isinstance(src, str) else list(src)
+    dst_cols = [dst] if isinstance(dst, str) else list(dst)
+
+    def key(t: pa.Table, cols):
+        if len(cols) == 1:
+            return t.column(cols[0])
+        parts = [pc.cast(t.column(c), pa.string()) for c in cols]
+        return pc.binary_join_element_wise(*parts, MULTI_KEY_SEP)
 
     def fn(t: pa.Table) -> pa.Table:
-        cols = {"src": t.column(src), "dst": t.column(dst)}
+        cols = {"src": key(t, src_cols), "dst": key(t, dst_cols)}
         if weight is not None:
             cols["weight"] = t.column(weight).cast(pa.float64())
         else:
@@ -70,6 +88,23 @@ def normalize_edges(ds, src: str, dst: str, weight: Optional[str] = None):
         return pa.table(cols)
 
     return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def split_key_column(ds, col: str, names, sep: str = MULTI_KEY_SEP):
+    """Split a composite multi-column key back into its original columns
+    (inverse of the multi-column key join in :func:`normalize_edges`)."""
+    names = list(names)
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        parts = df[col].astype(str).str.split(sep, expand=True)
+        parts.columns = names
+        return pd.concat(
+            [parts.reset_index(drop=True),
+             df.drop(columns=[col]).reset_index(drop=True)],
+            axis=1,
+        )
+
+    return ds.map_batches(fn, batch_format="pandas")
 
 
 # ---------------------------------------------------------------------------
@@ -546,6 +581,10 @@ class Graph:
             "dedup": dedup if directed else (dedup or "min"),
             "weighted": weight is not None,
             "split_degree_threshold": split_degree_threshold,
+            # original key column spec (a list ⇒ composite multi-column
+            # keys; unrenumber + split_key_column restores them)
+            "src_key": src if isinstance(src, str) else list(src),
+            "dst_key": dst if isinstance(dst, str) else list(dst),
             "schema_version": 1,
         }
         g = Graph(out_dir, meta)

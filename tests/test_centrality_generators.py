@@ -122,3 +122,22 @@ def test_path_and_er_generators():
     assert (er["src"] != er["dst"]).all()
     er2 = generators.erdos_renyi_dataset(20, 0.3, seed=1).to_pandas()
     assert len(er) == len(er2)
+
+
+def test_mesh_generator():
+    from raygraph.generators import mesh_graph_dataset
+
+    df = mesh_graph_dataset(3, 4).to_pandas()
+    # 3x4 mesh: right edges 3*3=9, down edges 2*4=8
+    assert len(df) == 17
+    assert df["dst"].max() == 11
+    pairs = set(zip(df["src"], df["dst"]))
+    assert (0, 1) in pairs and (0, 4) in pairs and (0, 5) not in pairs
+
+
+def test_complete_generator():
+    from raygraph.generators import complete_graph_dataset
+
+    df = complete_graph_dataset(5).to_pandas()
+    assert len(df) == 20  # n*(n-1) ordered pairs
+    assert not (df["src"] == df["dst"]).any()

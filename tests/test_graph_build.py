@@ -153,3 +153,31 @@ def test_point_lookups(tmp_path):
     assert set(nb) == {k2v["b"], k2v["c"]}
     assert g.nodes().count() == 4
     assert g.edges().count() == 5
+
+
+def test_multi_column_vertex_keys(tmp_path):
+    # reference NumberMap renumbers multi-column externals
+    # (number_map.py:47-171); here (cat, id) tuples form each endpoint
+    from raygraph.graph import split_key_column
+
+    df = pd.DataFrame(
+        {
+            "sc": ["a", "a", "b"],
+            "si": [1, 2, 1],
+            "dc": ["b", "b", "a"],
+            "di": [1, 2, 2],
+            "w": [1.0, 2.0, 3.0],
+        }
+    )
+    g = Graph.from_edges(
+        rd.from_pandas(df), src=["sc", "si"], dst=["dc", "di"], weight="w",
+        directed=True, num_partitions=2, out_dir=str(tmp_path / "mk"),
+    )
+    # distinct endpoint tuples: (a,1),(a,2),(b,1),(b,2) -> 4 vertices
+    assert g.num_vertices == 4
+    assert g.meta["src_key"] == ["sc", "si"]
+    e = g.unrenumber(g.edges_dataset(), "src")
+    e = split_key_column(e, "src", ["sc", "si"])
+    out = e.to_pandas().sort_values(["sc", "si"]).reset_index(drop=True)
+    assert list(out["sc"]) == ["a", "a", "b"]
+    assert list(out["si"].astype(int)) == [1, 2, 1]
