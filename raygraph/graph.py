@@ -78,7 +78,13 @@ def normalize_edges(ds, src, dst, weight: Optional[str] = None):
         return pc.binary_join_element_wise(*parts, MULTI_KEY_SEP)
 
     def fn(t: pa.Table) -> pa.Table:
-        cols = {"src": key(t, src_cols), "dst": key(t, dst_cols)}
+        s, d = key(t, src_cols), key(t, dst_cols)
+        if s.type != d.type:
+            # mixed endpoint key types (e.g. composite-string src, int
+            # dst): unify to string so the renumber sees one key domain
+            s = pc.cast(s, pa.string())
+            d = pc.cast(d, pa.string())
+        cols = {"src": s, "dst": d}
         if weight is not None:
             cols["weight"] = t.column(weight).cast(pa.float64())
         else:
