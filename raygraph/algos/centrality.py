@@ -174,3 +174,112 @@ def hits(graph, tol: float = 1e-5, max_iter: int = 100,
         )
     finally:
         engine.shutdown()
+
+
+def betweenness_centrality(graph, k: Optional[int] = None, sources=None,
+                           normalized: bool = True, seed: int = 42,
+                           num_workers: Optional[int] = None, out_dir=None):
+    """Sampled Brandes betweenness (unweighted shortest paths) on the BSP
+    engine — ``cpp/src/centrality/betweenness_centrality.cu`` /
+    ``centrality/betweenness_centrality.py`` semantics.
+
+    ``sources``: explicit sample; else ``k`` seeded-uniform distinct
+    sources (all vertices when both are None).  Unnormalized output is the
+    raw Σ_{s∈S} δ_s(v) (endpoints excluded — exactly testable against a
+    sequential Brandes over the same sources); ``normalized`` divides by
+    ((V−1)(V−2)) for directed graphs and ((V−1)(V−2)/2) for undirected,
+    and applies the V/|S| sample-extrapolation factor when sampling.
+    Output: Dataset (vertex, betweenness_centrality).
+    """
+    import numpy as np
+
+    from raygraph.hashing import splitmix64
+
+    V = graph.num_vertices
+    if sources is None:
+        if k is None or k >= V:
+            sources = np.arange(V, dtype=np.int64)
+        else:
+            # deterministic distinct sample: rank vertices by seeded hash
+            h = splitmix64(
+                np.arange(V, dtype=np.int64).astype(np.uint64)
+                ^ np.uint64(seed * 0x9E3779B97F4A7C15 % 2**64)
+            )
+            sources = np.sort(np.argsort(h)[:k].astype(np.int64))
+    else:
+        sources = np.unique(np.asarray(list(sources), dtype=np.int64))
+
+    engine = SuperstepEngine(graph, num_workers=num_workers)
+    W = engine.W
+    try:
+        needed = ray.get([w.needed_dst_ids.remote() for w in engine.workers])
+        ray.get(
+            [
+                engine.workers[p].register_requests.remote(
+                    [needed[q][p] for q in range(W)]
+                )
+                for p in range(W)
+            ]
+        )
+
+        def fetch(name):
+            served = [
+                w.serve_dst_values.options(num_returns=W).remote(name)
+                for w in engine.workers
+            ]
+            ray.get(
+                [
+                    engine.workers[q].apply_dst_values.remote(
+                        name, [served[p][q] for p in range(W)]
+                    )
+                    for q in range(W)
+                ]
+            )
+
+        ray.get([w.bc_init.remote() for w in engine.workers])
+        for s in sources.tolist():
+            ray.get([w.bc_source_init.remote(s) for w in engine.workers])
+            level = 0
+            while True:
+                level += 1
+                _, upd = engine._exchange(
+                    "bc_forward_scatter", "bc_forward_update",
+                    update_args=(level,),
+                )
+                if sum(u["changed"] for u in upd) == 0:
+                    break
+            fetch("bc_dist")
+            fetch("bc_sigma")
+            maxd = max(
+                ray.get([w.bc_backward_init.remote() for w in engine.workers])
+            )
+            for lv in range(maxd, 0, -1):
+                fetch("bc_delta")
+                ray.get(
+                    [w.bc_backward_level.remote(lv) for w in engine.workers]
+                )
+            ray.get([w.bc_accumulate.remote(s) for w in engine.workers])
+
+        scale = 1.0
+        if normalized:
+            if len(sources) < V:
+                scale *= V / len(sources)
+            if V > 2:
+                denom = (V - 1) * (V - 2)
+                if not graph.directed:
+                    denom /= 2
+                scale /= denom
+        if scale != 1.0:
+            ray.get([w.scale_state.remote("bc", scale) for w in engine.workers])
+        ds = engine.result_dataset(["bc"], out_dir=out_dir)
+        import pyarrow as pa
+
+        return ds.map_batches(
+            lambda t: pa.table(
+                {"vertex": t.column("vertex"),
+                 "betweenness_centrality": t.column("bc")}
+            ),
+            batch_format="pyarrow",
+        )
+    finally:
+        engine.shutdown()

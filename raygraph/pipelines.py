@@ -752,6 +752,24 @@ def q_core_number(sf_dir: str):
     )
 
 
+def q_betweenness(sf_dir: str):
+    """Sampled Brandes betweenness (k=16 seeded sources) on the weight≥3
+    subgraph (rows-only; exact-vs-Brandes-oracle pinned by pytest)."""
+    from raygraph.algos.centrality import betweenness_centrality
+
+    g = _w3_subgraph(sf_dir, "bc")
+    res = betweenness_centrality(g, k=16, normalized=True, seed=42)
+    return g.unrenumber(res, "vertex").map_batches(
+        lambda df: pd.DataFrame(
+            {
+                "vertex_key": df["vertex"],
+                "betweenness_centrality": df["betweenness_centrality"],
+            }
+        ),
+        batch_format="pandas",
+    )
+
+
 def q_node2vec(sf_dir: str):
     """node2vec biased walks (p=2, q=0.5) from the 5 lowest part keys on
     the weight≥3 subgraph (rows-only; bias semantics + determinism pinned
@@ -1037,6 +1055,7 @@ QUERIES = {
     "core_number": q_core_number,
     "neighbor_sample": q_neighbor_sample,
     "scc": q_scc,
+    "betweenness": q_betweenness,
     "node2vec": q_node2vec,
     "bfs_paths": q_bfs_paths,
     "eigenvector": q_eigenvector,

@@ -950,6 +950,105 @@ class PartitionWorker:
         act[sel] = False
         return {"assigned": int(sel.sum()), "active": int(act.sum())}
 
+    # -- betweenness centrality: sampled Brandes --------------------------
+    # semantics: cpp/src/centrality/betweenness_centrality.cu — per sampled
+    # source, a BFS forward pass accumulating shortest-path counts (sigma),
+    # then a reverse-level sweep accumulating dependencies (delta) along
+    # the BFS DAG.  The reverse sweep's dst-side (dist, sigma, delta)
+    # values come through the dst-property fetch; dist/sigma are fetched
+    # once per source, delta once per reverse level.
+    def bc_init(self):
+        self._require_unsplit("betweenness_centrality")
+        self.state["bc"] = np.zeros(self.n_owned)
+
+    def bc_source_init(self, source: int):
+        dist = np.full(self.n_owned, -1, dtype=np.int64)
+        sigma = np.zeros(self.n_owned)
+        frontier = np.zeros(self.n_owned, dtype=bool)
+        if self.part2worker[part_of_vertex(np.array([source]), self.P)][0] == self.wid:
+            i = int(np.searchsorted(self.owned, source))
+            dist[i] = 0
+            sigma[i] = 1.0
+            frontier[i] = True
+        self.state["bc_dist"] = dist
+        self.state["bc_sigma"] = sigma
+        self.state["bc_frontier"] = frontier
+
+    def bc_forward_scatter(self):
+        """Emit per-dst sigma partials from the current frontier."""
+        emask = self.state["bc_frontier"][self.src_local]
+        sig = np.bincount(
+            self.dst_inverse[emask],
+            weights=self.state["bc_sigma"][self.src_local[emask]],
+            minlength=len(self.dst_unique),
+        )
+        live = sig > 0
+        out = []
+        rows_out = bytes_out = 0
+        for q in range(self.W):
+            idx = self.route[q]
+            sel = idx[live[idx]]
+            m = (self.dst_unique[sel], sig[sel])
+            rows_out += len(sel)
+            bytes_out += m[0].nbytes + m[1].nbytes
+            out.append(m)
+        return out, {"rows_out": rows_out, "bytes_out": bytes_out}
+
+    def bc_forward_update(self, level: int, msg_refs):
+        """Vertices still unreached get dist=level, sigma=Σ partials."""
+        all_msgs = ray.get(list(msg_refs))
+        dist = self.state["bc_dist"]
+        sigma = self.state["bc_sigma"]
+        inc = np.zeros(self.n_owned)
+        rows_in = 0
+        for msgs in all_msgs:
+            vids, sig = self._take_mine(msgs)
+            idx = np.searchsorted(self.owned, vids)
+            inc[idx] += sig
+            rows_in += len(vids)
+        newly = (dist == -1) & (inc > 0)
+        dist[newly] = level
+        sigma[newly] = inc[newly]
+        self.state["bc_frontier"] = newly
+        return {"changed": int(newly.sum()), "rows_in": rows_in}
+
+    def bc_backward_init(self):
+        """Reset delta; report local max distance (for the level count).
+        Requires 'bc_dist'/'bc_sigma' dst values fetched beforehand."""
+        self.state["bc_delta"] = np.zeros(self.n_owned)
+        d = self.state["bc_dist"]
+        return int(d.max()) if len(d) else -1
+
+    def bc_backward_level(self, level: int):
+        """delta[src] += sigma[src]/sigma[dst]·(1+delta[dst]) over DAG
+        edges src@level-1 → dst@level.  Needs the 'bc_delta' dst fetch for
+        this level (plus the static dist/sigma fetches)."""
+        dist_d = self._dst_vals["bc_dist"]
+        sigma_d = self._dst_vals["bc_sigma"]
+        delta_d = self._dst_vals["bc_delta"]
+        dist = self.state["bc_dist"]
+        sigma = self.state["bc_sigma"]
+        delta = self.state["bc_delta"]
+        di = self.dst_inverse
+        sl = self.src_local
+        e_ok = (dist[sl] == level - 1) & (dist_d[di] == level)
+        if e_ok.any():
+            contrib = (
+                sigma[sl[e_ok]] / sigma_d[di[e_ok]]
+                * (1.0 + delta_d[di[e_ok]])
+            )
+            np.add.at(delta, sl[e_ok], contrib)
+        return True
+
+    def bc_accumulate(self, source: int):
+        """bc += delta for every vertex except the source itself."""
+        delta = self.state["bc_delta"]
+        add = delta.copy()
+        if self.part2worker[part_of_vertex(np.array([source]), self.P)][0] == self.wid:
+            add[int(np.searchsorted(self.owned, source))] = 0.0
+        self.state["bc"] += add
+        return True
+
     # -- core number: distributed delta-peeling ---------------------------
     # semantics: cpp/src/cores/core_number_impl.cuh — parallel variant of
     # Batagelj–Zaveršnik: peel every vertex with remaining degree ≤ k in

@@ -333,3 +333,52 @@ def test_split_graph_guards_other_algos(tmp_path):
 
     with pytest.raises((NotImplementedError, Exception)):
         bfs(g, 0, num_workers=2)
+
+
+# ---------------------------------------------------------- betweenness
+
+
+def test_betweenness_karate_all_sources(tmp_path):
+    from raygraph.algos.centrality import betweenness_centrality
+
+    g = build(fixtures.karate_df(), False, tmp_path, "kbc")
+    got = (
+        betweenness_centrality(g, normalized=False)
+        .to_pandas().sort_values("vertex")["betweenness_centrality"].to_numpy()
+    )
+    src, dst, _ = fixtures.karate_sym_arrays()
+    want = oracles.ref_betweenness((src, dst), fixtures.KARATE_V)
+    assert np.allclose(got, want, atol=1e-9)
+    # vertex 0 and 33 are the classic high-betweenness hubs
+    assert got.argmax() in (0, 33)
+
+
+def test_betweenness_sampled_matches_oracle_same_sources(tmp_path):
+    from raygraph.algos.centrality import betweenness_centrality
+
+    g = build(fixtures.karate_df(), False, tmp_path, "kbcs")
+    srcs = [0, 5, 33]
+    got = (
+        betweenness_centrality(g, sources=srcs, normalized=False)
+        .to_pandas().sort_values("vertex")["betweenness_centrality"].to_numpy()
+    )
+    src, dst, _ = fixtures.karate_sym_arrays()
+    want = oracles.ref_betweenness((src, dst), fixtures.KARATE_V, sources=srcs)
+    assert np.allclose(got, want, atol=1e-9)
+
+
+def test_betweenness_directed_line(tmp_path):
+    from raygraph.algos.centrality import betweenness_centrality
+
+    g = build(fixtures.line_df(6), True, tmp_path, "lbc")
+    got = (
+        betweenness_centrality(g, normalized=False)
+        .to_pandas().sort_values("vertex")["betweenness_centrality"].to_numpy()
+    )
+    df = fixtures.line_df(6)
+    want = oracles.ref_betweenness(
+        (df["src"].to_numpy(), df["dst"].to_numpy()), 6
+    )
+    assert np.allclose(got, want)
+    # interior vertices of a directed path: bc[i] = i*(n-1-i)
+    assert np.allclose(got, [i * (5 - i) for i in range(6)])
