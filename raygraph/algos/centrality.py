@@ -49,6 +49,7 @@ def katz_centrality(graph, alpha: float = 0.1, beta: float = 1.0,
                     num_workers: Optional[int] = None, out_dir=None):
     engine = SuperstepEngine(graph, num_workers=num_workers)
     try:
+        engine.wire_mirrors()
         ray.get([w.set_state.remote("x", 0.0) for w in engine.workers])
         for it in range(max_iter):
             per_recv, _ = _spmv_round(engine, "x")
@@ -77,6 +78,7 @@ def eigenvector_centrality(graph, tol: float = 1e-6, max_iter: int = 100,
     engine = SuperstepEngine(graph, num_workers=num_workers)
     V = graph.num_vertices
     try:
+        engine.wire_mirrors()
         ray.get([w.set_state.remote("x", 1.0 / math.sqrt(V)) for w in engine.workers])
         for it in range(max_iter):
             per_recv, _ = _spmv_round(engine, "x")

@@ -158,6 +158,7 @@ def strongly_connected_components(
 
 
 def _run(engine, max_iter, checkpoint_dir, resume, out_dir):
+    engine.wire_mirrors()
     ray.get([w.cc_init.remote() for w in engine.workers])
 
     start_iter = 0
@@ -172,7 +173,9 @@ def _run(engine, max_iter, checkpoint_dir, resume, out_dir):
     done = False
     for it in range(start_iter, max_iter):
         t0 = time.perf_counter()
-        scatter_stats, update_stats = engine._exchange("cc_scatter", "cc_update")
+        scatter_stats, update_stats = engine._exchange(
+            "cc_scatter", "cc_update", mirror_names=("labels", "active")
+        )
         changed = sum(s["changed"] for s in update_stats)
         wall = time.perf_counter() - t0
         if checkpoint_dir and (it % engine.checkpoint_every == 0 or changed == 0):

@@ -55,6 +55,7 @@ def label_propagation(
 
 
 def _run(engine, max_iter, checkpoint_dir, resume, out_dir):
+    engine.wire_mirrors()
     ray.get([w.lpa_init.remote() for w in engine.workers])
 
     start_iter = 0
@@ -68,7 +69,9 @@ def _run(engine, max_iter, checkpoint_dir, resume, out_dir):
 
     for it in range(start_iter, max_iter):
         t0 = time.perf_counter()
-        scatter_stats, update_stats = engine._exchange("lpa_scatter", "lpa_update")
+        scatter_stats, update_stats = engine._exchange(
+            "lpa_scatter", "lpa_update", mirror_names=("labels",)
+        )
         changed = sum(s["changed"] for s in update_stats)
         wall = time.perf_counter() - t0
         if checkpoint_dir and (it % engine.checkpoint_every == 0 or changed == 0):

@@ -27,9 +27,9 @@ import ray
 from raygraph.superstep import SuperstepEngine
 
 
-def _run_frontier(engine, scatter, update, max_iter):
+def _run_frontier(engine, scatter, update, max_iter, mirror_names=()):
     for it in range(max_iter):
-        _, upd = engine._exchange(scatter, update)
+        _, upd = engine._exchange(scatter, update, mirror_names=mirror_names)
         if sum(u["changed"] for u in upd) == 0:
             return it
     raise RuntimeError(f"frontier loop did not settle in {max_iter} supersteps")
@@ -42,8 +42,10 @@ def bfs(graph, sources: Sequence[int] | int, max_iter: int = 10_000,
     srcs = [sources] if isinstance(sources, int) else list(sources)
     engine = SuperstepEngine(graph, num_workers=num_workers)
     try:
+        engine.wire_mirrors()
         ray.get([w.bfs_init.remote(srcs) for w in engine.workers])
-        _run_frontier(engine, "bfs_scatter", "bfs_update", max_iter)
+        _run_frontier(engine, "bfs_scatter", "bfs_update", max_iter,
+                      mirror_names=("bfs", "active"))
         ray.get([w.bfs_result.remote() for w in engine.workers])
         ds = engine.result_dataset(["distance", "predecessor"], out_dir=out_dir)
         return ds
@@ -116,8 +118,10 @@ def sssp(graph, sources: Sequence[int] | int, max_iter: int = 10_000,
     srcs = [sources] if isinstance(sources, int) else list(sources)
     engine = SuperstepEngine(graph, num_workers=num_workers)
     try:
+        engine.wire_mirrors()
         ray.get([w.sssp_init.remote(srcs) for w in engine.workers])
-        _run_frontier(engine, "sssp_scatter", "sssp_update", max_iter)
+        _run_frontier(engine, "sssp_scatter", "sssp_update", max_iter,
+                      mirror_names=("dist", "active"))
         import pyarrow as pa
 
         ds = engine.result_dataset(["dist", "pred"], out_dir=out_dir)

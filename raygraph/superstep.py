@@ -202,7 +202,7 @@ class PartitionWorker:
         """Per-receiver spmv messages (num_returns=W+1): W (vids, partials)
         tuples followed by the stats dict."""
         x = self.state[name]
-        contrib = x[self.src_local] * self.w
+        contrib = self._src_vec(name)[self.src_local] * self.w
         partial = np.bincount(self.dst_inverse, weights=contrib,
                               minlength=len(self.dst_unique))
         offs = self.route_offsets
@@ -258,6 +258,11 @@ class PartitionWorker:
         x = self.state[name]
         if not self.n_mirror:
             return x
+        if name not in self._mirror_vals:
+            raise NotImplementedError(
+                f"split graph: mirror values for state {name!r} were never "
+                "synced — the calling algorithm lacks split-graph support"
+            )
         return np.concatenate([x, self._mirror_vals[name]])
 
     # -- bookkeeping ------------------------------------------------------
@@ -453,9 +458,8 @@ class PartitionWorker:
     # property.cuh) — the dst-side half that is not free under 1D placement.
     def spmv_scatter(self, name: str):
         """num_returns=2: (packed msgs, stats); packed = (vids, partials, offs)."""
-        self._require_unsplit("spmv algorithms (katz/eigenvector/hits)")
         x = self.state[name]
-        contrib = x[self.src_local] * self.w
+        contrib = self._src_vec(name)[self.src_local] * self.w
         partial = np.bincount(self.dst_inverse, weights=contrib,
                               minlength=len(self.dst_unique))
         packed = (self.packed_vids, partial[self.route_order], self.route_offsets)
@@ -531,6 +535,7 @@ class PartitionWorker:
         return True
 
     def out_accumulate(self, name_out: str, dst_name: str):
+        self._require_unsplit("hits")
         """state[name_out][u] = Σ_{(u,v)∈E} w·dstvals[v] — local spmv with
         fetched dst properties (the HITS hub step)."""
         dv = self._dst_vals[dst_name]
@@ -546,13 +551,12 @@ class PartitionWorker:
     # semantics: cpp/src/components/legacy/weak_cc.cuh:60-130 (atomicMin
     # fixpoint); output contract components/connectivity.py:152-159
     def cc_init(self):
-        self._require_unsplit("wcc")
         self.state["labels"] = self.owned.copy()
         self.state["active"] = np.ones(self.n_owned, dtype=bool)
 
     def cc_scatter(self):
-        labels = self.state["labels"]
-        emask = self.state["active"][self.src_local]
+        labels = self._src_vec("labels")
+        emask = self._src_vec("active")[self.src_local]
         nmsg = len(self.dst_unique)
         best = np.full(nmsg, np.iinfo(np.int64).max, dtype=np.int64)
         np.minimum.at(best, self.dst_inverse[emask], labels[self.src_local[emask]])
@@ -592,7 +596,6 @@ class PartitionWorker:
     _UNREACHED = np.iinfo(np.int64).max
 
     def bfs_init(self, sources):
-        self._require_unsplit("bfs")
         if self.V >= 2 ** 32:
             raise NotImplementedError(
                 "BFS packs (dist<<32 | pred) into one int64; V >= 2^32 needs "
@@ -609,8 +612,8 @@ class PartitionWorker:
         self.state["active"] = active
 
     def bfs_scatter(self):
-        packed = self.state["bfs"]
-        emask = self.state["active"][self.src_local]
+        packed = self._src_vec("bfs")
+        emask = self._src_vec("active")[self.src_local]
         nmsg = len(self.dst_unique)
         best = np.full(nmsg, self._UNREACHED, dtype=np.int64)
         if emask.any():
@@ -659,7 +662,6 @@ class PartitionWorker:
         return True
 
     def sssp_init(self, sources):
-        self._require_unsplit("sssp")
         dist = np.full(self.n_owned, np.inf)
         pred = np.full(self.n_owned, -1, dtype=np.int64)
         active = np.zeros(self.n_owned, dtype=bool)
@@ -673,8 +675,8 @@ class PartitionWorker:
         self.state["active"] = active
 
     def sssp_scatter(self):
-        dist = self.state["dist"]
-        emask = self.state["active"][self.src_local]
+        dist = self._src_vec("dist")
+        emask = self._src_vec("active")[self.src_local]
         out = []
         rows_out = bytes_out = 0
         if emask.any():
@@ -731,7 +733,6 @@ class PartitionWorker:
     # contract: SURVEY.md §2.4 (absent in reference; kin weak_cc.cuh:60-130
     # and Louvain's assign step louvain_impl.cuh:119-139)
     def lpa_init(self):
-        self._require_unsplit("lpa")
         if self.V >= 2 ** 32:
             raise NotImplementedError(
                 "LPA packs (dst<<32 | label) into one int64; V >= 2^32 needs "
@@ -740,7 +741,7 @@ class PartitionWorker:
         self.state["labels"] = self.owned.copy()
 
     def lpa_scatter(self):
-        labels = self.state["labels"]
+        labels = self._src_vec("labels")
         lab_e = labels[self.src_local]
         # combine per (dst, label): composite 64-bit key (assumes V < 2^32;
         # at larger V split into a two-pass lexsort)
@@ -1210,7 +1211,7 @@ class SuperstepEngine:
 
     # -- generic BSP round ------------------------------------------------
     def _exchange(self, scatter_name: str, update_name: str, update_args=(),
-                  scatter_args=()):
+                  scatter_args=(), mirror_names=()):
         """One superstep: scatter on all workers, share the W message-list
         refs with every worker (each slices its own entry), update on all.
 
@@ -1221,6 +1222,9 @@ class SuperstepEngine:
         pair — O(W²) small objects, each receiver fetches exactly its own
         slice; the multi-node default once inter-node bandwidth dominates.
         """
+        if getattr(self, "has_mirrors", False):
+            for n in mirror_names:
+                self.fetch_mirror(n)
         if self.exchange_mode == "sliced":
             W = self.W
             outs = [
@@ -1313,7 +1317,10 @@ class SuperstepEngine:
 
     def spmv_round_refs(self, name: str):
         """Scatter for one spmv round; returns (per-receiver msg ref lists
-        indexed by receiver, scatter stats)."""
+        indexed by receiver, scatter stats).  Split graphs sync the mirror
+        copies of ``name`` first."""
+        if getattr(self, "has_mirrors", False):
+            self.fetch_mirror(name)
         W = self.W
         if self.exchange_mode == "sliced":
             outs = [

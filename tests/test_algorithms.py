@@ -316,7 +316,54 @@ def test_split_high_degree_pagerank(tmp_path):
         eng.shutdown()
 
 
-def test_split_graph_guards_other_algos(tmp_path):
+def test_split_graph_iterative_family_matches_unsplit(tmp_path):
+    # undirected hub graph: wcc / lpa / bfs / sssp / katz / eigenvector
+    # must produce identical results through the mirror-sync path
+    from raygraph.algos.centrality import eigenvector_centrality, katz_centrality
+    from raygraph.algos.traversal import bfs, sssp
+
+    rng = np.random.RandomState(5)
+    hub_dst = np.arange(1, 501, dtype=np.int64)
+    extra_s = rng.randint(1, 501, 400)
+    extra_d = rng.randint(1, 501, 400)
+    keep = extra_s != extra_d
+    df = pd.DataFrame(
+        {
+            "src": np.concatenate([np.zeros(500, np.int64), extra_s[keep]]),
+            "dst": np.concatenate([hub_dst, extra_d[keep]]),
+            "weight": np.concatenate(
+                [np.ones(500), rng.randint(1, 5, keep.sum()).astype(float)]
+            ),
+        }
+    ).drop_duplicates(["src", "dst"])
+    g_un = build(df, False, tmp_path, "fam-unsplit", num_partitions=8)
+    g_sp = Graph.from_edges(
+        rd.from_pandas(df), src="src", dst="dst", weight="weight",
+        directed=False, renumber=False, num_partitions=8,
+        out_dir=str(tmp_path / "fam-split"), split_degree_threshold=64,
+    )
+
+    def run_all(g):
+        out = {}
+        out["wcc"] = weakly_connected_components(g, num_workers=3).to_pandas().sort_values("vertex")["labels"].to_numpy()
+        out["lpa"] = label_propagation(g, max_iter=10, num_workers=3).to_pandas().sort_values("vertex")["label"].to_numpy()
+        b = bfs(g, 0, num_workers=3).to_pandas().sort_values("vertex")
+        out["bfs_d"] = b["distance"].to_numpy()
+        out["bfs_p"] = b["predecessor"].to_numpy()
+        s = sssp(g, 0, num_workers=3).to_pandas().sort_values("vertex")
+        out["sssp"] = s["distance"].to_numpy()
+        out["katz"] = katz_centrality(g, alpha=0.002, tol=1e-9, max_iter=300, num_workers=3).to_pandas().sort_values("vertex")["katz_centrality"].to_numpy()
+        out["eig"] = eigenvector_centrality(g, tol=1e-8, max_iter=500, num_workers=3).to_pandas().sort_values("vertex")["eigenvector_centrality"].to_numpy()
+        return out
+
+    a, b = run_all(g_un), run_all(g_sp)
+    for k in ("wcc", "lpa", "bfs_d", "bfs_p"):
+        assert np.array_equal(a[k], b[k]), k
+    for k in ("sssp", "katz", "eig"):
+        assert np.allclose(a[k], b[k], atol=1e-9), k
+
+
+def test_split_graph_guards_unsupported_algos(tmp_path):
     df = pd.DataFrame(
         {
             "src": np.zeros(300, np.int64),
@@ -329,10 +376,10 @@ def test_split_graph_guards_other_algos(tmp_path):
         directed=True, renumber=False, num_partitions=4,
         out_dir=str(tmp_path / "hub-g"), split_degree_threshold=50,
     )
-    from raygraph.algos.traversal import bfs
+    from raygraph.algos import strongly_connected_components
 
-    with pytest.raises((NotImplementedError, Exception)):
-        bfs(g, 0, num_workers=2)
+    with pytest.raises(Exception):
+        strongly_connected_components(g, num_workers=2)
 
 
 # ---------------------------------------------------------- betweenness
