@@ -752,6 +752,27 @@ def q_core_number(sf_dir: str):
     )
 
 
+def q_k_truss(sf_dir: str):
+    """3-truss edges of the tripartite hyper graph (rows-only; exact
+    peel-oracle + reference golden-file replay pinned by pytest).  k=3
+    keeps a meaningful survivor set on this graph — its 5-truss is empty."""
+    from raygraph.algos.truss import k_truss
+
+    g = _build_graph_from_keys(hyper_edges(sf_dir), directed=False, tag="ktruss")
+    e = k_truss(g, 3)
+    e = g.unrenumber(e, "src")
+    e = g.unrenumber(e, "dst")
+    return e.map_batches(
+        lambda df: pd.DataFrame(
+            {
+                "src_key": np.minimum(df["src"], df["dst"]),
+                "dst_key": np.maximum(df["src"], df["dst"]),
+            }
+        ),
+        batch_format="pandas",
+    )
+
+
 def q_betweenness(sf_dir: str):
     """Sampled Brandes betweenness (k=16 seeded sources) on the weight≥3
     subgraph (rows-only; exact-vs-Brandes-oracle pinned by pytest)."""
@@ -1056,6 +1077,7 @@ QUERIES = {
     "neighbor_sample": q_neighbor_sample,
     "scc": q_scc,
     "betweenness": q_betweenness,
+    "k_truss": q_k_truss,
     "node2vec": q_node2vec,
     "bfs_paths": q_bfs_paths,
     "eigenvector": q_eigenvector,

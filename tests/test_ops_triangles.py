@@ -170,3 +170,61 @@ def test_hypergraph_direct():
     assert sorted(zip(e["src_key"], e["dst_key"])) == [
         ("a::x", "b::y"), ("a::x", "c::z"), ("b::y", "c::z"),
     ]
+
+
+# -------------------------------------------------------------- k-truss
+
+
+def _brute_ktruss(edges, k):
+    """Sequential peel: edge set (canonical a<b tuples) of the k-truss."""
+    es = {tuple(sorted(e)) for e in edges if e[0] != e[1]}
+    while True:
+        adj = {}
+        for a, b in es:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+        drop = {
+            (a, b) for a, b in es
+            if len(adj[a] & adj[b]) < k - 2
+        }
+        if not drop:
+            return es
+        es -= drop
+
+
+def test_k_truss_karate(karate_und):
+    from raygraph.algos.truss import k_truss
+
+    got = k_truss(karate_und, 4).to_pandas()
+    want = _brute_ktruss(
+        map(tuple, fixtures.karate_df()[["src", "dst"]].to_numpy()), 4
+    )
+    assert set(zip(got["src"], got["dst"])) == want
+    assert len(got) == len(want)
+
+
+def test_k_truss_polbooks_golden():
+    # replay the reference's golden k-truss output (k=5, polbooks) —
+    # datasets/ref/ktruss/polbooks.csv, test_k_truss_subgraph.py:110
+    import os
+
+    import pytest
+    import ray.data as rd
+
+    src_csv = "/root/reference/datasets/polbooks.csv"
+    gold_csv = "/root/reference/datasets/ref/ktruss/polbooks.csv"
+    if not (os.path.exists(src_csv) and os.path.exists(gold_csv)):
+        pytest.skip("reference golden files unavailable")
+    from raygraph.algos.truss import k_truss
+    from raygraph.graph import Graph
+
+    df = pd.read_csv(src_csv, sep=" ", names=["src", "dst", "weight"])
+    g = Graph.from_edges(
+        rd.from_pandas(df), src="src", dst="dst", weight="weight",
+        directed=False, renumber=False, num_partitions=4,
+    )
+    got = k_truss(g, 5).to_pandas()
+    gold = pd.read_csv(gold_csv, sep=" ", names=["src", "dst", "weight"])
+    gold_edges = {tuple(sorted((a, b))) for a, b in zip(gold["src"], gold["dst"])}
+    assert set(zip(got["src"], got["dst"])) == gold_edges
+    assert len(got) == len(gold_edges)
