@@ -144,6 +144,8 @@ def run_bench() -> dict:
         dedup.exact_dedup(rd.read_parquet(docs)).count()
     with timed("minhash_dedup"):
         dedup.near_dedup_minhash(rd.read_parquet(docs), threshold=0.7)
+    with timed("simhash"):
+        dedup.simhash_signatures(rd.read_parquet(docs)).count()
     with timed("text_quality"):
         textmod.quality_scores(rd.read_parquet(docs)).count()
     with timed("knn"):

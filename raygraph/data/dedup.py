@@ -454,3 +454,153 @@ def _as_ds(df: pd.DataFrame):
     import ray.data as rd
 
     return rd.from_pandas(df)
+
+
+# ---------------------------------------------------------------------------
+# Embedding-cosine near-duplicates
+
+
+def embedding_near_dup_pairs(ds, threshold: float, emb_col: str = "embedding",
+                             id_col: str = "vec_id",
+                             broadcast_limit: int = 2_000_000):
+    """EXACT all-pairs cosine near-dup: Dataset (a, b, cosine) with a < b
+    and cosine ≥ threshold.
+
+    Baseline shape per the brief: the normalized matrix is broadcast once
+    (``ray.put``) and every batch does one matmul against it, emitting
+    each unordered pair exactly once (from the batch holding the smaller
+    id).  Past ``broadcast_limit`` vectors use the LSH-bucketed variant
+    (:func:`embedding_near_dup_lsh`) — the scale path."""
+    import ray
+
+    n = ds.count()
+    if n > broadcast_limit:
+        raise NotImplementedError(
+            "matrix too large to broadcast; use embedding_near_dup_lsh"
+        )
+    full = ds.map_batches(
+        lambda df: df[[id_col, emb_col]], batch_format="pandas"
+    ).to_pandas()
+    ids = full[id_col].to_numpy(np.int64)
+    X = np.stack([np.asarray(v, np.float64) for v in full[emb_col]])
+    Xn = X / np.where(
+        np.linalg.norm(X, axis=1, keepdims=True) == 0, 1.0,
+        np.linalg.norm(X, axis=1, keepdims=True),
+    )
+    ref = ray.put((ids, Xn))
+
+    def pairs(df: pd.DataFrame) -> pd.DataFrame:
+        all_ids, M = ray.get(ref)
+        bx = np.stack([np.asarray(v, np.float64) for v in df[emb_col]])
+        bn = np.linalg.norm(bx, axis=1, keepdims=True)
+        bx = bx / np.where(bn == 0, 1.0, bn)
+        bids = df[id_col].to_numpy(np.int64)
+        sims = bx @ M.T  # (batch, N)
+        bi, fj = np.nonzero((sims >= threshold) & (bids[:, None] < all_ids[None, :]))
+        return pd.DataFrame(
+            {
+                "a": bids[bi],
+                "b": all_ids[fj],
+                "cosine": np.round(sims[bi, fj], 6),
+            }
+        )
+
+    return ds.map_batches(pairs, batch_format="pandas")
+
+
+def embedding_near_dup_lsh(ds, threshold: float, emb_col: str = "embedding",
+                           id_col: str = "vec_id", num_planes: int = 32,
+                           bands: int = 8, seed: int = 42,
+                           num_buckets: int = 16):
+    """Scale path: random-hyperplane LSH buckets → candidate pairs →
+    exact cosine verify via two bucketed hash joins.  Approximate —
+    recall < 1 by construction (more bands ⇒ higher recall); returns the
+    same (a, b, cosine) schema as the exact variant."""
+    import ray
+
+    from raygraph import joins
+    from raygraph.agg import bucketed_map_groups, distinct
+
+    rng = np.random.RandomState(seed)
+    # deterministic planes; dim inferred from the first row
+    first = ds.limit(1).to_pandas()
+    dim = len(np.asarray(first[emb_col].iloc[0]))
+    planes = rng.normal(size=(dim, num_planes))
+    pref = ray.put(planes)
+    rows_per_band = num_planes // bands
+
+    def band_rows(df: pd.DataFrame) -> pa.Table:
+        P = ray.get(pref)
+        X = np.stack([np.asarray(v, np.float64) for v in df[emb_col]])
+        bits = (X @ P) > 0
+        ids = df[id_col].to_numpy(np.int64)
+        ob, oh, oi = [], [], []
+        for b in range(bands):
+            chunk = bits[:, b * rows_per_band : (b + 1) * rows_per_band]
+            h = np.zeros(len(ids), dtype=np.uint64)
+            for c in range(chunk.shape[1]):
+                h = splitmix64((h << np.uint64(1)) ^ chunk[:, c].astype(np.uint64))
+            ob.append(np.full(len(ids), b, dtype=np.int64))
+            oh.append(h.view(np.int64))
+            oi.append(ids)
+        return pa.table(
+            {"band": np.concatenate(ob), "bhash": np.concatenate(oh),
+             id_col: np.concatenate(oi)}
+        )
+
+    banded = ds.map_batches(band_rows, batch_format="pandas")
+
+    MAX_BUCKET = 256
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        ids = np.unique(g[id_col].to_numpy(np.int64))
+        if len(ids) < 2:
+            return pd.DataFrame({"a": pd.Series(dtype=np.int64),
+                                 "b": pd.Series(dtype=np.int64)})
+        if len(ids) > MAX_BUCKET:
+            a, b = ids[:-1], ids[1:]  # degenerate bucket: chain
+        else:
+            i, j = np.triu_indices(len(ids), k=1)
+            a, b = ids[i], ids[j]
+        return pd.DataFrame({"a": a, "b": b})
+
+    cand = bucketed_map_groups(banded, ["band", "bhash"], pairs).materialize()
+    if cand.count() == 0:
+        return _as_ds(pd.DataFrame(
+            {"a": pd.Series(dtype=np.int64), "b": pd.Series(dtype=np.int64),
+             "cosine": pd.Series(dtype=float)}
+        ))
+    cand = distinct(cand, ["a", "b"])
+    # vectors as plain lists: arrow encodes list<double> through the
+    # shuffle (object-dtype ndarray columns do not survive block codecs)
+    ea = ds.map_batches(
+        lambda df: pd.DataFrame(
+            {"a": df[id_col].to_numpy(np.int64),
+             "__ea": [list(map(float, v)) for v in df[emb_col]]}
+        ),
+        batch_format="pandas",
+    )
+    eb = ds.map_batches(
+        lambda df: pd.DataFrame(
+            {"b": df[id_col].to_numpy(np.int64),
+             "__eb": [list(map(float, v)) for v in df[emb_col]]}
+        ),
+        batch_format="pandas",
+    )
+    p1 = joins.hash_join(cand, ea, on="a", num_buckets=num_buckets)
+    p2 = joins.hash_join(p1, eb, on="b", num_buckets=num_buckets)
+
+    def verify(df: pd.DataFrame) -> pd.DataFrame:
+        cos = np.empty(len(df))
+        for i, (va, vb) in enumerate(zip(df["__ea"], df["__eb"])):
+            va = np.asarray(va, np.float64)
+            vb = np.asarray(vb, np.float64)
+            na, nb = np.linalg.norm(va), np.linalg.norm(vb)
+            cos[i] = va @ vb / (na * nb) if na > 0 and nb > 0 else 0.0
+        out = pd.DataFrame(
+            {"a": df["a"].to_numpy(np.int64), "b": df["b"].to_numpy(np.int64),
+             "cosine": np.round(cos, 6)}
+        )
+        return out[out["cosine"] >= threshold]
+
+    return p2.map_batches(verify, batch_format="pandas")

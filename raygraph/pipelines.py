@@ -567,6 +567,17 @@ def q_ivf_knn(sf_dir: str):
     return knn.knn_ivf(ds, Q, qids, k=10, nprobe=4, num_centroids=8)
 
 
+def q_embed_dedup(sf_dir: str):
+    """Embedding-cosine near-dup pairs (exact all-pairs ≥ 0.45, a < b) —
+    hash-checked against a DuckDB cross-join oracle.  The LSH-bucketed
+    variant is the scale path (pytest pins its recall)."""
+    from raygraph.data import dedup
+
+    rd = _rd()
+    ds = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    return dedup.embedding_near_dup_pairs(ds, threshold=0.45)
+
+
 def q_tumbling(sf_dir: str):
     from raygraph.data import windows
 
@@ -1065,6 +1076,7 @@ QUERIES = {
     "simhash": q_simhash,
     "lang_id": q_lang_id,
     "ivf_knn": q_ivf_knn,
+    "embed_dedup": q_embed_dedup,
     "tumbling": q_tumbling,
     "sessionize": q_sessionize,
     "louvain": q_louvain,
@@ -1266,6 +1278,13 @@ ranked AS (SELECT query_id, neighbor_id,
            FROM sims)
 SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank
 FROM ranked WHERE rank <= 10
+""",
+    "embed_dedup": """
+WITH n AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)
+SELECT x.vec_id AS a, y.vec_id AS b,
+       ROUND(list_cosine_similarity(x.e, y.e), 6) AS cosine
+FROM n x JOIN n y ON x.vec_id < y.vec_id
+WHERE list_cosine_similarity(x.e, y.e) >= 0.45
 """,
     "tumbling": """
 SELECT user_id,

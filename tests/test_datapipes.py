@@ -236,3 +236,40 @@ def test_ivf_index_persisted_matches_fresh(tmp_path):
     # matches the unpersisted path with the same centroids
     c = knn.knn_ivf(emb, Q, qids, k=10, nprobe=4, centroids=idx.centroids)
     assert a.equals(c)
+
+
+def test_embedding_near_dup_exact_matches_numpy():
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{SF}/embeddings.parquet").to_pandas()
+    X = np.stack([np.asarray(v, np.float64) for v in t["embedding"]])
+    Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+    S = Xn @ Xn.T
+    ids = t["vec_id"].to_numpy(np.int64)
+    thresh = 0.4
+    want = set()
+    iu, ju = np.triu_indices(len(ids), k=1)
+    for i, j in zip(iu[S[iu, ju] >= thresh], ju[S[iu, ju] >= thresh]):
+        want.add((min(ids[i], ids[j]), max(ids[i], ids[j])))
+    got = dedup.embedding_near_dup_pairs(
+        rd.read_parquet(f"{SF}/embeddings.parquet"), threshold=thresh
+    ).to_pandas()
+    assert set(zip(got["a"], got["b"])) == want
+
+
+def test_embedding_near_dup_lsh_recall():
+    thresh = 0.4
+    exact = dedup.embedding_near_dup_pairs(
+        rd.read_parquet(f"{SF}/embeddings.parquet"), threshold=thresh
+    ).to_pandas()
+    approx = dedup.embedding_near_dup_lsh(
+        rd.read_parquet(f"{SF}/embeddings.parquet"), threshold=thresh,
+        num_planes=32, bands=16,
+    ).to_pandas()
+    te = set(zip(exact["a"], exact["b"]))
+    ta = set(zip(approx["a"], approx["b"]))
+    # LSH results are a subset of the exact pairs (verify step is exact)...
+    assert ta <= te
+    # ...with usable recall at these band settings on this data
+    if te:
+        assert len(ta) / len(te) >= 0.5
