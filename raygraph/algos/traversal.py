@@ -27,25 +27,56 @@ import ray
 from raygraph.superstep import SuperstepEngine
 
 
-def _run_frontier(engine, scatter, update, max_iter, mirror_names=()):
-    for it in range(max_iter):
-        _, upd = engine._exchange(scatter, update, mirror_names=mirror_names)
-        if sum(u["changed"] for u in upd) == 0:
+def _run_frontier(engine, scatter, update, max_iter, mirror_names=(),
+                  algo=None, states=(), checkpoint_dir=None, resume=False):
+    import time
+
+    start_iter = 0
+    if resume and checkpoint_dir and algo:
+        latest = engine.latest_complete_iteration(algo)
+        if latest is not None:
+            engine._restore(algo, latest, list(states))
+            start_iter = latest + 1
+    for it in range(start_iter, max_iter):
+        t0 = time.perf_counter()
+        sc, upd = engine._exchange(scatter, update, mirror_names=mirror_names)
+        changed = sum(u["changed"] for u in upd)
+        if checkpoint_dir and algo and (
+            it % engine.checkpoint_every == 0 or changed == 0
+        ):
+            engine._checkpoint(
+                algo, it, list(states),
+                {
+                    "changed": changed,
+                    "wall_sec": time.perf_counter() - t0,
+                    "rows_out": sum(s["rows_out"] for s in sc),
+                    "rows_in": sum(u["rows_in"] for u in upd),
+                    "shuffle_bytes": sum(s["bytes_out"] for s in sc),
+                },
+            )
+        if changed == 0:
             return it
     raise RuntimeError(f"frontier loop did not settle in {max_iter} supersteps")
 
 
 def bfs(graph, sources: Sequence[int] | int, max_iter: int = 10_000,
-        num_workers: Optional[int] = None, out_dir=None):
+        num_workers: Optional[int] = None, out_dir=None,
+        checkpoint_dir: Optional[str] = None, checkpoint_every: int = 1,
+        resume: bool = False):
     import pyarrow as pa
 
     srcs = [sources] if isinstance(sources, int) else list(sources)
-    engine = SuperstepEngine(graph, num_workers=num_workers)
+    engine = SuperstepEngine(
+        graph, num_workers=num_workers,
+        checkpoint_dir=checkpoint_dir, checkpoint_every=checkpoint_every,
+    )
     try:
         engine.wire_mirrors()
         ray.get([w.bfs_init.remote(srcs) for w in engine.workers])
         _run_frontier(engine, "bfs_scatter", "bfs_update", max_iter,
-                      mirror_names=("bfs", "active"))
+                      mirror_names=("bfs", "active"), algo="bfs",
+                      states=("bfs", "active"),
+                      checkpoint_dir=checkpoint_dir, resume=resume)
         ray.get([w.bfs_result.remote() for w in engine.workers])
         ds = engine.result_dataset(["distance", "predecessor"], out_dir=out_dir)
         return ds
@@ -114,14 +145,21 @@ def extract_bfs_paths(graph, bfs_result, destinations,
 
 
 def sssp(graph, sources: Sequence[int] | int, max_iter: int = 10_000,
-         num_workers: Optional[int] = None, out_dir=None):
+         num_workers: Optional[int] = None, out_dir=None,
+         checkpoint_dir: Optional[str] = None, checkpoint_every: int = 1,
+         resume: bool = False):
     srcs = [sources] if isinstance(sources, int) else list(sources)
-    engine = SuperstepEngine(graph, num_workers=num_workers)
+    engine = SuperstepEngine(
+        graph, num_workers=num_workers,
+        checkpoint_dir=checkpoint_dir, checkpoint_every=checkpoint_every,
+    )
     try:
         engine.wire_mirrors()
         ray.get([w.sssp_init.remote(srcs) for w in engine.workers])
         _run_frontier(engine, "sssp_scatter", "sssp_update", max_iter,
-                      mirror_names=("dist", "active"))
+                      mirror_names=("dist", "active"), algo="sssp",
+                      states=("dist", "pred", "active"),
+                      checkpoint_dir=checkpoint_dir, resume=resume)
         import pyarrow as pa
 
         ds = engine.result_dataset(["dist", "pred"], out_dir=out_dir)

@@ -100,3 +100,48 @@ def test_checkpoint_every_sparse_cadence(tmp_path):
         "pagerank",
     )
     assert np.allclose(full, resumed, atol=1e-10)
+
+
+def test_bfs_sssp_resume_matches_uninterrupted(tmp_path):
+    import pandas as pd
+    import ray.data as rd
+
+    from raygraph.algos.traversal import bfs, sssp
+    from raygraph.graph import Graph
+
+    from tests import fixtures
+
+    g = Graph.from_edges(
+        rd.from_pandas(fixtures.karate_df()),
+        src="src", dst="dst", weight="weight",
+        directed=False, renumber=False, num_partitions=4,
+        out_dir=str(tmp_path / "g"),
+    )
+    full_b = bfs(g, 0).to_pandas().sort_values("vertex")
+    full_s = sssp(g, 0).to_pandas().sort_values("vertex")
+
+    # interrupt bfs after 1 superstep, then resume from checkpoint
+    ckpt_b = str(tmp_path / "ckb")
+    try:
+        bfs(g, 0, max_iter=1, checkpoint_dir=ckpt_b)
+    except RuntimeError:
+        pass  # frontier not settled — expected interruption
+    res_b = (
+        bfs(g, 0, checkpoint_dir=ckpt_b, resume=True)
+        .to_pandas().sort_values("vertex")
+    )
+    assert np.array_equal(full_b["distance"].to_numpy(), res_b["distance"].to_numpy())
+    assert np.array_equal(
+        full_b["predecessor"].to_numpy(), res_b["predecessor"].to_numpy()
+    )
+
+    ckpt_s = str(tmp_path / "cks")
+    try:
+        sssp(g, 0, max_iter=1, checkpoint_dir=ckpt_s)
+    except RuntimeError:
+        pass
+    res_s = (
+        sssp(g, 0, checkpoint_dir=ckpt_s, resume=True, num_workers=2)
+        .to_pandas().sort_values("vertex")
+    )
+    assert np.allclose(full_s["distance"].to_numpy(), res_s["distance"].to_numpy())
