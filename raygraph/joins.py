@@ -120,9 +120,30 @@ def broadcast_map_ref(mapping_df: pd.DataFrame, key: str, value: str):
     return ray.put((karr, varr))
 
 
+_INDEX_CACHE: dict[int, "pd.Index"] = {}
+
+
 def lookup_broadcast(keys: np.ndarray, kv) -> np.ndarray:
-    """Vectorized lookup of keys against a broadcast (karr, varr) pair."""
+    """Vectorized lookup of keys against a broadcast (karr, varr) pair.
+
+    Integer keys use binary search; string (object-dtype) keys use a
+    hashed ``pd.Index.get_indexer`` — ``np.searchsorted`` over object
+    arrays devolves to per-comparison Python calls (~20 string compares
+    per lookup) and dominated graph build.  The Index is built once per
+    worker process per broadcast object (plasma gives a stable identity).
+    """
     karr, varr = kv
+    if karr.dtype == object or karr.dtype.kind in "US":
+        idx = _INDEX_CACHE.get(id(karr))
+        if idx is None:
+            idx = pd.Index(karr)
+            _INDEX_CACHE.clear()  # one live broadcast map per worker is typical
+            _INDEX_CACHE[id(karr)] = idx
+        pos = idx.get_indexer(keys)
+        if (pos < 0).any():
+            missing = np.asarray(keys)[pos < 0][:5]
+            raise KeyError(f"lookup_broadcast: keys not in map, e.g. {missing!r}")
+        return varr[pos]
     pos = np.searchsorted(karr, keys)
     pos = np.clip(pos, 0, len(karr) - 1)
     found = karr[pos] == keys
