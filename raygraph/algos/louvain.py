@@ -91,7 +91,7 @@ def _distributed_modularity(edges_ds, comm_ref, comm, k, m2, resolution):
 
 def louvain(graph, max_levels: int = 10, max_inner: int = 20,
             resolution: float = 1.0, min_gain: float = 1e-9,
-            local_edge_limit: int = 5_000_000):
+            local_edge_limit: int = 5_000_000, parity_salt: int = 0):
     """Returns (Dataset (vertex, partition), modularity: float).
 
     Requires an undirected (symmetrized) simple graph, like the reference
@@ -239,7 +239,11 @@ def louvain(graph, max_levels: int = 10, max_inner: int = 20,
             if len(picked) == 0 or "vertex" not in picked.columns:
                 break  # no vertex gains from moving → level converged
             movers = picked["vertex"].to_numpy(np.int64)
-            parity = (hash_int64(movers) % np.uint64(2)).astype(np.int64)
+            # parity_salt varies the half-sweep schedule — the ECG ensemble
+            # uses it the way the reference permutes vertex order per member
+            parity = (
+                hash_int64(movers ^ np.int64(parity_salt)) % np.uint64(2)
+            ).astype(np.int64)
             sel = parity == (sweep % 2)
             if not sel.any():
                 continue
@@ -315,3 +319,63 @@ def louvain(graph, max_levels: int = 10, max_inner: int = 20,
         )
     )
     return out, float(final_modularity)
+
+
+def ecg(graph, min_weight: float = 0.05, ensemble_size: int = 16,
+        seed: int = 42, **louvain_kwargs):
+    """Ensemble Clustering for Graphs (Poulin & Théberge 2018) —
+    ``cpp/src/community/legacy/ecg.cu`` / ``community/ecg.py:41``.
+
+    1. Run ``ensemble_size`` single-level Louvain passes, each with a
+       different move schedule (``parity_salt`` — the analogue of the
+       reference's per-member vertex permutation).
+    2. Reweight every edge: ``w' = min_weight + (1−min_weight)·
+       (co-membership count / ensemble_size)`` (``ecg.cu:186``).
+    3. Full Louvain on the reweighted graph.
+
+    Returns (Dataset (vertex, partition), modularity of the final
+    partition on the REWEIGHTED graph).
+    """
+    import ray
+    import ray.data as rd
+
+    from raygraph.graph import Graph
+    from raygraph.hashing import hash_int64
+
+    V = graph.num_vertices
+    members = np.empty((ensemble_size, V), dtype=np.int64)
+    for i in range(ensemble_size):
+        # int() BEFORE the mask: uint64 & python-int silently promotes to
+        # float64 (the Graph.neighbors gotcha)
+        salt = int(hash_int64(np.array([seed * 1_000_003 + i]))[0]) & 0x7FFFFFFF
+        res, _q = louvain(graph, max_levels=1, parity_salt=salt,
+                          **louvain_kwargs)
+        df = res.to_pandas().sort_values("vertex")
+        members[i] = df["partition"].to_numpy(np.int64)
+    mref = ray.put(members)
+
+    def reweight(df: pd.DataFrame) -> pd.DataFrame:
+        M = ray.get(mref)
+        s = df["src"].to_numpy(np.int64)
+        d = df["dst"].to_numpy(np.int64)
+        same = (M[:, s] == M[:, d]).sum(axis=0)
+        return pd.DataFrame(
+            {
+                "src": s,
+                "dst": d,
+                "weight": min_weight + (1.0 - min_weight) * same / len(M),
+            }
+        )
+
+    rw = graph.edges_dataset(columns=["src", "dst"]).map_batches(
+        reweight, batch_format="pandas"
+    )
+    g2 = Graph.from_edges(
+        rw, src="src", dst="dst", weight="weight",
+        directed=True, renumber=False,
+        num_partitions=graph.num_partitions,
+    )
+    # the reweighted graph keeps both stored directions, so Louvain's
+    # undirected contract holds; flip the flag on the handle
+    g2.meta["directed"] = False
+    return louvain(g2, **louvain_kwargs)

@@ -646,6 +646,22 @@ def q_louvain(sf_dir: str):
     )
 
 
+def q_ecg(sf_dir: str):
+    """ECG communities (ensemble of 8 salted single-level Louvain passes →
+    co-membership reweight → final Louvain) on the weight≥3 subgraph
+    (rows-only; determinism + structure pinned by pytest)."""
+    from raygraph.algos.louvain import ecg
+
+    g = _w3_subgraph(sf_dir, "ecg")
+    res, _q = ecg(g, ensemble_size=8)
+    return g.unrenumber(res, "vertex").map_batches(
+        lambda df: pd.DataFrame(
+            {"vertex_key": df["vertex"], "partition": df["partition"]}
+        ),
+        batch_format="pandas",
+    )
+
+
 def q_katz(sf_dir: str):
     from raygraph.algos.centrality import katz_centrality
 
@@ -1080,6 +1096,7 @@ QUERIES = {
     "tumbling": q_tumbling,
     "sessionize": q_sessionize,
     "louvain": q_louvain,
+    "ecg": q_ecg,
     "katz": q_katz,
     "hits": q_hits,
     "bfs": q_bfs,

@@ -90,3 +90,25 @@ def test_louvain_requires_undirected(tmp_path):
     )
     with pytest.raises(ValueError):
         louvain(g)
+
+
+def test_ecg_karate(tmp_path):
+    from raygraph.algos.louvain import ecg
+
+    g = Graph.from_edges(
+        rd.from_pandas(fixtures.karate_df()),
+        src="src", dst="dst", weight="weight",
+        directed=False, renumber=False, num_partitions=4,
+        out_dir=str(tmp_path / "ecg"),
+    )
+    res, q = ecg(g, ensemble_size=6)
+    df = res.to_pandas()
+    assert len(df) == fixtures.KARATE_V
+    # sane community structure on the reweighted graph
+    assert 2 <= df["partition"].nunique() <= 8
+    assert q > 0.3
+    # deterministic
+    res2, q2 = ecg(g, ensemble_size=6)
+    assert df.sort_values("vertex").reset_index(drop=True).equals(
+        res2.to_pandas().sort_values("vertex").reset_index(drop=True)
+    )
