@@ -46,12 +46,23 @@ def _spmv_round(engine, name):
 def katz_centrality(graph, alpha: float = 0.1, beta: float = 1.0,
                     tol: float = 1e-6, max_iter: int = 100,
                     normalized: bool = True,
-                    num_workers: Optional[int] = None, out_dir=None):
-    engine = SuperstepEngine(graph, num_workers=num_workers)
+                    num_workers: Optional[int] = None, out_dir=None,
+                    checkpoint_dir: Optional[str] = None,
+                    checkpoint_every: int = 1, resume: bool = False):
+    engine = SuperstepEngine(
+        graph, num_workers=num_workers,
+        checkpoint_dir=checkpoint_dir, checkpoint_every=checkpoint_every,
+    )
     try:
         engine.wire_mirrors()
         ray.get([w.set_state.remote("x", 0.0) for w in engine.workers])
-        for it in range(max_iter):
+        start_iter = 0
+        if resume and checkpoint_dir:
+            latest = engine.latest_complete_iteration("katz")
+            if latest is not None:
+                engine._restore("katz", latest, ["x"])
+                start_iter = latest + 1
+        for it in range(start_iter, max_iter):
             per_recv, _ = _spmv_round(engine, "x")
             upd = ray.get(
                 [
@@ -62,6 +73,8 @@ def katz_centrality(graph, alpha: float = 0.1, beta: float = 1.0,
                 ]
             )
             l1 = sum(u["l1"] for u in upd)
+            if checkpoint_dir and (it % engine.checkpoint_every == 0 or l1 < tol):
+                engine._checkpoint("katz", it, ["x"], {"l1": l1})
             if l1 < tol:
                 if normalized:
                     sq = sum(u["local_sq"] for u in upd)
@@ -74,13 +87,24 @@ def katz_centrality(graph, alpha: float = 0.1, beta: float = 1.0,
 
 
 def eigenvector_centrality(graph, tol: float = 1e-6, max_iter: int = 100,
-                           num_workers: Optional[int] = None, out_dir=None):
-    engine = SuperstepEngine(graph, num_workers=num_workers)
+                           num_workers: Optional[int] = None, out_dir=None,
+                           checkpoint_dir: Optional[str] = None,
+                           checkpoint_every: int = 1, resume: bool = False):
+    engine = SuperstepEngine(
+        graph, num_workers=num_workers,
+        checkpoint_dir=checkpoint_dir, checkpoint_every=checkpoint_every,
+    )
     V = graph.num_vertices
     try:
         engine.wire_mirrors()
         ray.get([w.set_state.remote("x", 1.0 / math.sqrt(V)) for w in engine.workers])
-        for it in range(max_iter):
+        start_iter = 0
+        if resume and checkpoint_dir:
+            latest = engine.latest_complete_iteration("eigenvector")
+            if latest is not None:
+                engine._restore("eigenvector", latest, ["x"])
+                start_iter = latest + 1
+        for it in range(start_iter, max_iter):
             per_recv, _ = _spmv_round(engine, "x")
             upd = ray.get(
                 [
@@ -97,6 +121,10 @@ def eigenvector_centrality(graph, tol: float = 1e-6, max_iter: int = 100,
                 [w.commit_scaled_diff.remote("y", "x", inv) for w in engine.workers]
             )
             l1 = sum(d["l1"] for d in diffs)
+            if checkpoint_dir and (
+                it % engine.checkpoint_every == 0 or l1 < tol * V
+            ):
+                engine._checkpoint("eigenvector", it, ["x"], {"l1": l1})
             if l1 < tol * V:
                 return _result(engine, "x", "eigenvector_centrality", out_dir)
         raise ConvergenceError(f"eigenvector failed to converge in {max_iter} iters")

@@ -145,3 +145,50 @@ def test_bfs_sssp_resume_matches_uninterrupted(tmp_path):
         .to_pandas().sort_values("vertex")
     )
     assert np.allclose(full_s["distance"].to_numpy(), res_s["distance"].to_numpy())
+
+
+def test_katz_eigenvector_resume(tmp_path):
+    import ray.data as rd
+
+    from raygraph.algos.centrality import eigenvector_centrality, katz_centrality
+    from raygraph.graph import Graph
+
+    from tests import fixtures
+
+    g = Graph.from_edges(
+        rd.from_pandas(fixtures.karate_df()),
+        src="src", dst="dst", weight="weight",
+        directed=False, renumber=False, num_partitions=4,
+        out_dir=str(tmp_path / "gk"),
+    )
+    full = (
+        katz_centrality(g, alpha=0.01, tol=1e-9, max_iter=200)
+        .to_pandas().sort_values("vertex")["katz_centrality"].to_numpy()
+    )
+    ck = str(tmp_path / "ckk")
+    try:
+        katz_centrality(g, alpha=0.01, tol=1e-9, max_iter=3, checkpoint_dir=ck)
+    except Exception:
+        pass  # ConvergenceError — interrupted on purpose
+    res = (
+        katz_centrality(g, alpha=0.01, tol=1e-9, max_iter=200,
+                        checkpoint_dir=ck, resume=True)
+        .to_pandas().sort_values("vertex")["katz_centrality"].to_numpy()
+    )
+    assert np.allclose(full, res, atol=1e-9)
+
+    full_e = (
+        eigenvector_centrality(g, tol=1e-9, max_iter=300)
+        .to_pandas().sort_values("vertex")["eigenvector_centrality"].to_numpy()
+    )
+    ce = str(tmp_path / "cke")
+    try:
+        eigenvector_centrality(g, tol=1e-9, max_iter=3, checkpoint_dir=ce)
+    except Exception:
+        pass
+    res_e = (
+        eigenvector_centrality(g, tol=1e-9, max_iter=300,
+                               checkpoint_dir=ce, resume=True, num_workers=2)
+        .to_pandas().sort_values("vertex")["eigenvector_centrality"].to_numpy()
+    )
+    assert np.allclose(full_e, res_e, atol=1e-8)
