@@ -51,12 +51,10 @@ def hash_aggregate(
     aggs = aggs or {}
 
     def combine(df: pd.DataFrame) -> pd.DataFrame:
-        if not len(df):
-            out = pd.DataFrame({k: df[k] for k in keys})
-            for out_col in aggs:
-                out[out_col] = pd.Series(dtype=np.float64)
-            out["__bk"] = pd.Series(dtype=np.int32)
-            return out
+        # NOTE: no empty-batch special case — pandas groupby on an empty
+        # frame yields an empty result with the SAME columns/dtypes as the
+        # non-empty path, so every block carries an identical schema (a
+        # diverging empty schema triggers Ray RefBundle schema warnings).
         g = df.groupby(keys, as_index=False, sort=False)
         pieces = [g.size().rename(columns={"size": "__n"})]
         agg_map = {}

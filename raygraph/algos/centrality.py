@@ -214,11 +214,14 @@ def betweenness_centrality(graph, k: Optional[int] = None, sources=None,
     ``centrality/betweenness_centrality.py`` semantics.
 
     ``sources``: explicit sample; else ``k`` seeded-uniform distinct
-    sources (all vertices when both are None).  Unnormalized output is the
-    raw Σ_{s∈S} δ_s(v) (endpoints excluded — exactly testable against a
-    sequential Brandes over the same sources); ``normalized`` divides by
-    ((V−1)(V−2)) for directed graphs and ((V−1)(V−2)/2) for undirected,
-    and applies the V/|S| sample-extrapolation factor when sampling.
+    sources (all vertices when both are None).  Rescaling follows the
+    reference's ``rescale()`` / ``rescale_by_total_sources_used``
+    (``cpp/src/centrality/betweenness_centrality.cu``): the raw sum over
+    the both-directions-stored undirected graph counts each (s,t) pair
+    twice, so ``normalized`` divides by the FULL (V−1)(V−2) for both
+    directed and undirected graphs; unnormalized undirected output is
+    halved instead; the V/|S| sample-extrapolation factor applies whenever
+    a rescale happened (normalized, or unnormalized-undirected).
     Output: Dataset (vertex, betweenness_centrality).
     """
     import numpy as np
@@ -291,14 +294,16 @@ def betweenness_centrality(graph, k: Optional[int] = None, sources=None,
             ray.get([w.bc_accumulate.remote(s) for w in engine.workers])
 
         scale = 1.0
+        rescaled = False
         if normalized:
-            if len(sources) < V:
-                scale *= V / len(sources)
             if V > 2:
-                denom = (V - 1) * (V - 2)
-                if not graph.directed:
-                    denom /= 2
-                scale /= denom
+                scale /= (V - 1) * (V - 2)
+                rescaled = True
+        elif not graph.directed:
+            scale *= 0.5
+            rescaled = True
+        if rescaled and len(sources) < V:
+            scale *= V / len(sources)
         if scale != 1.0:
             ray.get([w.scale_state.remote("bc", scale) for w in engine.workers])
         ds = engine.result_dataset(["bc"], out_dir=out_dir)

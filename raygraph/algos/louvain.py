@@ -342,6 +342,12 @@ def ecg(graph, min_weight: float = 0.05, ensemble_size: int = 16,
     from raygraph.graph import Graph
     from raygraph.hashing import hash_int64
 
+    # the ensemble passes pin max_levels=1 and their own parity_salt; a
+    # caller-supplied value of either applies only to the final full pass
+    ensemble_kwargs = {
+        k: v for k, v in louvain_kwargs.items()
+        if k not in ("max_levels", "parity_salt")
+    }
     V = graph.num_vertices
     members = np.empty((ensemble_size, V), dtype=np.int64)
     for i in range(ensemble_size):
@@ -349,7 +355,7 @@ def ecg(graph, min_weight: float = 0.05, ensemble_size: int = 16,
         # float64 (the Graph.neighbors gotcha)
         salt = int(hash_int64(np.array([seed * 1_000_003 + i]))[0]) & 0x7FFFFFFF
         res, _q = louvain(graph, max_levels=1, parity_salt=salt,
-                          **louvain_kwargs)
+                          **ensemble_kwargs)
         df = res.to_pandas().sort_values("vertex")
         members[i] = df["partition"].to_numpy(np.int64)
     mref = ray.put(members)
@@ -376,6 +382,8 @@ def ecg(graph, min_weight: float = 0.05, ensemble_size: int = 16,
         num_partitions=graph.num_partitions,
     )
     # the reweighted graph keeps both stored directions, so Louvain's
-    # undirected contract holds; flip the flag on the handle
+    # undirected contract holds; flip the flag AND re-persist the meta so a
+    # later Graph.load(out_dir) sees the same undirected handle
     g2.meta["directed"] = False
+    g2._save_meta()
     return louvain(g2, **louvain_kwargs)

@@ -199,7 +199,7 @@ def knn_ivf(ds, queries: np.ndarray, query_ids, k: int = 10, nprobe: int = 4,
     precomputed/partitioned and the probe prunes whole partitions.
     """
     if centroids is None:
-        centroids = train_ivf_centroids(ds, num_centroids, emb_col)
+        centroids = train_ivf_centroids(ds, num_centroids, emb_col, id_col=id_col)
     qm = _norm_rows(np.asarray(queries, dtype=np.float64))
     probe = np.argsort(-(qm @ centroids.T), axis=1)[:, :nprobe]
     probed_lists = np.unique(probe)

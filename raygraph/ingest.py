@@ -22,8 +22,8 @@ def sha256_batch(batch: pa.Table, keep_content: bool = False) -> pa.Table:
     Hashing is inherently per-row C work (hashlib releases the GIL per call);
     the stage is parallelized across blocks by Ray Data.
     """
-    col = batch.column("content")
-    shas = [hashlib.sha256(s.as_py().encode("utf-8")).hexdigest() for s in col]
+    col = batch.column("content").to_pylist()
+    shas = [hashlib.sha256(s.encode("utf-8")).hexdigest() for s in col]
     out = batch.append_column("content_sha256", pa.array(shas, pa.string()))
     if not keep_content:
         out = out.drop_columns(["content"])

@@ -120,7 +120,10 @@ def broadcast_map_ref(mapping_df: pd.DataFrame, key: str, value: str):
     return ray.put((karr, varr))
 
 
-_INDEX_CACHE: dict[int, "pd.Index"] = {}
+# id(karr) -> (karr, Index): holding karr in the cache pins it alive, so a
+# cached id() can never be reused by a different later array (id reuse after
+# gc would silently hit a stale Index and mis-map keys present in both maps).
+_INDEX_CACHE: dict[int, tuple] = {}
 
 
 def lookup_broadcast(keys: np.ndarray, kv) -> np.ndarray:
@@ -134,11 +137,13 @@ def lookup_broadcast(keys: np.ndarray, kv) -> np.ndarray:
     """
     karr, varr = kv
     if karr.dtype == object or karr.dtype.kind in "US":
-        idx = _INDEX_CACHE.get(id(karr))
-        if idx is None:
+        ent = _INDEX_CACHE.get(id(karr))
+        if ent is None:
             idx = pd.Index(karr)
             _INDEX_CACHE.clear()  # one live broadcast map per worker is typical
-            _INDEX_CACHE[id(karr)] = idx
+            _INDEX_CACHE[id(karr)] = (karr, idx)
+        else:
+            idx = ent[1]
         pos = idx.get_indexer(keys)
         if (pos < 0).any():
             missing = np.asarray(keys)[pos < 0][:5]

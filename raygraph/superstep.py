@@ -535,9 +535,9 @@ class PartitionWorker:
         return True
 
     def out_accumulate(self, name_out: str, dst_name: str):
-        self._require_unsplit("hits")
         """state[name_out][u] = Σ_{(u,v)∈E} w·dstvals[v] — local spmv with
         fetched dst properties (the HITS hub step)."""
+        self._require_unsplit("hits")
         dv = self._dst_vals[dst_name]
         acc = np.zeros(self.n_owned)
         np.add.at(acc, self.src_local, self.w * dv[self.dst_inverse])

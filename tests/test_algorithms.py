@@ -394,10 +394,28 @@ def test_betweenness_karate_all_sources(tmp_path):
         .to_pandas().sort_values("vertex")["betweenness_centrality"].to_numpy()
     )
     src, dst, _ = fixtures.karate_sym_arrays()
-    want = oracles.ref_betweenness((src, dst), fixtures.KARATE_V)
+    # unnormalized undirected = raw both-directions sum / 2 (reference
+    # rescale() convention)
+    want = oracles.ref_betweenness((src, dst), fixtures.KARATE_V) / 2.0
     assert np.allclose(got, want, atol=1e-9)
     # vertex 0 and 33 are the classic high-betweenness hubs
     assert got.argmax() in (0, 33)
+
+
+def test_betweenness_karate_normalized(tmp_path):
+    from raygraph.algos.centrality import betweenness_centrality
+
+    g = build(fixtures.karate_df(), False, tmp_path, "kbcn")
+    got = (
+        betweenness_centrality(g, normalized=True)
+        .to_pandas().sort_values("vertex")["betweenness_centrality"].to_numpy()
+    )
+    src, dst, _ = fixtures.karate_sym_arrays()
+    V = fixtures.KARATE_V
+    # normalized divides the RAW both-directions sum by the full
+    # (V-1)(V-2) — for undirected this equals (raw/2) / ((V-1)(V-2)/2)
+    want = oracles.ref_betweenness((src, dst), V) / ((V - 1) * (V - 2))
+    assert np.allclose(got, want, atol=1e-12)
 
 
 def test_betweenness_sampled_matches_oracle_same_sources(tmp_path):
@@ -410,7 +428,12 @@ def test_betweenness_sampled_matches_oracle_same_sources(tmp_path):
         .to_pandas().sort_values("vertex")["betweenness_centrality"].to_numpy()
     )
     src, dst, _ = fixtures.karate_sym_arrays()
-    want = oracles.ref_betweenness((src, dst), fixtures.KARATE_V, sources=srcs)
+    # sampled unnormalized undirected: halve, then V/|S| extrapolation
+    # (reference rescale_by_total_sources_used)
+    want = (
+        oracles.ref_betweenness((src, dst), fixtures.KARATE_V, sources=srcs)
+        / 2.0 * (fixtures.KARATE_V / len(srcs))
+    )
     assert np.allclose(got, want, atol=1e-9)
 
 
