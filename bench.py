@@ -354,11 +354,83 @@ def run_exchange_bytes():
     )
 
 
+def run_walk_bench():
+    """10⁵ uniform walkers on two RMAT graphs 4× apart in |E|: with the
+    walker-routing engine the per-step cost tracks the walker count, not
+    the edge count (the r2 design re-shuffled the full edge list per hop,
+    so its per-step cost scaled with E)."""
+    import ray
+
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    import numpy as np
+
+    from raygraph import generators
+    from raygraph.graph import Graph
+    from raygraph.algos.sampling import random_walks
+
+    walkers = int(os.environ.get("GRAFT_WALKERS", "100000"))
+    steps = int(os.environ.get("GRAFT_WALK_STEPS", "20"))
+    out = {"metric": "random-walk per-step cost vs |E| (100k walkers)",
+           "walkers": walkers, "steps": steps, "num_cpus": NUM_CPUS}
+    for scale in (18, 20):
+        gdir = f"/tmp/raygraph-bench/rmat{scale}x16"
+        if not os.path.exists(os.path.join(gdir, "meta.json")):
+            tmp = f"{gdir}.tmp-{os.getpid()}"
+            edges = generators.rmat_dataset(scale=scale, edgefactor=16, seed=42)
+            Graph.from_edges(edges, src="src", dst="dst", weight="weight",
+                             directed=True, renumber=False,
+                             num_partitions=32, out_dir=tmp)
+            try:
+                os.rename(tmp, gdir)
+            except OSError:
+                pass
+        g = Graph.load(gdir)
+        starts = np.arange(walkers, dtype=np.int64) % g.num_vertices
+        ids = np.arange(walkers, dtype=np.int64)
+        # drive the engine directly so setup (partition read + CSR sort —
+        # a legitimate one-time O(E) cost) is reported separately from the
+        # per-step walker-routing cost the claim is about
+        from raygraph.superstep import SuperstepEngine
+
+        eng = SuperstepEngine(g)
+        try:
+            t0 = time.perf_counter()
+            ray.get([w.walk_build.remote() for w in eng.workers])
+            ray.get([w.walk_init.remote(ids, starts, 42, None, None)
+                     for w in eng.workers])
+            setup = time.perf_counter() - t0
+            for step in (1, 2):  # warm routing/caches
+                eng._exchange("walk_step_scatter", "walk_step_update",
+                              scatter_args=(step,))
+            t0 = time.perf_counter()
+            for step in range(3, 3 + steps):
+                eng._exchange("walk_step_scatter", "walk_step_update",
+                              scatter_args=(step,))
+            dt = time.perf_counter() - t0
+        finally:
+            eng.shutdown()
+        out[f"rmat{scale}_edges"] = g.num_edges
+        out[f"rmat{scale}_setup_sec"] = round(setup, 3)
+        out[f"rmat{scale}_step_loop_sec"] = round(dt, 3)
+        out[f"rmat{scale}_sec_per_step"] = round(dt / steps, 4)
+    out["per_step_ratio_4x_edges"] = round(
+        out["rmat20_sec_per_step"] / out["rmat18_sec_per_step"], 3
+    )
+    ray.shutdown()
+    print(json.dumps(out))
+
+
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         run_scaling()
     elif "--exchange-bytes" in sys.argv:
         run_exchange_bytes()
+    elif "--walk-bench" in sys.argv:
+        run_walk_bench()
     elif "--rmat-pagerank" in sys.argv:
         print(json.dumps(run_rmat_pagerank()))
     else:

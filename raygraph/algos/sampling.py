@@ -14,6 +14,8 @@ broadcast membership filters.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pandas as pd
 
@@ -89,147 +91,94 @@ def uniform_neighbor_sample(graph, start_vertices, fanouts, seed: int = 42):
     return rd.from_pandas(result)
 
 
+def _run_walks(graph, start_vertices, max_length: int, seed: int,
+               p=None, q=None, num_workers=None, out_dir=None):
+    """Shared walker-routing driver loop on the superstep engine.
+
+    The adjacency stays resident per worker (built once); per step only
+    O(active walkers) rows cross the wire, routed to owner(cur) — replacing
+    the r2 per-step full-edge hash_join + driver round-trip.  Outputs are
+    written per-worker as parquet and read back as a Dataset (the driver
+    never holds the O(walkers × length) result).  Draws use the
+    (seed, walker, step) counter stream → bit-identical at any parallelism.
+    """
+    import tempfile
+    import uuid
+
+    import ray
+    import ray.data as rd
+
+    from raygraph.superstep import SuperstepEngine
+
+    starts = np.asarray(list(start_vertices), dtype=np.int64)
+    ids = np.arange(len(starts), dtype=np.int64)
+    if out_dir is None:
+        out_dir = os.path.join(
+            tempfile.gettempdir(), "raygraph", f"walks-{uuid.uuid4().hex[:12]}"
+        )
+    # walk messages use their own packed layout (concatenated arrays +
+    # per-receiver offsets); volume is O(active walkers), far below the
+    # spmv exchanges, so the sliced multi-node layout buys nothing here
+    engine = SuperstepEngine(graph, num_workers=num_workers,
+                             exchange_mode="packed")
+    try:
+        ray.get([w.walk_build.remote() for w in engine.workers])
+        ray.get(
+            [
+                w.walk_init.remote(ids, starts, seed, p, q)
+                for w in engine.workers
+            ]
+        )
+        for step in range(1, max_length):
+            if p is None:
+                _, upd = engine._exchange(
+                    "walk_step_scatter", "walk_step_update",
+                    scatter_args=(step,),
+                )
+            else:
+                engine._exchange(
+                    "n2v_query_scatter", "n2v_query_receive",
+                    scatter_args=(step,),
+                )
+                engine._exchange("n2v_flag_scatter", "n2v_flag_update")
+                _, upd = engine._exchange(
+                    "n2v_move_scatter", "walk_step_update",
+                    scatter_args=(step,),
+                )
+            if sum(u["active"] for u in upd) == 0:
+                break
+        ray.get([w.walk_write.remote(out_dir) for w in engine.workers])
+    finally:
+        engine.shutdown()
+    return rd.read_parquet(out_dir)
+
+
 def node2vec_walks(graph, start_vertices, max_length: int,
-                   p: float = 1.0, q: float = 1.0, seed: int = 42):
+                   p: float = 1.0, q: float = 1.0, seed: int = 42,
+                   num_workers=None, out_dir=None):
     """node2vec biased walks (Grover & Leskovec 2016) — the reference's
     ``random_walks_impl.cuh`` biased variant / ``sampling/node2vec.py``.
 
     Per step from ``cur`` with previous vertex ``prev``, candidate x is
     weighted ``w(cur,x)·α`` with α = 1/p if x==prev, 1 if (prev,x)∈E,
-    else 1/q.  The (prev,x) adjacency test is a bucketed left join of the
-    candidate rows against the edge list — no per-worker adjacency index.
+    else 1/q.  Runs on the superstep engine: the (prev,x) adjacency test is
+    a membership query routed to owner(prev) and answered by searchsorted
+    against its resident sorted CSR row (3 exchanges per step, message
+    volume O(Σ deg(cur) over active walkers) — never the edge list).
     Deterministic: the pick uses the (seed, walker, step) counter stream.
     Returns Dataset (walker:int64, step:int32, vertex:int64).
     """
-    import ray.data as rd
-
-    from raygraph import joins
-    from raygraph.agg import bucketed_map_groups
-
-    starts = np.asarray(list(start_vertices), dtype=np.int64)
-    walkers = pd.DataFrame(
-        {
-            "walker": np.arange(len(starts), dtype=np.int64),
-            "prev": np.full(len(starts), -1, dtype=np.int64),
-            "cur": starts,
-        }
-    )
-    rows = [
-        pd.DataFrame(
-            {"walker": walkers["walker"], "step": np.int32(0), "vertex": walkers["cur"]}
-        )
-    ]
-    edges = graph.edges_dataset(columns=["src", "dst", "weight"])
-    adj = edges.map_batches(
-        lambda df: pd.DataFrame(
-            {
-                "__pa": df["src"].to_numpy(np.int64),
-                "__pb": df["dst"].to_numpy(np.int64),
-                "__adj": np.ones(len(df)),
-            }
-        ),
-        batch_format="pandas",
-    )
-    for step in range(1, max_length):
-        if not len(walkers):
-            break
-        wds = rd.from_pandas(walkers.rename(columns={"cur": "src"}))
-        cand = joins.hash_join(wds, edges, on="src", num_buckets=16)
-        flagged = joins.hash_join(
-            cand.map_batches(
-                lambda df: df.assign(
-                    __pa=df["prev"].to_numpy(np.int64),
-                    __pb=df["dst"].to_numpy(np.int64),
-                ),
-                batch_format="pandas",
-            ),
-            adj,
-            on=["__pa", "__pb"],
-            how="left",
-            num_buckets=16,
-        )
-
-        def pick(g: pd.DataFrame, step=step) -> pd.DataFrame:
-            wid = np.int64(g["walker"].iloc[0])
-            prev = np.int64(g["prev"].iloc[0])
-            order = np.argsort(g["dst"].to_numpy(np.int64), kind="stable")
-            cands = g["dst"].to_numpy(np.int64)[order]
-            w = g["weight"].to_numpy(np.float64)[order]
-            is_adj = g["__adj"].to_numpy()[order] == 1.0
-            alpha = np.where(
-                cands == prev, 1.0 / p, np.where(is_adj, 1.0, 1.0 / q)
-            )
-            wt = w * alpha
-            cum = np.cumsum(wt)
-            u = _seeded_uniform(seed, np.array([wid], dtype=np.int64), step)[0, 0]
-            i = int(np.searchsorted(cum, u * cum[-1], side="right"))
-            nxt = cands[min(i, len(cands) - 1)]
-            return pd.DataFrame(
-                {"walker": [wid], "prev": [np.int64(g["src"].iloc[0])],
-                 "cur": [nxt]}
-            )
-
-        moved = bucketed_map_groups(flagged, ["walker"], pick, num_buckets=16)
-        walkers = moved.to_pandas()
-        if not len(walkers):
-            break
-        rows.append(
-            pd.DataFrame(
-                {
-                    "walker": walkers["walker"].to_numpy(np.int64),
-                    "step": np.full(len(walkers), step, dtype=np.int32),
-                    "vertex": walkers["cur"].to_numpy(np.int64),
-                }
-            )
-        )
-    return rd.from_pandas(pd.concat(rows, ignore_index=True))
+    return _run_walks(graph, start_vertices, max_length, seed, p=p, q=q,
+                      num_workers=num_workers, out_dir=out_dir)
 
 
-def random_walks(graph, start_vertices, max_length: int, seed: int = 42):
+def random_walks(graph, start_vertices, max_length: int, seed: int = 42,
+                 num_workers=None, out_dir=None):
     """Uniform random walks; returns Dataset
     (walker:int64, step:int32, vertex:int64) — walk prefix per walker,
     stopping early at sinks (``random_walks_impl.cuh`` uniform variant).
+    Runs on the superstep engine: one walker-routing exchange per step,
+    adjacency resident per worker.
     """
-    import ray
-    import ray.data as rd
-
-    from raygraph import joins
-    from raygraph.agg import bucketed_map_groups
-
-    starts = np.asarray(list(start_vertices), dtype=np.int64)
-    walkers = pd.DataFrame(
-        {"walker": np.arange(len(starts), dtype=np.int64), "cur": starts}
-    )
-    rows = [
-        pd.DataFrame(
-            {"walker": walkers["walker"], "step": np.int32(0), "vertex": walkers["cur"]}
-        )
-    ]
-    edges = graph.edges_dataset(columns=["src", "dst"])
-    for step in range(1, max_length):
-        if not len(walkers):
-            break
-        wds = rd.from_pandas(walkers.rename(columns={"cur": "src"}))
-        joined = joins.hash_join(wds, edges, on="src", num_buckets=16)
-
-        def pick(g: pd.DataFrame, step=step) -> pd.DataFrame:
-            wid = np.int64(g["walker"].iloc[0])
-            ds_ = np.sort(g["dst"].to_numpy(np.int64))
-            u = _seeded_uniform(seed, np.array([wid], dtype=np.int64), step)[0, 0]
-            nxt = ds_[int(u * len(ds_)) % len(ds_)]
-            return pd.DataFrame({"walker": [wid], "cur": [nxt]})
-
-        moved = bucketed_map_groups(joined, ["walker"], pick, num_buckets=16)
-        walkers = moved.to_pandas()
-        if not len(walkers):
-            break
-        rows.append(
-            pd.DataFrame(
-                {
-                    "walker": walkers["walker"].to_numpy(np.int64),
-                    "step": np.full(len(walkers), step, dtype=np.int32),
-                    "vertex": walkers["cur"].to_numpy(np.int64),
-                }
-            )
-        )
-    return rd.from_pandas(pd.concat(rows, ignore_index=True))
+    return _run_walks(graph, start_vertices, max_length, seed,
+                      num_workers=num_workers, out_dir=out_dir)

@@ -1108,6 +1108,262 @@ class PartitionWorker:
         deg[sel] = np.maximum(deg[sel] - dec[sel], 0)
         return {"rows_in": rows_in}
 
+    # -- random walks / node2vec: walker-routing supersteps ---------------
+    # semantics: cpp/src/sampling/random_walks_impl.cuh (441) — the
+    # reference keeps walker state device-resident and advances all walks
+    # one hop per kernel launch; here the adjacency stays resident per
+    # worker and only O(active walkers) rows cross the wire per step (the
+    # r2 design shuffled the full edge list per hop through hash_join and
+    # bounced walker state off the driver — VERDICT r2 finding #1).
+    # Draws use the (seed, walker, step) counter stream, so outputs are
+    # bit-identical at any worker count / placement.
+    def walk_build(self):
+        """One-time CSR over resident edges, rows sorted by dst (the same
+        candidate ordering the draw contract requires)."""
+        self._require_unsplit("random_walks")
+        order = np.lexsort((self.dst, self.src_local))
+        self._walk_dst = self.dst[order]
+        self._walk_w = self.w[order]
+        counts = np.bincount(self.src_local, minlength=self.n_owned)
+        self._walk_indptr = np.zeros(self.n_owned + 1, dtype=np.int64)
+        np.cumsum(counts, out=self._walk_indptr[1:])
+        return True
+
+    def walk_init(self, walker_ids, starts, seed: int,
+                  p: Optional[float] = None, q: Optional[float] = None):
+        """Install the walkers whose start vertex this worker owns; emit
+        their step-0 output rows."""
+        ids = np.asarray(walker_ids, dtype=np.int64)
+        curs = np.asarray(starts, dtype=np.int64)
+        mine = self.part2worker[part_of_vertex(curs, self.P)] == self.wid
+        self._wk_id = ids[mine]
+        self._wk_cur = curs[mine]
+        self._wk_prev = np.full(len(self._wk_id), -1, dtype=np.int64)
+        self._walk_seed = seed
+        self._walk_p = p
+        self._walk_q = q
+        self._wk_out = [
+            (self._wk_id, np.zeros(len(self._wk_id), np.int32), self._wk_cur)
+        ]
+        return int(mine.sum())
+
+    def _walk_rows(self):
+        """(loc, start, deg) of each resident walker's adjacency row."""
+        loc = np.searchsorted(self.owned, self._wk_cur)
+        start = self._walk_indptr[loc]
+        deg = self._walk_indptr[loc + 1] - start
+        return start, deg
+
+    @staticmethod
+    def _walk_put(msg):
+        """Force a walk message into plasma.  Small actor return values are
+        inlined to the driver, and a just-under-threshold message re-ships
+        W× through the driver when fanned out to every receiver (~0.2 s per
+        step measured at 32 workers); an explicit ray.put keeps the data in
+        the local object store and only the ref fans out."""
+        return ray.put(msg)
+
+    @staticmethod
+    def _walk_get(msg_refs):
+        """Resolve the double indirection of _walk_put messages."""
+        return ray.get(ray.get(list(msg_refs)))
+
+    def _walk_route(self, ids, prevs, nxt):
+        """Pack moved walkers as ONE (ids, prevs, nxt, offsets) tuple sorted
+        by receiver — 4 arrays per sender per step instead of 3·W per-pair
+        arrays (the per-small-object overhead dominated the step cost)."""
+        own = self.part2worker[part_of_vertex(nxt, self.P)]
+        order = np.argsort(own, kind="stable")
+        offs = np.zeros(self.W + 1, dtype=np.int64)
+        np.cumsum(np.bincount(own, minlength=self.W), out=offs[1:])
+        return (ids[order], prevs[order], nxt[order], offs)
+
+    def walk_step_scatter(self, step: int):
+        """Uniform walk step: draw a neighbor for each resident walker from
+        the resident CSR row (sinks stop), record the output row, route the
+        walker to owner(next).  Packed-exchange layout only."""
+        from raygraph.algos.sampling import _seeded_uniform
+
+        start, deg = self._walk_rows()
+        alive = deg > 0
+        ids = self._wk_id[alive]
+        start, deg = start[alive], deg[alive]
+        if len(ids):
+            u = _seeded_uniform(self._walk_seed, ids, step)[:, 0]
+            pick = (u * deg).astype(np.int64) % deg
+            nxt = self._walk_dst[start + pick]
+            self._wk_out.append(
+                (ids, np.full(len(ids), step, dtype=np.int32), nxt)
+            )
+        else:
+            nxt = np.empty(0, np.int64)
+        out = self._walk_route(ids, np.empty(len(ids), np.int64), nxt)
+        return self._walk_put(out), {"rows_out": len(ids)}
+
+    def walk_step_update(self, msg_refs):
+        all_msgs = self._walk_get(msg_refs)
+        ids, prevs, curs = [], [], []
+        for i_c, p_c, n_c, offs in all_msgs:
+            lo, hi = offs[self.wid], offs[self.wid + 1]
+            ids.append(i_c[lo:hi])
+            prevs.append(p_c[lo:hi])
+            curs.append(n_c[lo:hi])
+        ids = np.concatenate(ids)
+        order = np.argsort(ids, kind="stable")
+        self._wk_id = ids[order]
+        self._wk_prev = np.concatenate(prevs)[order]
+        self._wk_cur = np.concatenate(curs)[order]
+        return {"active": len(ids)}
+
+    # node2vec: three exchanges per step — (A) candidate membership queries
+    # to owner(prev), (B) flags back, (C) biased draw + walker move.  All
+    # messages use the packed layout (concatenated arrays + per-receiver
+    # offsets — constant object count per sender per step).
+    def n2v_query_scatter(self, step: int):
+        start, deg = self._walk_rows()
+        alive = deg > 0
+        self._n2v_ids = self._wk_id[alive]
+        self._n2v_cur = self._wk_cur[alive]
+        self._n2v_prev = self._wk_prev[alive]
+        self._n2v_start = start[alive]
+        self._n2v_deg = deg[alive]
+        total = int(self._n2v_deg.sum())
+        self._n2v_flags = np.zeros(total, dtype=bool)
+        self._n2v_offs = np.zeros(len(self._n2v_ids) + 1, dtype=np.int64)
+        np.cumsum(self._n2v_deg, out=self._n2v_offs[1:])
+        # first-step walkers (prev == -1) need no query: flags stay False,
+        # so α = 1/q uniformly — the constant cancels in the draw
+        need = np.flatnonzero(self._n2v_prev >= 0)
+        own = self.part2worker[part_of_vertex(self._n2v_prev[need], self.P)]
+        sel = need[np.argsort(own, kind="stable")]
+        reps = self._n2v_deg[sel]
+        total_c = int(reps.sum())
+        seg0 = np.zeros(len(sel), dtype=np.int64)
+        np.cumsum(reps[:-1], out=seg0[1:])
+        gather = (
+            np.repeat(self._n2v_start[sel], reps)
+            + (np.arange(total_c, dtype=np.int64) - np.repeat(seg0, reps))
+            if total_c else np.empty(0, np.int64)
+        )
+        cands_c = self._walk_dst[gather]
+        w_offs = np.zeros(self.W + 1, dtype=np.int64)
+        np.cumsum(np.bincount(own, minlength=self.W), out=w_offs[1:])
+        c_offs = np.zeros(self.W + 1, dtype=np.int64)
+        np.cumsum(
+            np.bincount(own, weights=self._n2v_deg[need].astype(np.float64),
+                        minlength=self.W).astype(np.int64),
+            out=c_offs[1:],
+        )
+        out = (self._n2v_ids[sel], self._n2v_prev[sel], reps, cands_c,
+               w_offs, c_offs)
+        return self._walk_put(out), {"rows_out": total_c}
+
+    def n2v_query_receive(self, msg_refs):
+        """Answer (prev, candidates) membership queries against the
+        resident sorted adjacency rows; stash per-sender reply slices."""
+        all_msgs = self._walk_get(msg_refs)
+        self._n2v_replies = []
+        rows_in = 0
+        for i_c, p_c, deg_c, cands_c, w_offs, c_offs in all_msgs:
+            lo, hi = w_offs[self.wid], w_offs[self.wid + 1]
+            clo, chi = c_offs[self.wid], c_offs[self.wid + 1]
+            ids = i_c[lo:hi]
+            prevs = p_c[lo:hi]
+            degs = deg_c[lo:hi]
+            cands = cands_c[clo:chi]
+            flags = np.zeros(len(cands), dtype=bool)
+            if len(ids):
+                loc = np.searchsorted(self.owned, prevs)
+                rs = self._walk_indptr[loc]
+                re = self._walk_indptr[loc + 1]
+                offs = np.zeros(len(ids) + 1, dtype=np.int64)
+                np.cumsum(degs, out=offs[1:])
+                for j in range(len(ids)):
+                    row = self._walk_dst[rs[j]:re[j]]
+                    c = cands[offs[j]:offs[j + 1]]
+                    if len(row):
+                        pos = np.searchsorted(row, c)
+                        pos = np.clip(pos, 0, len(row) - 1)
+                        flags[offs[j]:offs[j + 1]] = row[pos] == c
+            self._n2v_replies.append((ids, flags))
+            rows_in += len(cands)
+        return {"rows_in": rows_in}
+
+    def n2v_flag_scatter(self):
+        """Ship stashed replies back, packed: reply j goes to sender j (the
+        walker's owner), so the offsets are just the per-sender slice."""
+        ids_c = np.concatenate([r[0] for r in self._n2v_replies])
+        flags_c = np.concatenate([r[1] for r in self._n2v_replies])
+        w_offs = np.zeros(self.W + 1, dtype=np.int64)
+        np.cumsum([len(r[0]) for r in self._n2v_replies], out=w_offs[1:])
+        f_offs = np.zeros(self.W + 1, dtype=np.int64)
+        np.cumsum([len(r[1]) for r in self._n2v_replies], out=f_offs[1:])
+        return self._walk_put((ids_c, flags_c, w_offs, f_offs)), {"rows_out": len(flags_c)}
+
+    def n2v_flag_update(self, msg_refs):
+        """Install returned flags into each pending walker's segment."""
+        all_msgs = self._walk_get(msg_refs)
+        pos_of = {int(w): i for i, w in enumerate(self._n2v_ids)}
+        for i_c, fl_c, w_offs, f_offs in all_msgs:
+            ids = i_c[w_offs[self.wid]:w_offs[self.wid + 1]]
+            flags = fl_c[f_offs[self.wid]:f_offs[self.wid + 1]]
+            c = 0
+            for w in ids:
+                i = pos_of[int(w)]
+                d = int(self._n2v_deg[i])
+                self._n2v_flags[self._n2v_offs[i]:self._n2v_offs[i] + d] = \
+                    flags[c:c + d]
+                c += d
+        return True
+
+    def n2v_move_scatter(self, step: int):
+        """Biased draw per pending walker (α = 1/p return, 1 adjacent,
+        1/q exploration — Grover & Leskovec 2016), exactly the per-walker
+        cumsum/searchsorted contract of the r2 implementation."""
+        from raygraph.algos.sampling import _seeded_uniform
+
+        n = len(self._n2v_ids)
+        nxt = np.empty(n, np.int64)
+        if n:
+            u = _seeded_uniform(self._walk_seed, self._n2v_ids, step)[:, 0]
+            inv_p = 1.0 / self._walk_p
+            inv_q = 1.0 / self._walk_q
+            for i in range(n):
+                s, d = self._n2v_start[i], self._n2v_deg[i]
+                cands = self._walk_dst[s:s + d]
+                w = self._walk_w[s:s + d]
+                fl = self._n2v_flags[self._n2v_offs[i]:self._n2v_offs[i] + d]
+                alpha = np.where(
+                    cands == self._n2v_prev[i], inv_p,
+                    np.where(fl, 1.0, inv_q),
+                )
+                cum = np.cumsum(w * alpha)
+                j = int(np.searchsorted(cum, u[i] * cum[-1], side="right"))
+                nxt[i] = cands[min(j, d - 1)]
+            self._wk_out.append(
+                (self._n2v_ids, np.full(n, step, dtype=np.int32), nxt)
+            )
+        out = self._walk_route(self._n2v_ids, self._n2v_cur, nxt)
+        return self._walk_put(out), {"rows_out": n}
+
+    def walk_write(self, out_dir: str):
+        """Write this worker's walk rows as one parquet file (no driver
+        concat of O(walkers × length) output)."""
+        os.makedirs(out_dir, exist_ok=True)
+        ids = np.concatenate([o[0] for o in self._wk_out])
+        steps = np.concatenate([o[1] for o in self._wk_out])
+        verts = np.concatenate([o[2] for o in self._wk_out])
+        order = np.lexsort((steps, ids))
+        t = pa.table(
+            {
+                "walker": pa.array(ids[order], pa.int64()),
+                "step": pa.array(steps[order].astype(np.int32), pa.int32()),
+                "vertex": pa.array(verts[order], pa.int64()),
+            }
+        )
+        pq.write_table(t, os.path.join(out_dir, f"walks-w{self.wid:05d}.parquet"))
+        return len(ids)
+
 
 class SuperstepEngine:
     """Driver-side BSP loop + checkpoint/lineage/resume over PartitionWorkers."""

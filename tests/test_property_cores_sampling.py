@@ -180,3 +180,23 @@ def test_node2vec_deterministic(karate):
         vs = grp["vertex"].to_numpy()
         for x, y in zip(vs[:-1], vs[1:]):
             assert (x, y) in eset
+
+
+def test_walks_worker_count_invariant(karate):
+    """Walker-routing engine: outputs are bit-identical at any worker
+    count (the (seed, walker, step) counter RNG is placement-independent)."""
+    from raygraph.algos.sampling import node2vec_walks, random_walks
+
+    key = ["walker", "step"]
+    a = random_walks(karate, [0, 5, 33], 5, seed=11, num_workers=1).to_pandas()
+    b = random_walks(karate, [0, 5, 33], 5, seed=11, num_workers=4).to_pandas()
+    assert a.sort_values(key).reset_index(drop=True).equals(
+        b.sort_values(key).reset_index(drop=True)
+    )
+    a = node2vec_walks(karate, [0, 5, 9], 5, p=2.0, q=0.5, seed=11,
+                       num_workers=1).to_pandas()
+    b = node2vec_walks(karate, [0, 5, 9], 5, p=2.0, q=0.5, seed=11,
+                       num_workers=4).to_pandas()
+    assert a.sort_values(key).reset_index(drop=True).equals(
+        b.sort_values(key).reset_index(drop=True)
+    )
