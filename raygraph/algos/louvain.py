@@ -89,6 +89,162 @@ def _distributed_modularity(edges_ds, comm_ref, comm, k, m2, resolution):
     return internal / m2 - resolution * float((sig / m2) @ (sig / m2))
 
 
+def _move_phase(level_edges, V, k, m2, comm, q_cur, resolution, max_inner,
+                min_gain, parity_salt, local, src, dst, w,
+                restrict_parent=None, singleton_only=False):
+    """The Louvain local-moving sweep loop, shared with Leiden.
+
+    ``restrict_parent``: only consider target communities whose parent
+    (the array's value at both endpoints) matches — the Leiden refinement
+    constraint (moves stay inside the phase-1 community).
+    ``singleton_only``: only vertices currently alone in their community
+    may move (the Leiden refinement merge rule).
+    Returns (comm, q_cur, improved).
+    """
+    import ray
+
+    from raygraph.agg import hash_aggregate
+    from raygraph.hashing import hash_int64
+    from raygraph.joins import _key_hash
+
+    improved = False
+    for sweep in range(max_inner):
+        sig = np.bincount(comm, weights=k, minlength=V)
+        cref = ray.put(comm)
+        kref = ray.put(k)
+        sref = ray.put(sig)
+        pref = ray.put(restrict_parent) if restrict_parent is not None else None
+
+        def attach(df: pd.DataFrame) -> pd.DataFrame:
+            c = ray.get(cref)
+            s = df["src"].to_numpy(np.int64)
+            d = df["dst"].to_numpy(np.int64)
+            keep = s != d
+            if pref is not None:
+                par = ray.get(pref)
+                keep &= par[s] == par[d]
+            return pd.DataFrame(
+                {
+                    "src": s[keep],
+                    "cdst": c[d[keep]],
+                    "weight": df["weight"].to_numpy()[keep],
+                }
+            )
+
+        if local:
+            keep = src != dst
+            if restrict_parent is not None:
+                keep &= restrict_parent[src] == restrict_parent[dst]
+            sl, cdl, wl = src[keep], comm[dst[keep]], w[keep]
+            key = (sl.astype(np.int64) << np.int64(32)) | cdl
+            uk, inv = np.unique(key, return_inverse=True)
+            wv_l = np.bincount(inv, weights=wl, minlength=len(uk))
+            agg_df = pd.DataFrame(
+                {
+                    "src": (uk >> np.int64(32)).astype(np.int64),
+                    "cdst": (uk & np.int64(0xFFFFFFFF)).astype(np.int64),
+                    "w": wv_l,
+                }
+            )
+        else:
+            linked = level_edges.map_batches(attach, batch_format="pandas")
+            agg = hash_aggregate(linked, ["src", "cdst"], {"w": ("weight", "sum")})
+
+        def best_move(df: pd.DataFrame) -> pd.DataFrame:
+            c = ray.get(cref)
+            kk = ray.get(kref)
+            ss = ray.get(sref)
+            s = df["src"].to_numpy(np.int64)
+            cd = df["cdst"].to_numpy(np.int64)
+            wv = df["w"].to_numpy(np.float64)
+            # gain score for i joining community cd (i's own mass removed
+            # from Σ_tot): score = w_{i→c} − res·k_i·Σ_tot*(c)/m2
+            sig_star = ss[cd] - np.where(c[s] == cd, kk[s], 0.0)
+            score = wv - resolution * kk[s] * sig_star / m2
+            # per src: argmax score, ties → min community id
+            order = np.lexsort((cd, -score, s))
+            s_s, cd_s, sc_s = s[order], cd[order], score[order]
+            first = np.ones(len(s_s), dtype=bool)
+            first[1:] = s_s[1:] != s_s[:-1]
+            vbest = s_s[first]
+            cbest = cd_s[first]
+            sbest = sc_s[first]
+            # score of STAYING: the row with cd == current community, or
+            # (no internal links) −res·k_i·(Σ_tot(c_i)−k_i)/m2
+            stay = -resolution * kk[vbest] * (ss[c[vbest]] - kk[vbest]) / m2
+            in_own = cd == c[s]
+            if in_own.any():
+                stay_map = dict(zip(s[in_own].tolist(), score[in_own].tolist()))
+                for i, v in enumerate(vbest.tolist()):
+                    if v in stay_map:
+                        stay[i] = stay_map[v]
+            keep = sbest > stay + 1e-12
+            return pd.DataFrame(
+                {"vertex": vbest[keep], "best": cbest[keep]}
+            )
+
+        # co-locate rows of each src, then vectorized per-bucket argmax
+        def tag(df: pd.DataFrame) -> pd.DataFrame:
+            df = df.copy()
+            df["__bk"] = (
+                _key_hash(df, ["src"]) % np.uint64(32)
+            ).astype(np.int32)
+            return df
+
+        if local:
+            picked = best_move(agg_df)
+        else:
+            picked = (
+                agg.map_batches(tag, batch_format="pandas")
+                .groupby("__bk")
+                .map_groups(
+                    lambda g: best_move(g.drop(columns="__bk")),
+                    batch_format="pandas",
+                )
+                .to_pandas()  # ≤ V rows (one candidate move per vertex)
+            )
+
+        if len(picked) == 0 or "vertex" not in picked.columns:
+            break  # no vertex gains from moving → level converged
+        if singleton_only:
+            counts = np.bincount(comm, minlength=V)
+            picked = picked[
+                counts[comm[picked["vertex"].to_numpy(np.int64)]] == 1
+            ]
+            if len(picked) == 0:
+                break
+        movers = picked["vertex"].to_numpy(np.int64)
+        # alternate hash-parity half-sweeps: simultaneous pairwise swaps
+        # (the synchronous-Louvain oscillation) cannot happen inside one
+        # parity class, and the modularity guard below stays a backstop
+        # parity_salt varies the half-sweep schedule — the ECG ensemble
+        # uses it the way the reference permutes vertex order per member
+        parity = (
+            hash_int64(movers ^ np.int64(parity_salt)) % np.uint64(2)
+        ).astype(np.int64)
+        sel = parity == (sweep % 2)
+        if not sel.any():
+            continue
+        new_comm = comm.copy()
+        new_comm[movers[sel]] = picked["best"].to_numpy(np.int64)[sel]
+        if np.array_equal(new_comm, comm):
+            break
+        if local:
+            q_new = _modularity_local(src, dst, w, new_comm, k, m2, resolution)
+        else:
+            q_new = _distributed_modularity(
+                level_edges, ray.put(new_comm), new_comm, k, m2, resolution
+            )
+        if q_new <= q_cur + min_gain:
+            if sweep % 2 == 1:
+                break  # both parity classes exhausted
+            continue
+        comm = new_comm
+        q_cur = q_new
+        improved = True
+    return comm, q_cur, improved
+
+
 def louvain(graph, max_levels: int = 10, max_inner: int = 20,
             resolution: float = 1.0, min_gain: float = 1e-9,
             local_edge_limit: int = 5_000_000, parity_salt: int = 0):
@@ -138,132 +294,10 @@ def louvain(graph, max_levels: int = 10, max_inner: int = 20,
                 level_edges, ray.put(comm), comm, k, m2, resolution
             )
 
-        improved_level = False
-        for sweep in range(max_inner):
-            sig = np.bincount(comm, weights=k, minlength=V)
-            cref = ray.put(comm)
-            kref = ray.put(k)
-            sref = ray.put(sig)
-
-            def attach(df: pd.DataFrame) -> pd.DataFrame:
-                c = ray.get(cref)
-                s = df["src"].to_numpy(np.int64)
-                d = df["dst"].to_numpy(np.int64)
-                keep = s != d
-                return pd.DataFrame(
-                    {
-                        "src": s[keep],
-                        "cdst": c[d[keep]],
-                        "weight": df["weight"].to_numpy()[keep],
-                    }
-                )
-
-            if local:
-                keep = src != dst
-                sl, cdl, wl = src[keep], comm[dst[keep]], w[keep]
-                key = (sl.astype(np.int64) << np.int64(32)) | cdl
-                uk, inv = np.unique(key, return_inverse=True)
-                wv_l = np.bincount(inv, weights=wl, minlength=len(uk))
-                agg_df = pd.DataFrame(
-                    {
-                        "src": (uk >> np.int64(32)).astype(np.int64),
-                        "cdst": (uk & np.int64(0xFFFFFFFF)).astype(np.int64),
-                        "w": wv_l,
-                    }
-                )
-            else:
-                linked = level_edges.map_batches(attach, batch_format="pandas")
-                agg = hash_aggregate(linked, ["src", "cdst"], {"w": ("weight", "sum")})
-
-            def best_move(df: pd.DataFrame) -> pd.DataFrame:
-                c = ray.get(cref)
-                kk = ray.get(kref)
-                ss = ray.get(sref)
-                s = df["src"].to_numpy(np.int64)
-                cd = df["cdst"].to_numpy(np.int64)
-                wv = df["w"].to_numpy(np.float64)
-                # gain score for i joining community cd (i's own mass removed
-                # from Σ_tot): score = w_{i→c} − res·k_i·Σ_tot*(c)/m2
-                sig_star = ss[cd] - np.where(c[s] == cd, kk[s], 0.0)
-                score = wv - resolution * kk[s] * sig_star / m2
-                # per src: argmax score, ties → min community id
-                order = np.lexsort((cd, -score, s))
-                s_s, cd_s, sc_s = s[order], cd[order], score[order]
-                first = np.ones(len(s_s), dtype=bool)
-                first[1:] = s_s[1:] != s_s[:-1]
-                vbest = s_s[first]
-                cbest = cd_s[first]
-                sbest = sc_s[first]
-                # score of STAYING: the row with cd == current community, or
-                # (no internal links) −res·k_i·(Σ_tot(c_i)−k_i)/m2
-                stay = -resolution * kk[vbest] * (ss[c[vbest]] - kk[vbest]) / m2
-                in_own = cd == c[s]
-                if in_own.any():
-                    stay_map = dict(zip(s[in_own].tolist(), score[in_own].tolist()))
-                    for i, v in enumerate(vbest.tolist()):
-                        if v in stay_map:
-                            stay[i] = stay_map[v]
-                keep = sbest > stay + 1e-12
-                return pd.DataFrame(
-                    {"vertex": vbest[keep], "best": cbest[keep]}
-                )
-
-            # co-locate rows of each src, then vectorized per-bucket argmax
-            from raygraph.joins import _key_hash
-
-            def tag(df: pd.DataFrame) -> pd.DataFrame:
-                df = df.copy()
-                df["__bk"] = (
-                    _key_hash(df, ["src"]) % np.uint64(32)
-                ).astype(np.int32)
-                return df
-
-            if local:
-                picked = best_move(agg_df)
-            else:
-                picked = (
-                    agg.map_batches(tag, batch_format="pandas")
-                    .groupby("__bk")
-                    .map_groups(
-                        lambda g: best_move(g.drop(columns="__bk")),
-                        batch_format="pandas",
-                    )
-                    .to_pandas()  # ≤ V rows (one candidate move per vertex)
-                )
-
-            # alternate hash-parity half-sweeps: simultaneous pairwise swaps
-            # (the synchronous-Louvain oscillation) cannot happen inside one
-            # parity class, and the modularity guard below stays a backstop
-            from raygraph.hashing import hash_int64
-
-            if len(picked) == 0 or "vertex" not in picked.columns:
-                break  # no vertex gains from moving → level converged
-            movers = picked["vertex"].to_numpy(np.int64)
-            # parity_salt varies the half-sweep schedule — the ECG ensemble
-            # uses it the way the reference permutes vertex order per member
-            parity = (
-                hash_int64(movers ^ np.int64(parity_salt)) % np.uint64(2)
-            ).astype(np.int64)
-            sel = parity == (sweep % 2)
-            if not sel.any():
-                continue
-            new_comm = comm.copy()
-            new_comm[movers[sel]] = picked["best"].to_numpy(np.int64)[sel]
-            if np.array_equal(new_comm, comm):
-                break
-            if local:
-                q_new = _modularity_local(src, dst, w, new_comm, k, m2, resolution)
-            else:
-                q_new = _distributed_modularity(
-                    level_edges, ray.put(new_comm), new_comm, k, m2, resolution
-                )
-            if q_new <= q_cur + min_gain:
-                if sweep % 2 == 1:
-                    break  # both parity classes exhausted
-                continue
-            comm = new_comm
-            q_cur = q_new
-            improved_level = True
+        comm, q_cur, improved_level = _move_phase(
+            level_edges, V, k, m2, comm, q_cur, resolution, max_inner,
+            min_gain, parity_salt, local, src, dst, w,
+        )
 
         final_modularity = q_cur
         if not improved_level:
@@ -316,6 +350,151 @@ def louvain(graph, max_levels: int = 10, max_inner: int = 20,
     out = rd.from_pandas(
         pd.DataFrame(
             {"vertex": np.arange(V0, dtype=np.int64), "partition": assign0}
+        )
+    )
+    return out, float(final_modularity)
+
+
+def leiden(graph, max_levels: int = 10, max_inner: int = 20,
+           resolution: float = 1.0, min_gain: float = 1e-9,
+           local_edge_limit: int = 5_000_000, parity_salt: int = 0,
+           refine_inner: int = 10):
+    """Leiden community detection (Traag, Waltman & van Eck 2019) —
+    reference ``community/leiden.py`` / ``cpp/src/community/legacy/
+    leiden.cu`` + ``leiden.cuh``.
+
+    Louvain plus a **refinement phase** before each contraction: within
+    every phase-1 community, vertices restart as singletons and greedily
+    re-merge — but only with targets *inside their own community*, and
+    only while they are *alone* in their refined community (the Leiden
+    merge rule).  The graph is contracted by the REFINED partition, and
+    the next level starts from the phase-1 communities (not singletons),
+    so a badly-connected community is split at contraction instead of
+    being frozen into one node — the Louvain pathology Leiden fixes.
+
+    Same scale contract as :func:`louvain`: O(V) driver state, distributed
+    sweeps/aggregates past ``local_edge_limit``.
+    Returns (Dataset (vertex, partition), modularity).
+    """
+    import ray
+    import ray.data as rd
+
+    from raygraph.agg import hash_aggregate
+
+    if graph.directed:
+        raise ValueError("leiden requires an undirected graph (directed=False)")
+    V0 = graph.num_vertices
+
+    edges_ds = graph.edges_dataset(columns=["src", "dst", "weight"])
+    assign0 = np.arange(V0, dtype=np.int64)  # original → current-level vertex
+    level_edges = edges_ds
+    E_level = graph.num_edges
+    V = V0
+    comm_init = np.arange(V0, dtype=np.int64)
+
+    m2 = float(level_edges.sum("weight"))
+    if m2 == 0:
+        return rd.from_pandas(
+            pd.DataFrame({"vertex": np.arange(V0), "partition": assign0})
+        ), 0.0
+
+    final_modularity = 0.0
+    partition_out = comm_init[assign0]
+    for level in range(max_levels):
+        local = E_level <= local_edge_limit
+        if local:
+            src, dst, w = _edge_arrays(level_edges)
+            k = np.bincount(src, weights=w, minlength=V)
+        else:
+            src = dst = w = None
+            k = _distributed_degrees(level_edges, V)
+        comm = comm_init.copy()
+        if local:
+            q_cur = _modularity_local(src, dst, w, comm, k, m2, resolution)
+        else:
+            q_cur = _distributed_modularity(
+                level_edges, ray.put(comm), comm, k, m2, resolution
+            )
+
+        # phase 1: unconstrained local moves (Louvain sweep)
+        comm, q_cur, improved_level = _move_phase(
+            level_edges, V, k, m2, comm, q_cur, resolution, max_inner,
+            min_gain, parity_salt, local, src, dst, w,
+        )
+        final_modularity = q_cur
+        partition_out = comm[assign0]
+        if not improved_level:
+            break
+
+        # phase 2: refinement — singleton restart constrained to the
+        # phase-1 communities; merging only while alone in the refined
+        # community.  The refined partition's own modularity guards the
+        # sweep (it rises as fragments merge; it may sit below phase 1's
+        # q — that is the point: contraction keeps the splits).
+        rcomm = np.arange(V, dtype=np.int64)
+        if local:
+            q_ref = _modularity_local(src, dst, w, rcomm, k, m2, resolution)
+        else:
+            q_ref = _distributed_modularity(
+                level_edges, ray.put(rcomm), rcomm, k, m2, resolution
+            )
+        rcomm, q_ref, _ = _move_phase(
+            level_edges, V, k, m2, rcomm, q_ref, resolution, refine_inner,
+            min_gain, parity_salt, local, src, dst, w,
+            restrict_parent=comm, singleton_only=True,
+        )
+
+        # contract by the refined partition; next level starts from the
+        # phase-1 communities of the refined groups
+        uniq, dense = np.unique(rcomm, return_inverse=True)
+        assign0 = dense[assign0]
+        parent = np.zeros(len(uniq), dtype=np.int64)
+        parent[dense] = comm  # constant within each refined community
+        _, comm_next = np.unique(parent, return_inverse=True)
+        dref = ray.put(dense)
+
+        def contract(df: pd.DataFrame) -> pd.DataFrame:
+            dn = ray.get(dref)
+            return pd.DataFrame(
+                {
+                    "src": dn[df["src"].to_numpy(np.int64)],
+                    "dst": dn[df["dst"].to_numpy(np.int64)],
+                    "weight": df["weight"].to_numpy(),
+                }
+            )
+
+        if local:
+            cs, cd = dense[src], dense[dst]
+            key = (cs.astype(np.int64) << np.int64(32)) | cd
+            uk, inv = np.unique(key, return_inverse=True)
+            wsum = np.bincount(inv, weights=w, minlength=len(uk))
+            level_edges = rd.from_pandas(
+                pd.DataFrame(
+                    {
+                        "src": (uk >> np.int64(32)).astype(np.int64),
+                        "dst": (uk & np.int64(0xFFFFFFFF)).astype(np.int64),
+                        "weight": wsum,
+                    }
+                )
+            )
+            E_level = len(uk)
+        else:
+            level_edges = hash_aggregate(
+                level_edges.map_batches(contract, batch_format="pandas"),
+                ["src", "dst"],
+                {"weight": ("weight", "sum")},
+            ).materialize()
+            E_level = level_edges.count()
+        if len(uniq) == V:
+            break
+        V = len(uniq)
+        comm_init = comm_next.astype(np.int64)
+
+    _, compact = np.unique(partition_out, return_inverse=True)
+    out = rd.from_pandas(
+        pd.DataFrame(
+            {"vertex": np.arange(V0, dtype=np.int64),
+             "partition": compact.astype(np.int64)}
         )
     )
     return out, float(final_modularity)

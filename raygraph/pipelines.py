@@ -662,6 +662,22 @@ def q_ecg(sf_dir: str):
     )
 
 
+def q_leiden(sf_dir: str):
+    """Leiden communities (Louvain + constrained refinement before each
+    contraction) on the weight≥3 subgraph (rows-only; partition validity,
+    modularity ≥ Louvain's, and determinism pinned by pytest)."""
+    from raygraph.algos.louvain import leiden
+
+    g = _w3_subgraph(sf_dir, "leiden")
+    res, _q = leiden(g)
+    return g.unrenumber(res, "vertex").map_batches(
+        lambda df: pd.DataFrame(
+            {"vertex_key": df["vertex"], "partition": df["partition"]}
+        ),
+        batch_format="pandas",
+    )
+
+
 def q_katz(sf_dir: str):
     from raygraph.algos.centrality import katz_centrality
 
@@ -1097,6 +1113,7 @@ QUERIES = {
     "sessionize": q_sessionize,
     "louvain": q_louvain,
     "ecg": q_ecg,
+    "leiden": q_leiden,
     "katz": q_katz,
     "hits": q_hits,
     "bfs": q_bfs,

@@ -112,3 +112,62 @@ def test_ecg_karate(tmp_path):
     assert df.sort_values("vertex").reset_index(drop=True).equals(
         res2.to_pandas().sort_values("vertex").reset_index(drop=True)
     )
+
+
+def test_leiden_karate(tmp_path):
+    from raygraph.algos.louvain import leiden
+
+    g = Graph.from_edges(
+        rd.from_pandas(fixtures.karate_df()),
+        src="src", dst="dst", weight="weight",
+        directed=False, renumber=False, num_partitions=4,
+        out_dir=str(tmp_path / "ld"),
+    )
+    lres, lq = louvain(g)
+    res, q = leiden(g)
+    df = res.to_pandas()
+    # (a) partition validity: every vertex labeled, compact labels
+    assert len(df) == fixtures.KARATE_V
+    parts = np.sort(df["partition"].unique())
+    assert parts[0] == 0 and parts[-1] == len(parts) - 1
+    # reported q matches a recomputation from the partition
+    q2 = _modularity_check(df, fixtures.karate_df(), fixtures.KARATE_V)
+    assert abs(q - q2) < 1e-9
+    # (b) refinement never loses to Louvain
+    assert q >= lq - 1e-12
+    # (c) deterministic
+    res2, qq = leiden(g)
+    assert df.sort_values("vertex").reset_index(drop=True).equals(
+        res2.to_pandas().sort_values("vertex").reset_index(drop=True)
+    )
+    assert q == qq
+
+
+def test_leiden_distributed_path_matches_local(tmp_path):
+    from raygraph.algos.louvain import leiden
+
+    g = Graph.from_edges(
+        rd.from_pandas(fixtures.karate_df()),
+        src="src", dst="dst", weight="weight",
+        directed=False, renumber=False, num_partitions=4,
+        out_dir=str(tmp_path / "ldd"),
+    )
+    a, qa = leiden(g)
+    b, qb = leiden(g, local_edge_limit=0)  # force distributed sweeps
+    assert abs(qa - qb) < 1e-9
+    assert a.to_pandas().sort_values("vertex").reset_index(drop=True).equals(
+        b.to_pandas().sort_values("vertex").reset_index(drop=True)
+    )
+
+
+def test_leiden_requires_undirected(tmp_path):
+    from raygraph.algos.louvain import leiden
+
+    g = Graph.from_edges(
+        rd.from_pandas(fixtures.karate_df()),
+        src="src", dst="dst", weight="weight",
+        directed=True, renumber=False, num_partitions=2,
+        out_dir=str(tmp_path / "ldu"),
+    )
+    with pytest.raises(ValueError):
+        leiden(g)
