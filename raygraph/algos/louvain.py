@@ -501,7 +501,8 @@ def leiden(graph, max_levels: int = 10, max_inner: int = 20,
 
 
 def ecg(graph, min_weight: float = 0.05, ensemble_size: int = 16,
-        seed: int = 42, **louvain_kwargs):
+        seed: int = 42, broadcast_limit: Optional[int] = None,
+        **louvain_kwargs):
     """Ensemble Clustering for Graphs (Poulin & Théberge 2018) —
     ``cpp/src/community/legacy/ecg.cu`` / ``community/ecg.py:41``.
 
@@ -512,15 +513,26 @@ def ecg(graph, min_weight: float = 0.05, ensemble_size: int = 16,
        (co-membership count / ensemble_size)`` (``ecg.cu:186``).
     3. Full Louvain on the reweighted graph.
 
+    Scale contract: the driver never holds more than ONE member's V-sized
+    label array at a time (transiently, to broadcast it); the ensemble
+    co-membership counts accumulate inside one streamed pass over the
+    edges reading the per-member broadcasts.  Past ``broadcast_limit``
+    vertices the members stay Datasets and co-membership is computed by
+    two bucketed hash joins of the (vertex, member, label) union onto the
+    edge endpoints plus one aggregate — no V-sized driver or plasma array
+    at all.
+
     Returns (Dataset (vertex, partition), modularity of the final
     partition on the REWEIGHTED graph).
     """
     import ray
     import ray.data as rd
 
-    from raygraph.graph import Graph
+    from raygraph.graph import DEFAULT_BROADCAST_LIMIT, Graph
     from raygraph.hashing import hash_int64
 
+    if broadcast_limit is None:
+        broadcast_limit = DEFAULT_BROADCAST_LIMIT
     # the ensemble passes pin max_levels=1 and their own parity_salt; a
     # caller-supplied value of either applies only to the final full pass
     ensemble_kwargs = {
@@ -528,33 +540,103 @@ def ecg(graph, min_weight: float = 0.05, ensemble_size: int = 16,
         if k not in ("max_levels", "parity_salt")
     }
     V = graph.num_vertices
-    members = np.empty((ensemble_size, V), dtype=np.int64)
+    member_ds = []
     for i in range(ensemble_size):
         # int() BEFORE the mask: uint64 & python-int silently promotes to
         # float64 (the Graph.neighbors gotcha)
         salt = int(hash_int64(np.array([seed * 1_000_003 + i]))[0]) & 0x7FFFFFFF
         res, _q = louvain(graph, max_levels=1, parity_salt=salt,
                           **ensemble_kwargs)
-        df = res.to_pandas().sort_values("vertex")
-        members[i] = df["partition"].to_numpy(np.int64)
-    mref = ray.put(members)
+        member_ds.append(res)
 
-    def reweight(df: pd.DataFrame) -> pd.DataFrame:
-        M = ray.get(mref)
-        s = df["src"].to_numpy(np.int64)
-        d = df["dst"].to_numpy(np.int64)
-        same = (M[:, s] == M[:, d]).sum(axis=0)
-        return pd.DataFrame(
-            {
-                "src": s,
-                "dst": d,
-                "weight": min_weight + (1.0 - min_weight) * same / len(M),
-            }
+    edges = graph.edges_dataset(columns=["src", "dst"])
+    if V <= broadcast_limit:
+        # one member at a time: V-sized transient on the driver, broadcast
+        # once, read zero-copy by every edge batch
+        refs = []
+        for res in member_ds:
+            df = res.to_pandas()
+            arr = np.empty(V, dtype=np.int64)
+            arr[df["vertex"].to_numpy(np.int64)] = (
+                df["partition"].to_numpy(np.int64)
+            )
+            refs.append(ray.put(arr))
+            del df, arr
+
+        def reweight(df: pd.DataFrame) -> pd.DataFrame:
+            s = df["src"].to_numpy(np.int64)
+            d = df["dst"].to_numpy(np.int64)
+            same = np.zeros(len(df), dtype=np.int64)
+            for r in refs:
+                lab = ray.get(r)
+                same += lab[s] == lab[d]
+            return pd.DataFrame(
+                {
+                    "src": s,
+                    "dst": d,
+                    "weight": min_weight
+                    + (1.0 - min_weight) * same / ensemble_size,
+                }
+            )
+
+        rw = edges.map_batches(reweight, batch_format="pandas")
+    else:
+        from raygraph.agg import hash_aggregate
+        from raygraph.joins import hash_join
+
+        def tag_member(i):
+            def fn(df: pd.DataFrame) -> pd.DataFrame:
+                return pd.DataFrame(
+                    {
+                        "vertex": df["vertex"].to_numpy(np.int64),
+                        "member": np.full(len(df), i, dtype=np.int32),
+                        "label": df["partition"].to_numpy(np.int64),
+                    }
+                )
+
+            return fn
+
+        labels = member_ds[0].map_batches(tag_member(0), batch_format="pandas")
+        for i in range(1, ensemble_size):
+            labels = labels.union(
+                member_ds[i].map_batches(tag_member(i), batch_format="pandas")
+            )
+        lab_s = labels.map_batches(
+            lambda df: df.rename(columns={"vertex": "src", "label": "lab_s"}),
+            batch_format="pandas",
         )
-
-    rw = graph.edges_dataset(columns=["src", "dst"]).map_batches(
-        reweight, batch_format="pandas"
-    )
+        lab_d = labels.map_batches(
+            lambda df: df.rename(columns={"vertex": "dst", "label": "lab_d"}),
+            batch_format="pandas",
+        )
+        j1 = hash_join(edges, lab_s, on="src")
+        j2 = hash_join(j1, lab_d, on=["dst", "member"])
+        sames = j2.map_batches(
+            lambda df: pd.DataFrame(
+                {
+                    "src": df["src"].to_numpy(np.int64),
+                    "dst": df["dst"].to_numpy(np.int64),
+                    "same": (
+                        df["lab_s"].to_numpy(np.int64)
+                        == df["lab_d"].to_numpy(np.int64)
+                    ).astype(np.int64),
+                }
+            ),
+            batch_format="pandas",
+        )
+        agg = hash_aggregate(sames, ["src", "dst"], {"same": ("same", "sum")})
+        rw = agg.map_batches(
+            lambda df: pd.DataFrame(
+                {
+                    "src": df["src"].to_numpy(np.int64),
+                    "dst": df["dst"].to_numpy(np.int64),
+                    "weight": min_weight
+                    + (1.0 - min_weight)
+                    * df["same"].to_numpy(np.float64) / ensemble_size,
+                }
+            ),
+            batch_format="pandas",
+        )
     g2 = Graph.from_edges(
         rw, src="src", dst="dst", weight="weight",
         directed=True, renumber=False,

@@ -171,3 +171,23 @@ def test_leiden_requires_undirected(tmp_path):
     )
     with pytest.raises(ValueError):
         leiden(g)
+
+
+def test_ecg_join_path_matches_broadcast(tmp_path):
+    """Forced past broadcast_limit, co-membership comes from the bucketed
+    label joins — same reweighted graph, same partition, and no V-sized
+    driver/plasma array beyond one member's labels on the default path."""
+    from raygraph.algos.louvain import ecg
+
+    g = Graph.from_edges(
+        rd.from_pandas(fixtures.karate_df()),
+        src="src", dst="dst", weight="weight",
+        directed=False, renumber=False, num_partitions=4,
+        out_dir=str(tmp_path / "ecgj"),
+    )
+    a, qa = ecg(g, ensemble_size=4, seed=5)
+    b, qb = ecg(g, ensemble_size=4, seed=5, broadcast_limit=0)
+    assert abs(qa - qb) < 1e-9
+    assert a.to_pandas().sort_values("vertex").reset_index(drop=True).equals(
+        b.to_pandas().sort_values("vertex").reset_index(drop=True)
+    )
