@@ -4,16 +4,27 @@ Reference: ``cpp/src/link_prediction/{jaccard,sorensen,overlap}_impl.cuh``
 (+ ``similarity_impl.cuh``) — neighbor-set intersection per vertex pair via
 ``per_v_pair_transform_dst_nbr_intersection.cuh``.
 
-Relational mapping (no list columns): common-neighbor counts by self-joining
-the symmetrized edge list on the shared endpoint (``groupby`` wedge count),
-degrees from a groupby, coefficients from exact integer counts:
+Two APIs, mirroring the reference:
+
+* :func:`pair_similarity` — coefficients over **caller-provided pairs**
+  (the reference's primary API shape: ``link_prediction/jaccard.py``
+  computes over ``vertex_pair``).  Work is Σ_pairs deg(a) — no wedge
+  explosion regardless of skew.
+* :func:`pairwise_similarity` — all (a<b) pairs with ≥1 common neighbor.
+  The self-join on the shared endpoint w emits |N(w)|² wedge rows, so a
+  single hub vertex lands its full quadratic expansion in one bucket
+  task; ``max_wedge_degree`` caps it by excluding shared endpoints above
+  the threshold (documented approximation — pairs connected ONLY through
+  capped hubs are dropped / undercounted; the exact answer for specific
+  pairs is :func:`pair_similarity`).
+
+Relational mapping (no list columns): common-neighbor counts by
+self-joining the symmetrized edge list on the shared endpoint, degrees
+from a groupby, coefficients from exact integer counts:
 
 * jaccard  = |N(a)∩N(b)| / |N(a)∪N(b)|
 * sorensen = 2·|N(a)∩N(b)| / (|N(a)|+|N(b)|)
 * overlap  = |N(a)∩N(b)| / min(|N(a)|,|N(b)|)
-
-Pairs returned are all (a < b) with ≥1 common neighbor (the reference
-computes over caller-provided pairs; pass ``pairs_filter`` to restrict).
 """
 
 from __future__ import annotations
@@ -26,31 +37,27 @@ import pandas as pd
 from raygraph import joins
 
 
-def pairwise_similarity(
-    edges_ds,
-    kind: str = "jaccard",
-    num_buckets: int = 64,
-):
-    """edges_ds: symmetrized simple (src,dst) Dataset. Returns
-    (a, b, common, deg_a, deg_b, coeff) for a<b pairs with common>0."""
-    from raygraph.agg import hash_aggregate
+def _coeff_frame(df: pd.DataFrame, kind: str) -> pd.DataFrame:
+    c = df["common"].to_numpy(np.float64)
+    da = df["deg_a"].to_numpy(np.float64)
+    db = df["deg_b"].to_numpy(np.float64)
+    if kind == "jaccard":
+        v = c / (da + db - c)
+    elif kind == "sorensen":
+        v = 2.0 * c / (da + db)
+    elif kind == "overlap":
+        v = c / np.minimum(da, db)
+    else:
+        raise ValueError(kind)
+    out = df[["a", "b"]].copy()
+    out["common"] = df["common"].to_numpy(np.int64)
+    out["coeff"] = v
+    return out
 
-    deg = hash_aggregate(edges_ds, ["src"], {"deg": (None, "count")})
 
-    left = edges_ds.map_batches(
-        lambda df: df.rename(columns={"src": "a", "dst": "w"})[["a", "w"]],
-        batch_format="pandas",
-    )
-    right = edges_ds.map_batches(
-        lambda df: df.rename(columns={"src": "b", "dst": "w"})[["b", "w"]],
-        batch_format="pandas",
-    )
-    wedge = joins.hash_join(left, right, on="w", num_buckets=num_buckets)
-    pairs = wedge.map_batches(
-        lambda df: df.loc[df["a"] < df["b"], ["a", "b"]], batch_format="pandas"
-    )
-    common = hash_aggregate(pairs, ["a", "b"], {"common": (None, "count")})
-
+def _attach_coeff(common, deg, kind: str, num_buckets: int):
+    """Join per-pair common counts with both endpoint degrees and compute
+    the coefficient. Returns (a, b, common, coeff)."""
     dega = deg.map_batches(
         lambda df: df.rename(columns={"src": "a", "deg": "deg_a"}),
         batch_format="pandas",
@@ -61,22 +68,113 @@ def pairwise_similarity(
     )
     j1 = joins.hash_join(common, dega, on="a", num_buckets=num_buckets)
     j2 = joins.hash_join(j1, degb, on="b", num_buckets=num_buckets)
+    return j2.map_batches(
+        lambda df: _coeff_frame(df, kind), batch_format="pandas"
+    )
 
-    def coeff(df: pd.DataFrame) -> pd.DataFrame:
-        c = df["common"].to_numpy(np.float64)
-        da = df["deg_a"].to_numpy(np.float64)
-        db = df["deg_b"].to_numpy(np.float64)
-        if kind == "jaccard":
-            v = c / (da + db - c)
-        elif kind == "sorensen":
-            v = 2.0 * c / (da + db)
-        elif kind == "overlap":
-            v = c / np.minimum(da, db)
-        else:
-            raise ValueError(kind)
-        out = df[["a", "b"]].copy()
-        out["common"] = df["common"].to_numpy(np.int64)
-        out["coeff"] = v
-        return out
 
-    return j2.map_batches(coeff, batch_format="pandas")
+def pairwise_similarity(
+    edges_ds,
+    kind: str = "jaccard",
+    num_buckets: int = 64,
+    max_wedge_degree: Optional[int] = None,
+):
+    """edges_ds: symmetrized simple (src,dst) Dataset. Returns
+    (a, b, common, deg_a, deg_b, coeff) for a<b pairs with common>0.
+
+    ``max_wedge_degree``: skip shared endpoints with degree above this —
+    bounds per-task wedge rows to max_wedge_degree² under hub skew (the
+    same hot-key guard as the LSH bucket cap, ``dedup.py``).  None = exact.
+    """
+    from raygraph.agg import hash_aggregate
+
+    deg = hash_aggregate(edges_ds, ["src"], {"deg": (None, "count")})
+
+    if max_wedge_degree is not None:
+        # attach deg(w) once (one bucketed join), drop hub-mediated wedges
+        degw = deg.map_batches(
+            lambda df: df.rename(columns={"src": "w", "deg": "deg_w"}),
+            batch_format="pandas",
+        )
+        base = joins.hash_join(
+            edges_ds.map_batches(
+                lambda df: df.rename(columns={"src": "x", "dst": "w"})[["x", "w"]],
+                batch_format="pandas",
+            ),
+            degw,
+            on="w",
+            num_buckets=num_buckets,
+        ).map_batches(
+            lambda df, cap=max_wedge_degree: df.loc[
+                df["deg_w"] <= cap, ["x", "w"]
+            ],
+            batch_format="pandas",
+        ).materialize()  # consumed by both wedge sides
+        left = base.map_batches(
+            lambda df: df.rename(columns={"x": "a"}), batch_format="pandas"
+        )
+        right = base.map_batches(
+            lambda df: df.rename(columns={"x": "b"}), batch_format="pandas"
+        )
+    else:
+        left = edges_ds.map_batches(
+            lambda df: df.rename(columns={"src": "a", "dst": "w"})[["a", "w"]],
+            batch_format="pandas",
+        )
+        right = edges_ds.map_batches(
+            lambda df: df.rename(columns={"src": "b", "dst": "w"})[["b", "w"]],
+            batch_format="pandas",
+        )
+    wedge = joins.hash_join(left, right, on="w", num_buckets=num_buckets)
+    pairs = wedge.map_batches(
+        lambda df: df.loc[df["a"] < df["b"], ["a", "b"]], batch_format="pandas"
+    )
+    common = hash_aggregate(pairs, ["a", "b"], {"common": (None, "count")})
+    return _attach_coeff(common, deg, kind, num_buckets)
+
+
+def pair_similarity(
+    edges_ds,
+    pairs_ds,
+    kind: str = "jaccard",
+    num_buckets: int = 64,
+):
+    """Similarity coefficients over caller-provided (a, b) pairs — the
+    reference's primary API (``link_prediction/jaccard.py`` computes over
+    ``vertex_pair``; ``similarity_impl.cuh`` intersects the two adjacency
+    lists per given pair).
+
+    Work: join pairs to N(a) (Σ deg(a) rows), keep the rows whose wedge
+    endpoint is also in N(b) (one more bucketed join), count per pair.
+    No quadratic expansion under any skew.  Pairs with no common neighbor
+    are returned with common=0 / coeff=0.
+    Returns (a, b, common, coeff).
+    """
+    from raygraph.agg import hash_aggregate
+
+    deg = hash_aggregate(edges_ds, ["src"], {"deg": (None, "count")})
+    ea = edges_ds.map_batches(
+        lambda df: df.rename(columns={"src": "a", "dst": "w"})[["a", "w"]],
+        batch_format="pandas",
+    )
+    eb = edges_ds.map_batches(
+        lambda df: df.rename(columns={"src": "b", "dst": "w"})[["b", "w"]],
+        batch_format="pandas",
+    )
+    cand = joins.hash_join(pairs_ds, ea, on="a", num_buckets=num_buckets)
+    hit = joins.hash_join(cand, eb, on=["b", "w"], num_buckets=num_buckets)
+    counted = hash_aggregate(hit, ["a", "b"], {"common": (None, "count")})
+    # left-join back so zero-common pairs keep a row (reference contract)
+    common = joins.hash_join(
+        pairs_ds, counted, on=["a", "b"], how="left", num_buckets=num_buckets
+    ).map_batches(
+        lambda df: pd.DataFrame(
+            {
+                "a": df["a"].to_numpy(np.int64),
+                "b": df["b"].to_numpy(np.int64),
+                "common": df["common"].fillna(0).to_numpy(np.int64),
+            }
+        ),
+        batch_format="pandas",
+    )
+    return _attach_coeff(common, deg, kind, num_buckets)

@@ -228,3 +228,83 @@ def test_k_truss_polbooks_golden():
     gold_edges = {tuple(sorted((a, b))) for a, b in zip(gold["src"], gold["dst"])}
     assert set(zip(got["src"], got["dst"])) == gold_edges
     assert len(got) == len(gold_edges)
+
+
+# ---------------------------------------------------------- similarity
+
+
+def _sym_sets(df):
+    """Symmetrized adjacency sets from an undirected edge frame."""
+    adj = {}
+    for a, b in zip(df["src"], df["dst"]):
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    return adj
+
+
+def _sym_ds(df):
+    both = pd.DataFrame(
+        {
+            "src": np.concatenate([df["src"], df["dst"]]),
+            "dst": np.concatenate([df["dst"], df["src"]]),
+        }
+    )
+    return rd.from_pandas(both.drop_duplicates())
+
+
+def test_pair_similarity_matches_bruteforce():
+    from raygraph.algos.similarity import pair_similarity
+
+    df = fixtures.karate_df()
+    adj = _sym_sets(df)
+    pairs = pd.DataFrame({"a": [0, 0, 2, 13, 15], "b": [33, 1, 3, 19, 20]})
+    got = (
+        pair_similarity(_sym_ds(df), rd.from_pandas(pairs), kind="jaccard")
+        .to_pandas().sort_values(["a", "b"]).reset_index(drop=True)
+    )
+    assert len(got) == len(pairs)  # zero-common pairs keep a row
+    for r in got.itertuples():
+        inter = len(adj[r.a] & adj[r.b])
+        union = len(adj[r.a] | adj[r.b])
+        assert r.common == inter
+        assert abs(r.coeff - (inter / union if union else 0.0)) < 1e-12
+
+
+def test_pairwise_similarity_wedge_cap():
+    """max_wedge_degree drops hub-mediated wedges: pairs connected only
+    through the capped hub vanish; other counts exclude the hub but the
+    degrees stay exact — and the quadratic hub expansion never happens."""
+    from raygraph.algos.similarity import pairwise_similarity
+
+    # hub 0 connected to 1..40 (degree 40); plus a triangle 1-2-3
+    hub = pd.DataFrame({"src": np.zeros(40, np.int64),
+                        "dst": np.arange(1, 41, dtype=np.int64)})
+    tri = pd.DataFrame({"src": [1, 2, 1], "dst": [2, 3, 3]})
+    df = pd.concat([hub, tri], ignore_index=True)
+    adj = _sym_sets(df)
+
+    full = (
+        pairwise_similarity(_sym_ds(df), kind="jaccard")
+        .to_pandas().sort_values(["a", "b"]).reset_index(drop=True)
+    )
+    capped = (
+        pairwise_similarity(_sym_ds(df), kind="jaccard", max_wedge_degree=10)
+        .to_pandas().sort_values(["a", "b"]).reset_index(drop=True)
+    )
+    # full: every leaf pair (i,j) shares hub 0 → C(40,2) + ... rows
+    assert len(full) > len(capped)
+    # capped oracle: common counts over shared endpoints with deg <= 10
+    deg = {v: len(s) for v, s in adj.items()}
+    for r in capped.itertuples():
+        inter = {w for w in adj[r.a] & adj[r.b] if deg[w] <= 10}
+        union = len(adj[r.a] | adj[r.b])
+        assert r.common == len(inter) and len(inter) > 0
+        assert abs(r.coeff - r.common / (deg[r.a] + deg[r.b] - r.common)) < 1e-12
+    # every pair with a low-degree shared endpoint is present
+    want = set()
+    verts = sorted(adj)
+    for i, a in enumerate(verts):
+        for b in verts[i + 1:]:
+            if any(deg[w] <= 10 for w in adj[a] & adj[b]):
+                want.add((a, b))
+    assert set(zip(capped["a"], capped["b"])) == want
