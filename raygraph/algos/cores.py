@@ -119,13 +119,37 @@ def core_number(graph, broadcast_limit: int = 20_000_000, num_workers=None):
     )
 
 
-def k_core(graph, k: int, core_numbers=None):
-    """Edges of the k-core (both endpoints core ≥ k) — ``k_core_impl.cuh``."""
+def k_core(graph, k: int, core_numbers=None,
+           broadcast_limit: int = 20_000_000):
+    """Edges of the k-core (both endpoints core ≥ k) — ``k_core_impl.cuh``.
+
+    Small graphs (V ≤ ``broadcast_limit``) use the broadcast semi-join of
+    :func:`raygraph.ops.induced_subgraph`; past the limit the V-sized core
+    table never lands on the driver — the edges are semi-joined against
+    the (core ≥ k) vertex Dataset on src then dst with the bucketed
+    ``hash_join`` (two shuffles, all sides stay distributed).
+    """
     import numpy as np
     import ray
 
-    from raygraph import ops
+    from raygraph import joins, ops
 
-    cn = (core_numbers if core_numbers is not None else core_number(graph)).to_pandas()
-    keep = cn.loc[cn["core_number"] >= k, "vertex"].to_numpy(np.int64)
-    return ops.induced_subgraph(graph, keep)
+    cn_ds = core_numbers if core_numbers is not None else core_number(graph)
+    if graph.num_vertices <= broadcast_limit:
+        cn = cn_ds.to_pandas()
+        keep = cn.loc[cn["core_number"] >= k, "vertex"].to_numpy(np.int64)
+        return ops.induced_subgraph(graph, keep)
+
+    keep_ds = cn_ds.map_batches(
+        lambda df, kk=k: df.loc[df["core_number"] >= kk, ["vertex"]],
+        batch_format="pandas",
+    )
+    edges = graph.edges_dataset(columns=["src", "dst", "weight"])
+    on_src = keep_ds.map_batches(
+        lambda df: df.rename(columns={"vertex": "src"}), batch_format="pandas"
+    )
+    on_dst = keep_ds.map_batches(
+        lambda df: df.rename(columns={"vertex": "dst"}), batch_format="pandas"
+    )
+    half = joins.hash_join(edges, on_src, on="src")
+    return joins.hash_join(half, on_dst, on="dst")

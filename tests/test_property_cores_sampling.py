@@ -111,6 +111,22 @@ def test_k_core_edges(karate):
     assert len(kc) > 0
 
 
+def test_k_core_join_path_matches_broadcast(karate):
+    """broadcast_limit=0 forces the distributed semi-join path — same
+    edge set as the broadcast path, no V-sized driver array."""
+    cn = core_number(karate)
+    key = ["src", "dst"]
+    a = (
+        k_core(karate, 4, core_numbers=cn)
+        .to_pandas()[key].sort_values(key).reset_index(drop=True)
+    )
+    b = (
+        k_core(karate, 4, core_numbers=core_number(karate), broadcast_limit=0)
+        .to_pandas()[key].sort_values(key).reset_index(drop=True)
+    )
+    assert a.equals(b)
+
+
 # ---------------------------------------------------------------- sampling
 
 
