@@ -620,10 +620,21 @@ def q_sessionize(sf_dir: str):
 
 
 def q_ingest_sha256(sf_dir: str):
-    """Corpus ingest invariant demo: synth corpus → sha256 table (rows-only)."""
-    from raygraph import corpus, ingest
+    """Ingest fingerprint stage over the documents table: text → sha256,
+    content dropped in the same stage (``raygraph.ingest.ingest``).
+    Hash-checked vs DuckDB ``sha256()``; the synthetic-corpus ingest
+    invariant is pinned separately by pytest (`test_sources_prims.py`)."""
+    from raygraph import ingest
 
-    return ingest.ingest(corpus.corpus_dataset(2000, seed=42))
+    rd = _rd()
+    docs = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    renamed = docs.map_batches(
+        lambda t: t.rename_columns(["doc_id", "content"]),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    return ingest.ingest(renamed)
 
 
 
@@ -1132,6 +1143,35 @@ QUERIES = {
     "property_extract": q_property_extract,
 }
 
+# Coreness as a recursive fixpoint: iterate h_{i+1}(v) = H-operator over
+# neighbours' h_i (max over desc-sorted positions p of min(h[p], p)), starting
+# from h_0 = degree.  The fixpoint is exactly the core number (Lü et al. 2016,
+# "The H-index of a network node and its relation to degree and coreness").
+# Expects CTEs `sym(src, dst, ...)` (symmetric edges) and `deg(vertex, h)`
+# (degrees) in scope; yields `hh(iter, vertex, h)` and `last(m)`.
+_CORENESS_CTE = """
+hh(iter, vertex, h) AS (
+  SELECT 0, vertex, h FROM deg
+  UNION
+  SELECT iter + 1, vertex, hnew FROM (
+    WITH ranked AS (
+      SELECT s.src AS vertex, n.h AS nh, n.iter AS iter,
+             ROW_NUMBER() OVER (PARTITION BY s.src ORDER BY n.h DESC) AS rn
+      FROM sym s JOIN hh n ON n.vertex = s.dst)
+    SELECT iter, vertex, MAX(LEAST(nh, CAST(rn AS BIGINT))) AS hnew
+    FROM ranked GROUP BY 1, 2)
+  WHERE iter < 200
+    AND EXISTS (SELECT 1 FROM (
+          WITH r2 AS (
+            SELECT s.src AS v, n.h AS nh,
+                   ROW_NUMBER() OVER (PARTITION BY s.src ORDER BY n.h DESC) AS rn
+            FROM sym s JOIN hh n ON n.vertex = s.dst)
+          SELECT v, MAX(LEAST(nh, CAST(rn AS BIGINT))) AS hn FROM r2 GROUP BY 1
+        ) x JOIN hh cur ON cur.vertex = x.v WHERE x.hn <> cur.h)
+),
+last AS (SELECT MAX(iter) AS m FROM hh)
+"""
+
 ORACLES = {
     "edge_table": PS_EDGES_SQL,
     "symmetrize": f"""
@@ -1272,6 +1312,34 @@ mutual AS (SELECT r1.a AS vertex, MIN(r1.b) AS component
            FROM reach r1 JOIN reach r2 ON r2.a = r1.b AND r2.b = r1.a
            GROUP BY 1)
 SELECT vertex AS vertex_key, component FROM mutual
+""",
+    "ingest_sha256": """
+SELECT doc_id, sha256(text) AS content_sha256 FROM documents
+""",
+    "core_number": f"""
+WITH RECURSIVE
+e AS MATERIALIZED (SELECT 'part::' || l_partkey AS src, 'supp::' || l_suppkey AS dst
+     FROM lineitem GROUP BY 1, 2),
+sym AS MATERIALIZED (SELECT src, dst FROM e UNION SELECT dst, src FROM e),
+deg AS (SELECT src AS vertex, CAST(COUNT(*) AS BIGINT) AS h FROM sym GROUP BY 1),
+{_CORENESS_CTE}
+SELECT vertex AS vertex_key, h AS core_number FROM hh, last WHERE iter = m
+""",
+    "k_core": f"""
+WITH RECURSIVE
+e0 AS MATERIALIZED (SELECT 'part::' || l_partkey AS src, 'supp::' || l_suppkey AS dst,
+      CAST(COUNT(*) AS DOUBLE) AS weight FROM lineitem
+      GROUP BY 1, 2 HAVING COUNT(*) >= 3),
+sym AS MATERIALIZED (SELECT src, dst, MIN(weight) AS weight FROM
+      (SELECT src, dst, weight FROM e0 UNION ALL SELECT dst, src, weight FROM e0)
+      GROUP BY 1, 2),
+deg AS (SELECT src AS vertex, CAST(COUNT(*) AS BIGINT) AS h FROM sym GROUP BY 1),
+{_CORENESS_CTE}
+SELECT s.src AS src_key, s.dst AS dst_key, s.weight
+FROM sym s JOIN (SELECT vertex FROM hh, last WHERE iter = m AND h >= 2) a
+       ON a.vertex = s.src
+     JOIN (SELECT vertex FROM hh, last WHERE iter = m AND h >= 2) b
+       ON b.vertex = s.dst
 """,
     "property_extract": """
 WITH e AS (
