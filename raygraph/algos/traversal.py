@@ -28,7 +28,8 @@ from raygraph.superstep import SuperstepEngine
 
 
 def _run_frontier(engine, scatter, update, max_iter, mirror_names=(),
-                  algo=None, states=(), checkpoint_dir=None, resume=False):
+                  algo=None, states=(), checkpoint_dir=None, resume=False,
+                  raise_on_limit=True):
     import time
 
     start_iter = 0
@@ -56,13 +57,19 @@ def _run_frontier(engine, scatter, update, max_iter, mirror_names=(),
             )
         if changed == 0:
             return it
-    raise RuntimeError(f"frontier loop did not settle in {max_iter} supersteps")
+    if raise_on_limit:
+        raise RuntimeError(
+            f"frontier loop did not settle in {max_iter} supersteps"
+        )
+    return max_iter - 1
 
 
 def bfs(graph, sources: Sequence[int] | int, max_iter: int = 10_000,
         num_workers: Optional[int] = None, out_dir=None,
         checkpoint_dir: Optional[str] = None, checkpoint_every: int = 1,
-        resume: bool = False):
+        resume: bool = False, max_depth: Optional[int] = None):
+    """``max_depth`` caps expansion at that many hops (vertices farther out
+    stay at distance −1) instead of raising — the k-hop/egonet contract."""
     import pyarrow as pa
 
     srcs = [sources] if isinstance(sources, int) else list(sources)
@@ -70,13 +77,16 @@ def bfs(graph, sources: Sequence[int] | int, max_iter: int = 10_000,
         graph, num_workers=num_workers,
         checkpoint_dir=checkpoint_dir, checkpoint_every=checkpoint_every,
     )
+    if max_depth is not None:
+        max_iter = min(max_iter, max_depth)
     try:
         engine.wire_mirrors()
         ray.get([w.bfs_init.remote(srcs) for w in engine.workers])
         _run_frontier(engine, "bfs_scatter", "bfs_update", max_iter,
                       mirror_names=("bfs", "active"), algo="bfs",
                       states=("bfs", "active"),
-                      checkpoint_dir=checkpoint_dir, resume=resume)
+                      checkpoint_dir=checkpoint_dir, resume=resume,
+                      raise_on_limit=max_depth is None)
         ray.get([w.bfs_result.remote() for w in engine.workers])
         ds = engine.result_dataset(["distance", "predecessor"], out_dir=out_dir)
         return ds

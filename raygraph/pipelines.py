@@ -728,6 +728,16 @@ def _min_key_vid(g) -> int:
     return int(part.sort_values("vertex_key").iloc[0]["vid"])
 
 
+def _min_key_vids(g, n: int) -> list:
+    """Internal vids of the n smallest external keys — per-batch partial
+    top-n, tiny driver merge (never materializes the vmap)."""
+    part = g.vmap_dataset().map_batches(
+        lambda df, nn=n: df.sort_values("vertex_key").head(nn),
+        batch_format="pandas",
+    ).to_pandas()
+    return [int(v) for v in part.sort_values("vertex_key").head(n)["vid"]]
+
+
 def _w3_subgraph(sf_dir: str, tag: str):
     """Undirected graph over the weight≥3 ps subgraph (the same sparse
     subgraph the wcc oracle uses — keeps recursive-CTE oracles tractable)."""
@@ -1018,6 +1028,29 @@ def q_k_core(sf_dir: str):
     )
 
 
+def q_egonet(sf_dir: str):
+    """Batched 2-hop ego graphs around the 3 min-key seeds of the weight≥3
+    subgraph.  Hash-checked vs a per-seed distance-bounded recursive-CTE
+    frontier walk."""
+    from raygraph.algos.egonet import batched_ego_graphs
+
+    g = _w3_subgraph(sf_dir, "ego")
+    e = batched_ego_graphs(g, _min_key_vids(g, 3), radius=2)
+    for c in ("seed", "src", "dst"):
+        e = g.unrenumber(e, c)
+    return e.map_batches(
+        lambda df: pd.DataFrame(
+            {
+                "seed_key": df["seed"],
+                "src_key": df["src"],
+                "dst_key": df["dst"],
+                "weight": df["weight"].astype(np.float64),
+            }
+        ),
+        batch_format="pandas",
+    )
+
+
 def q_property_extract(sf_dir: str):
     """PropertyGraph select+extract: two typed edge tables (orders
     cust→ord, lineitem ord→part) filtered by a per-type selector, projected
@@ -1140,6 +1173,7 @@ QUERIES = {
     "eigenvector": q_eigenvector,
     "random_walks": q_random_walks,
     "k_core": q_k_core,
+    "egonet": q_egonet,
     "property_extract": q_property_extract,
 }
 
@@ -1340,6 +1374,27 @@ FROM sym s JOIN (SELECT vertex FROM hh, last WHERE iter = m AND h >= 2) a
        ON a.vertex = s.src
      JOIN (SELECT vertex FROM hh, last WHERE iter = m AND h >= 2) b
        ON b.vertex = s.dst
+""",
+    "egonet": """
+WITH RECURSIVE
+e0 AS MATERIALIZED (SELECT 'part::' || l_partkey AS src, 'supp::' || l_suppkey AS dst,
+      CAST(COUNT(*) AS DOUBLE) AS weight FROM lineitem
+      GROUP BY 1, 2 HAVING COUNT(*) >= 3),
+sym AS MATERIALIZED (SELECT src, dst, MIN(weight) AS weight FROM
+      (SELECT src, dst, weight FROM e0 UNION ALL SELECT dst, src, weight FROM e0)
+      GROUP BY 1, 2),
+v AS (SELECT src AS vertex FROM sym GROUP BY 1),
+seeds AS (SELECT vertex FROM v ORDER BY vertex LIMIT 3),
+walk(seed, vertex, dist) AS (
+  SELECT vertex, vertex, 0 FROM seeds
+  UNION
+  SELECT w.seed, sy.dst, w.dist + 1 FROM walk w JOIN sym sy ON sy.src = w.vertex
+  WHERE w.dist < 2
+),
+reach AS (SELECT seed, vertex FROM walk GROUP BY 1, 2)
+SELECT r1.seed AS seed_key, s.src AS src_key, s.dst AS dst_key, s.weight
+FROM sym s JOIN reach r1 ON r1.vertex = s.src
+     JOIN reach r2 ON r2.seed = r1.seed AND r2.vertex = s.dst
 """,
     "property_extract": """
 WITH e AS (

@@ -123,3 +123,42 @@ def test_extract_bfs_paths_unreached(tmp_path):
     # vertex 10 is in the other component -> no rows for it
     paths = extract_bfs_paths(g, res, [10, 1]).to_pandas()
     assert set(paths["dest"]) == {1}
+
+
+def test_bfs_max_depth(karate):
+    """max_depth caps expansion without raising; deeper vertices stay -1."""
+    full = bfs(karate, 0).to_pandas().sort_values("vertex")
+    capped = bfs(karate, 0, max_depth=1).to_pandas().sort_values("vertex")
+    f = full.set_index("vertex")["distance"]
+    c = capped.set_index("vertex")["distance"]
+    assert (c[f <= 1] == f[f <= 1]).all()
+    assert (c[f > 1] == -1).all()
+
+
+def test_batched_ego_graphs(karate):
+    """radius-1 egonets == seed's closed-neighborhood induced edges."""
+    from raygraph.algos.egonet import batched_ego_graphs
+
+    src, dst, _ = fixtures.karate_sym_arrays()
+    eset = set(zip(src, dst))
+    out = batched_ego_graphs(karate, [0, 33], radius=1).to_pandas()
+    for seed in (0, 33):
+        hood = {seed} | {v for u, v in eset if u == seed}
+        want = {(u, v) for u, v in eset if u in hood and v in hood}
+        got = {
+            (r.src, r.dst)
+            for r in out[out["seed"] == seed].itertuples()
+        }
+        assert got == want
+
+
+def test_batched_ego_graphs_join_path(karate):
+    """broadcast_limit=0 forces the semi-join path — identical edges."""
+    from raygraph.algos.egonet import batched_ego_graphs
+
+    key = ["seed", "src", "dst"]
+    a = (batched_ego_graphs(karate, [0], radius=2)
+         .to_pandas()[key].sort_values(key).reset_index(drop=True))
+    b = (batched_ego_graphs(karate, [0], radius=2, broadcast_limit=0)
+         .to_pandas()[key].sort_values(key).reset_index(drop=True))
+    assert a.equals(b)
