@@ -318,3 +318,30 @@ def betweenness_centrality(graph, k: Optional[int] = None, sources=None,
         )
     finally:
         engine.shutdown()
+
+
+def degree_centrality(graph, normalized: bool = True, out_dir=None):
+    """Degree centrality: total degree, divided by (V-1) when normalized —
+    ``python/cugraph/cugraph/centrality/degree_centrality.py:62-67`` (the
+    degree is over the stored edge list, so an undirected edge contributes
+    to both endpoints' in and out degrees, matching ``G.degree()``).
+    Map-only over :func:`raygraph.ops.degrees` — no extra shuffle."""
+    import numpy as np
+    import pandas as pd
+
+    from raygraph import ops
+
+    scale = 1.0 / max(graph.num_vertices - 1, 1) if normalized else 1.0
+
+    ds = ops.degrees(graph).map_batches(
+        lambda df, s=scale: pd.DataFrame(
+            {
+                "vertex": df["vertex"],
+                "degree_centrality": df["degree"].to_numpy(np.float64) * s,
+            }
+        ),
+        batch_format="pandas",
+    )
+    if out_dir is not None:
+        ds.write_parquet(out_dir)
+    return ds

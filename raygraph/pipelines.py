@@ -1028,6 +1028,24 @@ def q_k_core(sf_dir: str):
     )
 
 
+def q_degree_centrality(sf_dir: str):
+    """Degree centrality on the undirected string-keyed ps graph.
+    Hash-checked: degree (both stored directions) / (V-1)."""
+    from raygraph.algos.centrality import degree_centrality
+
+    g = _build_graph_from_keys(ps_edges_str(sf_dir), directed=False, tag="dc")
+    res = degree_centrality(g)
+    return g.unrenumber(res, "vertex").map_batches(
+        lambda df: pd.DataFrame(
+            {
+                "vertex_key": df["vertex"],
+                "degree_centrality": df["degree_centrality"].round(9),
+            }
+        ),
+        batch_format="pandas",
+    )
+
+
 def q_egonet(sf_dir: str):
     """Batched 2-hop ego graphs around the 3 min-key seeds of the weight≥3
     subgraph.  Hash-checked vs a per-seed distance-bounded recursive-CTE
@@ -1174,6 +1192,7 @@ QUERIES = {
     "random_walks": q_random_walks,
     "k_core": q_k_core,
     "egonet": q_egonet,
+    "degree_centrality": q_degree_centrality,
     "property_extract": q_property_extract,
 }
 
@@ -1374,6 +1393,16 @@ FROM sym s JOIN (SELECT vertex FROM hh, last WHERE iter = m AND h >= 2) a
        ON a.vertex = s.src
      JOIN (SELECT vertex FROM hh, last WHERE iter = m AND h >= 2) b
        ON b.vertex = s.dst
+""",
+    "degree_centrality": """
+WITH e AS (SELECT 'part::' || l_partkey AS src, 'supp::' || l_suppkey AS dst
+     FROM lineitem GROUP BY 1, 2),
+sym AS (SELECT src, dst FROM e UNION SELECT dst, src FROM e),
+deg AS (SELECT src AS vertex, COUNT(*) AS d FROM sym GROUP BY 1),
+n AS (SELECT COUNT(*) AS v FROM deg)
+SELECT vertex AS vertex_key,
+       ROUND(CAST(2 * d AS DOUBLE) / (n.v - 1), 9) AS degree_centrality
+FROM deg, n
 """,
     "egonet": """
 WITH RECURSIVE

@@ -141,3 +141,19 @@ def test_complete_generator():
     df = complete_graph_dataset(5).to_pandas()
     assert len(df) == 20  # n*(n-1) ordered pairs
     assert not (df["src"] == df["dst"]).any()
+
+
+def test_degree_centrality_karate(karate):
+    from raygraph.algos.centrality import degree_centrality
+
+    src, dst, _ = fixtures.karate_sym_arrays()
+    V = fixtures.KARATE_V
+    # stored-edge-list degree: both directions count (cuGraph G.degree())
+    deg = np.bincount(src, minlength=V) + np.bincount(dst, minlength=V)
+    out = degree_centrality(karate).to_pandas().sort_values("vertex")
+    np.testing.assert_allclose(
+        out["degree_centrality"].to_numpy(), deg / (V - 1), atol=1e-12
+    )
+    raw = degree_centrality(karate, normalized=False).to_pandas()
+    raw = raw.sort_values("vertex")
+    np.testing.assert_allclose(raw["degree_centrality"].to_numpy(), deg)
