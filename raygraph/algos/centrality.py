@@ -206,6 +206,81 @@ def hits(graph, tol: float = 1e-5, max_iter: int = 100,
         engine.shutdown()
 
 
+def _bc_select_sources(V, k, sources, seed):
+    """Deterministic Brandes source set: explicit > seeded k-sample > all."""
+    import numpy as np
+
+    from raygraph.hashing import splitmix64
+
+    if sources is None:
+        if k is None or k >= V:
+            return np.arange(V, dtype=np.int64)
+        # deterministic distinct sample: rank vertices by seeded hash
+        h = splitmix64(
+            np.arange(V, dtype=np.int64).astype(np.uint64)
+            ^ np.uint64(seed * 0x9E3779B97F4A7C15 % 2**64)
+        )
+        return np.sort(np.argsort(h)[:k].astype(np.int64))
+    return np.unique(np.asarray(list(sources), dtype=np.int64))
+
+
+def _brandes_sweep(engine, sources, edge_acc: bool = False):
+    """Per-source Brandes forward BFS + reverse-level dependency sweep.
+
+    ``edge_acc`` additionally accumulates each DAG edge's contribution into
+    the resident per-edge 'ebc' state (edge betweenness); the vertex path
+    folds delta into 'bc' via ``bc_accumulate`` instead."""
+    W = engine.W
+    needed = ray.get([w.needed_dst_ids.remote() for w in engine.workers])
+    ray.get(
+        [
+            engine.workers[p].register_requests.remote(
+                [needed[q][p] for q in range(W)]
+            )
+            for p in range(W)
+        ]
+    )
+
+    def fetch(name):
+        served = [
+            w.serve_dst_values.options(num_returns=W).remote(name)
+            for w in engine.workers
+        ]
+        ray.get(
+            [
+                engine.workers[q].apply_dst_values.remote(
+                    name, [served[p][q] for p in range(W)]
+                )
+                for q in range(W)
+            ]
+        )
+
+    for s in sources.tolist():
+        ray.get([w.bc_source_init.remote(s) for w in engine.workers])
+        level = 0
+        while True:
+            level += 1
+            _, upd = engine._exchange(
+                "bc_forward_scatter", "bc_forward_update",
+                update_args=(level,),
+            )
+            if sum(u["changed"] for u in upd) == 0:
+                break
+        fetch("bc_dist")
+        fetch("bc_sigma")
+        maxd = max(
+            ray.get([w.bc_backward_init.remote() for w in engine.workers])
+        )
+        for lv in range(maxd, 0, -1):
+            fetch("bc_delta")
+            ray.get(
+                [w.bc_backward_level.remote(lv, edge_acc)
+                 for w in engine.workers]
+            )
+        if not edge_acc:
+            ray.get([w.bc_accumulate.remote(s) for w in engine.workers])
+
+
 def betweenness_centrality(graph, k: Optional[int] = None, sources=None,
                            normalized: bool = True, seed: int = 42,
                            num_workers: Optional[int] = None, out_dir=None):
@@ -226,72 +301,13 @@ def betweenness_centrality(graph, k: Optional[int] = None, sources=None,
     """
     import numpy as np
 
-    from raygraph.hashing import splitmix64
-
     V = graph.num_vertices
-    if sources is None:
-        if k is None or k >= V:
-            sources = np.arange(V, dtype=np.int64)
-        else:
-            # deterministic distinct sample: rank vertices by seeded hash
-            h = splitmix64(
-                np.arange(V, dtype=np.int64).astype(np.uint64)
-                ^ np.uint64(seed * 0x9E3779B97F4A7C15 % 2**64)
-            )
-            sources = np.sort(np.argsort(h)[:k].astype(np.int64))
-    else:
-        sources = np.unique(np.asarray(list(sources), dtype=np.int64))
+    sources = _bc_select_sources(V, k, sources, seed)
 
     engine = SuperstepEngine(graph, num_workers=num_workers)
-    W = engine.W
     try:
-        needed = ray.get([w.needed_dst_ids.remote() for w in engine.workers])
-        ray.get(
-            [
-                engine.workers[p].register_requests.remote(
-                    [needed[q][p] for q in range(W)]
-                )
-                for p in range(W)
-            ]
-        )
-
-        def fetch(name):
-            served = [
-                w.serve_dst_values.options(num_returns=W).remote(name)
-                for w in engine.workers
-            ]
-            ray.get(
-                [
-                    engine.workers[q].apply_dst_values.remote(
-                        name, [served[p][q] for p in range(W)]
-                    )
-                    for q in range(W)
-                ]
-            )
-
         ray.get([w.bc_init.remote() for w in engine.workers])
-        for s in sources.tolist():
-            ray.get([w.bc_source_init.remote(s) for w in engine.workers])
-            level = 0
-            while True:
-                level += 1
-                _, upd = engine._exchange(
-                    "bc_forward_scatter", "bc_forward_update",
-                    update_args=(level,),
-                )
-                if sum(u["changed"] for u in upd) == 0:
-                    break
-            fetch("bc_dist")
-            fetch("bc_sigma")
-            maxd = max(
-                ray.get([w.bc_backward_init.remote() for w in engine.workers])
-            )
-            for lv in range(maxd, 0, -1):
-                fetch("bc_delta")
-                ray.get(
-                    [w.bc_backward_level.remote(lv) for w in engine.workers]
-                )
-            ray.get([w.bc_accumulate.remote(s) for w in engine.workers])
+        _brandes_sweep(engine, sources)
 
         scale = 1.0
         rescaled = False
@@ -313,6 +329,58 @@ def betweenness_centrality(graph, k: Optional[int] = None, sources=None,
             lambda t: pa.table(
                 {"vertex": t.column("vertex"),
                  "betweenness_centrality": t.column("bc")}
+            ),
+            batch_format="pyarrow",
+        )
+    finally:
+        engine.shutdown()
+
+
+def edge_betweenness_centrality(graph, k: Optional[int] = None, sources=None,
+                                normalized: bool = True, seed: int = 42,
+                                num_workers: Optional[int] = None,
+                                out_dir=None):
+    """Edge betweenness on the BSP engine —
+    ``cpp/src/centrality/betweenness_centrality.cu``
+    ``edge_betweenness_centrality_impl`` /
+    ``centrality/edge_betweenness_centrality_wrapper.pyx`` semantics.
+
+    Same sampled-Brandes machinery as :func:`betweenness_centrality`; the
+    reverse sweep's per-DAG-edge contribution σ[u]/σ[v]·(1+δ[v]) is
+    accumulated into a resident per-edge slot instead of being folded into
+    the src vertex.  Rescale follows the reference: ``normalized`` divides
+    by V·(V−1); unnormalized undirected output is halved; and — matching
+    the reference's NetworkX-compatibility note — NO V/|S| sample
+    extrapolation is applied for edges.  Output: (src, dst,
+    betweenness_centrality) over the stored edge list (both directions for
+    undirected graphs, as the reference returns)."""
+    import numpy as np
+
+    V = graph.num_vertices
+    sources = _bc_select_sources(V, k, sources, seed)
+
+    engine = SuperstepEngine(graph, num_workers=num_workers)
+    try:
+        ray.get([w.ebc_init.remote() for w in engine.workers])
+        _brandes_sweep(engine, sources, edge_acc=True)
+
+        scale = 1.0
+        if normalized:
+            if V > 1:
+                scale /= V * (V - 1)
+        elif not graph.directed:
+            scale *= 0.5
+        if scale != 1.0:
+            ray.get(
+                [w.scale_state.remote("ebc", scale) for w in engine.workers]
+            )
+        ds = engine.edge_result_dataset(["ebc"], out_dir=out_dir)
+        import pyarrow as pa
+
+        return ds.map_batches(
+            lambda t: pa.table(
+                {"src": t.column("src"), "dst": t.column("dst"),
+                 "betweenness_centrality": t.column("ebc")}
             ),
             batch_format="pyarrow",
         )

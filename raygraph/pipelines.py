@@ -1028,6 +1028,27 @@ def q_k_core(sf_dir: str):
     )
 
 
+def q_edge_betweenness(sf_dir: str):
+    """Sampled edge betweenness (k=16 seeded sources) on the weight≥3
+    subgraph (rows-only; exact edge-Brandes oracle pinned by pytest)."""
+    from raygraph.algos.centrality import edge_betweenness_centrality
+
+    g = _w3_subgraph(sf_dir, "ebc")
+    res = edge_betweenness_centrality(g, k=16, normalized=True)
+    res = g.unrenumber(res, "src")
+    res = g.unrenumber(res, "dst")
+    return res.map_batches(
+        lambda df: pd.DataFrame(
+            {
+                "src_key": df["src"],
+                "dst_key": df["dst"],
+                "betweenness_centrality": df["betweenness_centrality"].round(9),
+            }
+        ),
+        batch_format="pandas",
+    )
+
+
 def q_degree_centrality(sf_dir: str):
     """Degree centrality on the undirected string-keyed ps graph.
     Hash-checked: degree (both stored directions) / (V-1)."""
@@ -1193,6 +1214,7 @@ QUERIES = {
     "k_core": q_k_core,
     "egonet": q_egonet,
     "degree_centrality": q_degree_centrality,
+    "edge_betweenness": q_edge_betweenness,
     "property_extract": q_property_extract,
 }
 

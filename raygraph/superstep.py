@@ -301,6 +301,25 @@ class PartitionWorker:
             written.append((p, int(mask.sum())))
         return written
 
+    def write_edge_state(self, out_dir: str, names):
+        """Write per-edge state keyed by global (src, dst), one parquet file
+        per graph partition (an edge belongs to its src's partition — the
+        1D layout, so the write is shuffle-free)."""
+        os.makedirs(out_dir, exist_ok=True)
+        src_g = self.owned[self.src_local]
+        dst_g = self.dst_unique[self.dst_inverse]
+        src_part = self.owned_part[self.src_local]
+        written = []
+        for p in self.parts:
+            mask = src_part == p
+            cols = {"src": src_g[mask], "dst": dst_g[mask]}
+            for n in names:
+                cols[n] = self.state[n][mask]
+            path = os.path.join(out_dir, f"part-{p:05d}.parquet")
+            pq.write_table(pa.table(cols), path)
+            written.append((p, int(mask.sum())))
+        return written
+
     def load_state(self, in_dir: str, names):
         frames = []
         for p in self.parts:
@@ -1020,10 +1039,13 @@ class PartitionWorker:
         d = self.state["bc_dist"]
         return int(d.max()) if len(d) else -1
 
-    def bc_backward_level(self, level: int):
+    def bc_backward_level(self, level: int, edge_acc: bool = False):
         """delta[src] += sigma[src]/sigma[dst]·(1+delta[dst]) over DAG
         edges src@level-1 → dst@level.  Needs the 'bc_delta' dst fetch for
-        this level (plus the static dist/sigma fetches)."""
+        this level (plus the static dist/sigma fetches).  With ``edge_acc``
+        the per-edge contribution is also accumulated into the resident
+        per-edge 'ebc' state (edge betweenness,
+        ``accumulate_edges_betweenness`` in betweenness_centrality.cu)."""
         dist_d = self._dst_vals["bc_dist"]
         sigma_d = self._dst_vals["bc_sigma"]
         delta_d = self._dst_vals["bc_delta"]
@@ -1038,8 +1060,15 @@ class PartitionWorker:
                 sigma[sl[e_ok]] / sigma_d[di[e_ok]]
                 * (1.0 + delta_d[di[e_ok]])
             )
+            if edge_acc:
+                self.state["ebc"][e_ok] += contrib
             np.add.at(delta, sl[e_ok], contrib)
         return True
+
+    def ebc_init(self):
+        """Per-edge betweenness accumulator (one slot per resident edge)."""
+        self._require_unsplit("edge_betweenness_centrality")
+        self.state["ebc"] = np.zeros(len(self.src_local))
 
     def bc_accumulate(self, source: int):
         """bc += delta for every vertex except the source itself."""
@@ -1621,5 +1650,20 @@ class SuperstepEngine:
                 tempfile.gettempdir(), "raygraph", f"result-{uuid.uuid4().hex[:12]}"
             )
         ray.get([w.write_state.remote(out_dir, names) for w in self.workers])
+        self.shutdown()
+        return rd.read_parquet(out_dir)
+
+    def edge_result_dataset(self, names, out_dir: Optional[str] = None):
+        """Final per-edge state as a Dataset keyed by (src, dst)."""
+        import tempfile
+        import uuid
+
+        import ray.data as rd
+
+        if out_dir is None:
+            out_dir = os.path.join(
+                tempfile.gettempdir(), "raygraph", f"eresult-{uuid.uuid4().hex[:12]}"
+            )
+        ray.get([w.write_edge_state.remote(out_dir, names) for w in self.workers])
         self.shutdown()
         return rd.read_parquet(out_dir)

@@ -198,3 +198,40 @@ def ref_betweenness(edges, V, sources=None):
             if w != s:
                 bc[w] += delta[w]
     return bc
+
+
+def ref_edge_betweenness(edges, V, sources=None):
+    """Exact Brandes edge dependencies over the stored (directed) edge list:
+    ebc[(u,v)] = Σ_s σ_s(u)/σ_s(v)·(1+δ_s(v)) over DAG edges."""
+    import collections
+
+    src = np.asarray(edges[0], dtype=np.int64)
+    dst = np.asarray(edges[1], dtype=np.int64)
+    adj = [[] for _ in range(V)]
+    for u, v in zip(src.tolist(), dst.tolist()):
+        adj[u].append(v)
+    ebc = collections.defaultdict(float)
+    for s in (range(V) if sources is None else sources):
+        sigma = np.zeros(V)
+        dist = np.full(V, -1, dtype=np.int64)
+        sigma[s] = 1.0
+        dist[s] = 0
+        order = []
+        q = collections.deque([s])
+        while q:
+            v = q.popleft()
+            order.append(v)
+            for w in adj[v]:
+                if dist[w] == -1:
+                    dist[w] = dist[v] + 1
+                    q.append(w)
+                if dist[w] == dist[v] + 1:
+                    sigma[w] += sigma[v]
+        delta = np.zeros(V)
+        for w in reversed(order):
+            for x in adj[w]:
+                if dist[x] == dist[w] + 1:
+                    c = sigma[w] / sigma[x] * (1.0 + delta[x])
+                    ebc[(w, x)] += c
+                    delta[w] += c
+    return ebc

@@ -452,3 +452,42 @@ def test_betweenness_directed_line(tmp_path):
     assert np.allclose(got, want)
     # interior vertices of a directed path: bc[i] = i*(n-1-i)
     assert np.allclose(got, [i * (5 - i) for i in range(6)])
+
+
+def test_edge_betweenness_karate(tmp_path):
+    from raygraph.algos.centrality import edge_betweenness_centrality
+
+    g = build(fixtures.karate_df(), False, tmp_path, "kebc")
+    src, dst, _ = fixtures.karate_sym_arrays()
+    V = fixtures.KARATE_V
+    want = oracles.ref_edge_betweenness((src, dst), V)
+
+    got = edge_betweenness_centrality(g, normalized=False).to_pandas()
+    # unnormalized undirected: raw per-stored-direction sum halved
+    for r in got.itertuples():
+        assert abs(r.betweenness_centrality
+                   - want[(r.src, r.dst)] / 2.0) < 1e-9
+    assert len(got) == len(src)
+
+    gotn = edge_betweenness_centrality(g, normalized=True).to_pandas()
+    for r in gotn.itertuples():
+        assert abs(r.betweenness_centrality
+                   - want[(r.src, r.dst)] / (V * (V - 1))) < 1e-9
+
+
+def test_edge_betweenness_sampled_no_extrapolation(tmp_path):
+    """Sampled edge BC matches the oracle on the same sources with NO V/k
+    factor (the reference's NetworkX-compat note)."""
+    from raygraph.algos.centrality import edge_betweenness_centrality
+
+    g = build(fixtures.karate_df(), False, tmp_path, "kebcs")
+    src, dst, _ = fixtures.karate_sym_arrays()
+    V = fixtures.KARATE_V
+    srcs = [0, 5, 33]
+    want = oracles.ref_edge_betweenness((src, dst), V, sources=srcs)
+    got = edge_betweenness_centrality(
+        g, sources=srcs, normalized=True
+    ).to_pandas()
+    for r in got.itertuples():
+        assert abs(r.betweenness_centrality
+                   - want[(r.src, r.dst)] / (V * (V - 1))) < 1e-9
