@@ -185,3 +185,47 @@ def sssp(graph, sources: Sequence[int] | int, max_iter: int = 10_000,
         )
     finally:
         engine.shutdown()
+
+
+def multi_source_bfs(graph, sources: Sequence[int], depth_limit=None,
+                     num_workers: Optional[int] = None, out_dir=None):
+    """Concurrent BFS from many sources — the
+    ``python/cugraph/cugraph/traversal/ms_bfs.py`` ``multi_source_bfs``
+    contract: output ``(vertex, distance_<source>, ...)`` with one distance
+    column per source (−1 for unreached / beyond ``depth_limit``).
+
+    Sources run in waves of ≤64: within a wave, frontier membership is
+    bit-packed into one uint64 per vertex, so a whole wave costs the same
+    superstep message volume as a single BFS; waves beyond the first are
+    stitched on with a bucketed hash join keyed by vertex.
+    """
+    from raygraph import joins
+
+    srcs = list(dict.fromkeys(int(s) for s in sources))
+    if not srcs:
+        raise ValueError("multi_source_bfs needs at least one source")
+    waves = [srcs[i:i + 64] for i in range(0, len(srcs), 64)]
+
+    result = None
+    for wave in waves:
+        engine = SuperstepEngine(graph, num_workers=num_workers)
+        try:
+            engine.wire_mirrors()
+            ray.get([w.msbfs_init.remote(wave) for w in engine.workers])
+            max_iter = 10_000 if depth_limit is None else depth_limit
+            _run_frontier(engine, "msbfs_scatter", "msbfs_update", max_iter,
+                          raise_on_limit=depth_limit is None)
+            names = ray.get(engine.workers[0].msbfs_finalize.remote())
+            ray.get([w.msbfs_finalize.remote()
+                     for w in engine.workers[1:]])
+            ds = engine.result_dataset(
+                names, out_dir=out_dir if len(waves) == 1 else None
+            )
+        finally:
+            engine.shutdown()
+        result = ds if result is None else joins.hash_join(
+            result, ds, on="vertex"
+        )
+    if out_dir is not None and len(waves) > 1:
+        result.write_parquet(out_dir)
+    return result

@@ -1028,6 +1028,50 @@ def q_k_core(sf_dir: str):
     )
 
 
+def q_ms_bfs(sf_dir: str):
+    """Concurrent multi-source BFS (one bit-packed wave) from the 3 min-key
+    seeds of the weight≥3 subgraph, melted to (seed_key, vertex_key,
+    distance) rows.  Hash-checked vs a per-seed distance-bounded
+    recursive-CTE walk."""
+    from raygraph.algos.traversal import multi_source_bfs
+
+    g = _w3_subgraph(sf_dir, "msbfs")
+    seeds = _min_key_vids(g, 3)
+    out = multi_source_bfs(g, seeds)
+
+    key_of = {}
+    for s in seeds:
+        kdf = g.unrenumber(
+            _rd().from_pandas(pd.DataFrame({"vertex": [s]})), "vertex"
+        ).to_pandas()
+        key_of[s] = kdf["vertex"].iloc[0]
+
+    def melt(df: pd.DataFrame) -> pd.DataFrame:
+        frames = [
+            pd.DataFrame(
+                {
+                    "seed_key": key_of[s],
+                    "vertex": df["vertex"],
+                    "distance": df[f"distance_{s}"].astype(np.int64),
+                }
+            )
+            for s in seeds
+        ]
+        return pd.concat(frames, ignore_index=True)
+
+    long = out.map_batches(melt, batch_format="pandas")
+    return g.unrenumber(long, "vertex").map_batches(
+        lambda df: pd.DataFrame(
+            {
+                "seed_key": df["seed_key"],
+                "vertex_key": df["vertex"],
+                "distance": df["distance"],
+            }
+        ),
+        batch_format="pandas",
+    )
+
+
 def q_edge_betweenness(sf_dir: str):
     """Sampled edge betweenness (k=16 seeded sources) on the weight≥3
     subgraph (rows-only; exact edge-Brandes oracle pinned by pytest)."""
@@ -1215,6 +1259,7 @@ QUERIES = {
     "egonet": q_egonet,
     "degree_centrality": q_degree_centrality,
     "edge_betweenness": q_edge_betweenness,
+    "ms_bfs": q_ms_bfs,
     "property_extract": q_property_extract,
 }
 
@@ -1415,6 +1460,25 @@ FROM sym s JOIN (SELECT vertex FROM hh, last WHERE iter = m AND h >= 2) a
        ON a.vertex = s.src
      JOIN (SELECT vertex FROM hh, last WHERE iter = m AND h >= 2) b
        ON b.vertex = s.dst
+""",
+    "ms_bfs": """
+WITH RECURSIVE
+e AS (SELECT 'part::' || l_partkey AS src, 'supp::' || l_suppkey AS dst
+      FROM lineitem GROUP BY 1, 2 HAVING COUNT(*) >= 3),
+sym AS MATERIALIZED (SELECT src, dst FROM e UNION SELECT dst, src FROM e),
+v AS (SELECT src AS vertex FROM sym GROUP BY 1),
+seeds AS (SELECT vertex FROM v ORDER BY vertex LIMIT 3),
+walk(seed, vertex, dist) AS (
+    SELECT vertex, vertex, 0 FROM seeds
+    UNION
+    SELECT w.seed, sy.dst, w.dist + 1 FROM walk w JOIN sym sy ON sy.src = w.vertex
+    WHERE w.dist < 64
+),
+md AS (SELECT seed, vertex, MIN(dist) AS d FROM walk GROUP BY 1, 2)
+SELECT s.vertex AS seed_key, v.vertex AS vertex_key,
+       CAST(COALESCE(md.d, -1) AS BIGINT) AS distance
+FROM seeds s CROSS JOIN v
+LEFT JOIN md ON md.seed = s.vertex AND md.vertex = v.vertex
 """,
     "degree_centrality": """
 WITH e AS (SELECT 'part::' || l_partkey AS src, 'supp::' || l_suppkey AS dst

@@ -1070,6 +1070,81 @@ class PartitionWorker:
         self._require_unsplit("edge_betweenness_centrality")
         self.state["ebc"] = np.zeros(len(self.src_local))
 
+    # -- multi-source concurrent BFS --------------------------------------
+    # contract: python/cugraph/cugraph/traversal/ms_bfs.py multi_source_bfs
+    # (per-source ``distance_<source>`` columns).  The reference ships only
+    # the feasibility estimator for this API, so the concurrent engine here
+    # is original: frontier membership for ≤64 sources is bit-packed into
+    # ONE uint64 per vertex, exchanged with per-dst OR-reduce partials — a
+    # whole wave of sources costs the same message volume as one BFS.
+    def msbfs_init(self, sources):
+        self._require_unsplit("multi_source_bfs")
+        S = len(sources)
+        assert 0 < S <= 64, "one wave is at most 64 bit-packed sources"
+        self._msbfs_sources = [int(s) for s in sources]
+        self._msbfs_level = 0
+        dist = np.full((self.n_owned, S), -1, dtype=np.int64)
+        vis = np.zeros(self.n_owned, dtype=np.uint64)
+        for i, s in enumerate(self._msbfs_sources):
+            owner = self.part2worker[part_of_vertex(np.array([s]), self.P)][0]
+            if owner == self.wid:
+                j = int(np.searchsorted(self.owned, s))
+                vis[j] |= np.uint64(1) << np.uint64(i)
+                dist[j, i] = 0
+        self.state["msbfs_dist"] = dist
+        self.state["msbfs_vis"] = vis
+        self.state["msbfs_frontier"] = vis.copy()
+
+    def msbfs_scatter(self):
+        bits = self.state["msbfs_frontier"]
+        emask = bits[self.src_local] != 0
+        acc = np.zeros(len(self.dst_unique), dtype=np.uint64)
+        np.bitwise_or.at(
+            acc, self.dst_inverse[emask], bits[self.src_local[emask]]
+        )
+        live = acc != 0
+        out = []
+        rows_out = bytes_out = 0
+        for q in range(self.W):
+            idx = self.route[q]
+            sel = idx[live[idx]]
+            m = (self.dst_unique[sel], acc[sel])
+            rows_out += len(sel)
+            bytes_out += m[0].nbytes + m[1].nbytes
+            out.append(m)
+        return out, {"rows_out": rows_out, "bytes_out": bytes_out}
+
+    def msbfs_update(self, msg_refs):
+        all_msgs = ray.get(list(msg_refs))
+        self._msbfs_level += 1
+        inc = np.zeros(self.n_owned, dtype=np.uint64)
+        rows_in = 0
+        for msgs in all_msgs:
+            vids, bits = self._take_mine(msgs)
+            idx = np.searchsorted(self.owned, vids)
+            np.bitwise_or.at(inc, idx, bits)
+            rows_in += len(vids)
+        vis = self.state["msbfs_vis"]
+        newly = inc & ~vis
+        dist = self.state["msbfs_dist"]
+        for i in range(dist.shape[1]):
+            hit = (newly >> np.uint64(i)) & np.uint64(1)
+            dist[hit.astype(bool), i] = self._msbfs_level
+        self.state["msbfs_vis"] = vis | newly
+        self.state["msbfs_frontier"] = newly
+        return {"changed": int(np.count_nonzero(newly)), "rows_in": rows_in}
+
+    def msbfs_finalize(self):
+        """Split the (n_owned, S) distance matrix into per-source 1D state
+        columns (``distance_<source>``) for ``result_dataset``."""
+        dist = self.state["msbfs_dist"]
+        names = []
+        for i, s in enumerate(self._msbfs_sources):
+            n = f"distance_{s}"
+            self.state[n] = dist[:, i].copy()
+            names.append(n)
+        return names
+
     def bc_accumulate(self, source: int):
         """bc += delta for every vertex except the source itself."""
         delta = self.state["bc_delta"]

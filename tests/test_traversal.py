@@ -162,3 +162,28 @@ def test_batched_ego_graphs_join_path(karate):
     b = (batched_ego_graphs(karate, [0], radius=2, broadcast_limit=0)
          .to_pandas()[key].sort_values(key).reset_index(drop=True))
     assert a.equals(b)
+
+
+def test_multi_source_bfs_matches_per_source(karate):
+    """Each distance_<s> column equals a single-source BFS distance."""
+    from raygraph.algos.traversal import multi_source_bfs
+
+    srcs = [0, 5, 33]
+    out = multi_source_bfs(karate, srcs).to_pandas().sort_values("vertex")
+    for s in srcs:
+        single = bfs(karate, s).to_pandas().sort_values("vertex")
+        np.testing.assert_array_equal(
+            out[f"distance_{s}"].to_numpy(), single["distance"].to_numpy()
+        )
+
+
+def test_multi_source_bfs_depth_limit(karate):
+    from raygraph.algos.traversal import multi_source_bfs
+
+    out = (multi_source_bfs(karate, [0], depth_limit=1)
+           .to_pandas().sort_values("vertex"))
+    full = bfs(karate, 0).to_pandas().sort_values("vertex")
+    f = full.set_index("vertex")["distance"]
+    c = out.set_index("vertex")["distance_0"]
+    assert (c[f <= 1] == f[f <= 1]).all()
+    assert (c[f > 1] == -1).all()
