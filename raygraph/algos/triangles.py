@@ -35,11 +35,21 @@ import pyarrow as pa
 from raygraph import joins, ops
 
 
-def triangle_count(graph, broadcast_limit: int = 20_000_000):
+def triangle_count(graph, broadcast_limit: int = 20_000_000,
+                   method: str = "auto", num_workers=None):
+    """``method``: 'intersect' runs the resident-adjacency intersection on
+    the BSP engine (the reference's in-task N+(u)∩N+(v) shape — no wedge
+    rows cross the network); 'wedge' runs the relational wedge-join;
+    'auto' picks intersect once the graph is big enough to amortize the
+    engine spin-up."""
     if graph.directed:
         raise ValueError(
             "triangle_count requires an undirected graph (build with directed=False)"
         )
+    if method == "auto":
+        method = "intersect" if graph.num_edges > 400_000 else "wedge"
+    if method == "intersect":
+        return _triangle_count_intersect(graph, num_workers=num_workers)
     import ray
 
     edges = graph.edges_dataset(columns=["src", "dst"])
@@ -176,3 +186,79 @@ def triangle_count(graph, broadcast_limit: int = 20_000_000):
 
     partial = triangles.map_batches(corner_partials, batch_format="pandas")
     return ops._vertex_zero_fill(partial, V, ["counts"])
+
+
+def _triangle_count_intersect(graph, num_workers=None):
+    """Resident-adjacency intersection path (see ``triangle_count``):
+
+    1. local out-degrees + one dst-property fetch give the low→high
+       (deg, id) orientation in-worker,
+    2. each worker fetches the oriented adjacency of its distinct dst's
+       once (Σ d_out volume — vs Σ d_out² shuffled wedge rows),
+    3. per-edge |N+(u)∩N+(v)| via composite-key searchsorted, chunked,
+    4. one (vid, count) partial exchange folds remote corners.
+    """
+    import ray
+
+    from raygraph.superstep import SuperstepEngine
+
+    engine = SuperstepEngine(graph, num_workers=num_workers)
+    W = engine.W
+    try:
+        ray.get([w.tri_init.remote() for w in engine.workers])
+        needed = ray.get([w.needed_dst_ids.remote() for w in engine.workers])
+        ray.get(
+            [
+                engine.workers[p].register_requests.remote(
+                    [needed[q][p] for q in range(W)]
+                )
+                for p in range(W)
+            ]
+        )
+        served = [
+            w.serve_dst_values.options(num_returns=W).remote("odeg")
+            for w in engine.workers
+        ]
+        ray.get(
+            [
+                engine.workers[q].apply_dst_values.remote(
+                    "odeg", [served[p][q] for p in range(W)]
+                )
+                for q in range(W)
+            ]
+        )
+        needs = ray.get([w.tri_orient.remote() for w in engine.workers])
+        adj_served = [
+            [
+                engine.workers[p].tri_serve.remote(needs[q][p])
+                for p in range(W)
+            ]
+            for q in range(W)
+        ]
+        ray.get(
+            [
+                engine.workers[q].tri_apply_adj.remote(
+                    needs[q], adj_served[q]
+                )
+                for q in range(W)
+            ]
+        )
+        partials = ray.get([w.tri_count.remote() for w in engine.workers])
+        ray.get(
+            [
+                engine.workers[q].tri_collect.remote(
+                    [partials[p][q] for p in range(W)]
+                )
+                for q in range(W)
+            ]
+        )
+        ds = engine.result_dataset(["tri"])
+        return ds.map_batches(
+            lambda t: pa.table(
+                {"vertex": t.column("vertex"),
+                 "counts": t.column("tri")}
+            ),
+            batch_format="pyarrow",
+        )
+    finally:
+        engine.shutdown()

@@ -1134,6 +1134,149 @@ class PartitionWorker:
         self.state["msbfs_frontier"] = newly
         return {"changed": int(np.count_nonzero(newly)), "rows_in": rows_in}
 
+    # -- triangle counting: resident-adjacency intersection ---------------
+    # semantics: cpp/src/community/triangle_count_impl.cuh via
+    # transform_reduce_dst_nbr_intersection_of_e_endpoints_by_v.cuh — each
+    # oriented edge (u,v) contributes |N+(u) ∩ N+(v)| triangles, counted
+    # in-task against resident adjacency.  No wedge row ever crosses the
+    # network: each worker fetches the oriented adjacency of its distinct
+    # dst's ONCE (Σ d_out per worker, vs Σ d_out² shuffled wedge rows).
+    def tri_init(self):
+        self._require_unsplit("triangle_count")
+        if self.V >= 2 ** 32:
+            raise NotImplementedError(
+                "intersection path packs (slice_idx*V + vid) composite keys; "
+                "V >= 2^32 needs the two-pass lexsort variant"
+            )
+        # local out-degree (undirected graph: every incident edge of an
+        # owned vertex is resident as a src row) — any consistent total
+        # order works for orientation; degree order bounds d_out at O(√E)
+        self.state["odeg"] = np.bincount(
+            self.src_local, minlength=self.n_owned
+        ).astype(np.int64)
+        self.state["tri"] = np.zeros(self.n_owned, dtype=np.int64)
+
+    def tri_orient(self):
+        """After the 'odeg' dst fetch: keep low→high (deg, id) oriented
+        edges, build the local CSR, return needed dst ids per owner."""
+        d_src = self.state["odeg"][self.src_local]
+        d_dst = self._dst_vals["odeg"][self.dst_inverse]
+        src_g = self.owned[self.src_local]
+        dst_g = self.dst_unique[self.dst_inverse]
+        keep = (src_g != dst_g) & (
+            (d_src < d_dst) | ((d_src == d_dst) & (src_g < dst_g))
+        )
+        s, t = src_g[keep], dst_g[keep]
+        order = np.lexsort((t, s))
+        self._tri_src = s[order]
+        self._tri_dst = t[order]
+        need = np.unique(self._tri_dst)
+        owner = self.part2worker[part_of_vertex(need, self.P)]
+        return [need[owner == q] for q in range(self.W)]
+
+    def tri_serve(self, ids):
+        """Oriented adjacency slices for requested owned ids:
+        (counts, flat) aligned with the request order."""
+        ids = np.asarray(ids, dtype=np.int64)
+        starts = np.searchsorted(self._tri_src, ids)
+        ends = np.searchsorted(self._tri_src, ids, side="right")
+        counts = ends - starts
+        tot = int(counts.sum())
+        base = np.repeat(starts, counts)
+        local = np.arange(tot) - np.repeat(np.cumsum(counts) - counts, counts)
+        return counts, self._tri_dst[base + local]
+
+    def tri_apply_adj(self, ids_per_sender, served_refs):
+        """Install fetched adjacency as (sorted ids, offsets, flat)."""
+        served = ray.get(list(served_refs))
+        ids = np.concatenate(ids_per_sender) if ids_per_sender else np.array([], np.int64)
+        counts = np.concatenate([s[0] for s in served]) if served else np.array([], np.int64)
+        flat = np.concatenate([s[1] for s in served]) if served else np.array([], np.int64)
+        order = np.argsort(ids, kind="stable")
+        self._adj_ids = ids[order]
+        cnt = counts[order]
+        self._adj_off = np.concatenate(([0], np.cumsum(cnt)))
+        # permute flat blocks into the sorted-id order (ranges trick)
+        tot = int(cnt.sum())
+        starts_old = np.concatenate(([0], np.cumsum(counts)))[:-1][order]
+        base = np.repeat(starts_old, cnt)
+        local = np.arange(tot) - np.repeat(self._adj_off[:-1], cnt)
+        self._adj_flat = flat[base + local]
+        return True
+
+    def tri_count(self, chunk_candidates: int = 8_000_000):
+        """Intersect each local oriented edge's src adjacency with its
+        dst's fetched adjacency (composite-key searchsorted, chunked to
+        bound the in-flight candidate array).  Returns per-owner partial
+        (vid, count) messages for remote corners; owned corners are
+        accumulated directly into state['tri']."""
+        E = len(self._tri_src)
+        tri = self.state["tri"]
+        V = np.int64(self.V)
+        # per-edge src block bounds (blocks are contiguous: sorted by src)
+        blk_start = np.searchsorted(self._tri_src, self._tri_src)
+        blk_end = np.searchsorted(self._tri_src, self._tri_src, side="right")
+        d = blk_end - blk_start
+        # fetched-adjacency slice per edge dst
+        vidx = np.searchsorted(self._adj_ids, self._tri_dst)
+        # composite-sorted key array over the fetched adjacency
+        adj_slice = np.repeat(
+            np.arange(len(self._adj_ids), dtype=np.int64),
+            np.diff(self._adj_off),
+        )
+        adj_key = adj_slice * V + self._adj_flat
+        remote_v, remote_c = [], []
+        pos0 = 0
+        while pos0 < E:
+            # take edges until the candidate budget is filled
+            csum = np.cumsum(d[pos0:])
+            take = int(np.searchsorted(csum, chunk_candidates) + 1)
+            pos1 = min(pos0 + take, E)
+            dd = d[pos0:pos1]
+            tot = int(dd.sum())
+            if tot == 0:
+                pos0 = pos1
+                continue
+            eidx = np.repeat(np.arange(pos0, pos1, dtype=np.int64), dd)
+            base = np.repeat(blk_start[pos0:pos1], dd)
+            local = np.arange(tot) - np.repeat(
+                np.cumsum(dd) - dd, dd
+            )
+            cand_a = self._tri_dst[base + local]
+            cand_key = vidx[eidx] * V + cand_a
+            p = np.searchsorted(adj_key, cand_key)
+            ok = p < len(adj_key)
+            ok[ok] = adj_key[p[ok]] == cand_key[ok]
+            # corner counts: w = cand_a; u,v = edge endpoints, m per edge
+            m = np.bincount(eidx[ok] - pos0, minlength=pos1 - pos0)
+            w_v = cand_a[ok]
+            u_loc = np.searchsorted(self.owned, self._tri_src[pos0:pos1])
+            np.add.at(tri, u_loc, m)
+            # v and w corners may be remote — collect (vid, count) partials
+            remote_v.append(np.concatenate([self._tri_dst[pos0:pos1], w_v]))
+            remote_c.append(np.concatenate([m, np.ones(len(w_v), np.int64)]))
+            pos0 = pos1
+        if remote_v:
+            rv = np.concatenate(remote_v)
+            rc = np.concatenate(remote_c)
+            uv, inv = np.unique(rv, return_inverse=True)
+            uc = np.bincount(inv, weights=rc).astype(np.int64)
+            nz = uc > 0
+            uv, uc = uv[nz], uc[nz]
+        else:
+            uv = np.array([], np.int64)
+            uc = np.array([], np.int64)
+        owner = self.part2worker[part_of_vertex(uv, self.P)]
+        return [(uv[owner == q], uc[owner == q]) for q in range(self.W)]
+
+    def tri_collect(self, partials):
+        """Fold per-owner (vid, count) partials into state['tri']."""
+        tri = self.state["tri"]
+        for vids, cnts in partials:
+            if len(vids):
+                tri[np.searchsorted(self.owned, vids)] += cnts
+        return True
+
     def msbfs_finalize(self):
         """Split the (n_owned, S) distance matrix into per-source 1D state
         columns (``distance_<source>``) for ``result_dataset``."""

@@ -308,3 +308,30 @@ def test_pairwise_similarity_wedge_cap():
             if any(deg[w] <= 10 for w in adj[a] & adj[b]):
                 want.add((a, b))
     assert set(zip(capped["a"], capped["b"])) == want
+
+
+def test_triangle_intersect_matches_wedge(karate_und):
+    """Forced intersection path == wedge path == brute-force oracle."""
+    a = (triangle_count(karate_und, method="wedge").to_pandas()
+         .sort_values("vertex").reset_index(drop=True))
+    b = (triangle_count(karate_und, method="intersect").to_pandas()
+         .sort_values("vertex").reset_index(drop=True))
+    assert a.equals(b)
+
+
+def test_triangle_intersect_rmat(tmp_path):
+    """Intersection path on a skewed RMAT graph vs the wedge path."""
+    from raygraph.generators import rmat_dataset
+
+    e = rmat_dataset(scale=10, edgefactor=8, seed=7)
+    g = Graph.from_edges(
+        e, src="src", dst="dst", weight="weight",
+        directed=False, renumber=True, num_partitions=4,
+        out_dir=str(tmp_path / "grmat"),
+    )
+    a = (triangle_count(g, method="wedge").to_pandas()
+         .sort_values("vertex").reset_index(drop=True))
+    b = (triangle_count(g, method="intersect").to_pandas()
+         .sort_values("vertex").reset_index(drop=True))
+    assert a.equals(b)
+    assert a["counts"].sum() > 0
