@@ -18,6 +18,7 @@ Contracts:
 
 from __future__ import annotations
 
+import os
 from typing import Optional, Sequence
 
 import numpy as np
@@ -95,7 +96,7 @@ def bfs(graph, sources: Sequence[int] | int, max_iter: int = 10_000,
 
 
 def extract_bfs_paths(graph, bfs_result, destinations,
-                      max_depth: int = 10_000):
+                      max_depth: int = 10_000, bfs_dir: Optional[str] = None):
     """Unwind source→destination paths from a BFS result.
 
     Reference: ``cpp/src/traversal/extract_bfs_paths_impl.cuh`` (the
@@ -106,12 +107,37 @@ def extract_bfs_paths(graph, bfs_result, destinations,
     (pos == distance of that vertex).  Unreached destinations (distance
     −1) produce no rows.
 
-    Each hop broadcasts the (tiny) frontier and filters the result Dataset
-    for the needed rows — O(depth) distributed scans, driver memory
-    O(|destinations| × path length) only.
+    The BFS result is spilled once to a hash-partitioned hive layout
+    (``part=<p>/``, p = ``part_of_vertex`` — the graph's own vertex
+    partitioning) unless ``bfs_dir`` already points at one; each unwind
+    hop then reads ONLY the partition directories owning the current
+    frontier vertices (row-group-pruned parquet reads of O(|dests|)
+    matching rows) instead of rescanning all V result rows per hop.
     """
-    import ray
+    import tempfile
+    import uuid
+
+    import pyarrow.dataset as pads
     import ray.data as rd
+
+    from raygraph.hashing import part_of_vertex
+
+    P = graph.num_partitions
+    if bfs_dir is None:
+        bfs_dir = os.path.join(
+            tempfile.gettempdir(), "raygraph", f"bfsp-{uuid.uuid4().hex[:12]}"
+        )
+
+        def addpart(df: pd.DataFrame) -> pd.DataFrame:
+            df = df.copy()
+            df["part"] = part_of_vertex(
+                df["vertex"].to_numpy(np.int64), P
+            ).astype(np.int32)
+            return df
+
+        bfs_result.map_batches(addpart, batch_format="pandas").write_parquet(
+            bfs_dir, partition_cols=["part"]
+        )
 
     dests = np.unique(np.asarray(list(destinations), dtype=np.int64))
     out_rows = []
@@ -121,17 +147,28 @@ def extract_bfs_paths(graph, bfs_result, destinations,
         if not len(cur):
             break
         need = np.unique(cur)
-        nref = ray.put(need)
-
-        def pickrows(df, nref=nref):
-            ns = ray.get(nref)
-            return df[np.isin(df["vertex"].to_numpy(np.int64), ns)]
-
+        pieces = []
+        for p in np.unique(part_of_vertex(need, P)):
+            pdir = os.path.join(bfs_dir, f"part={int(p)}")
+            if not os.path.isdir(pdir):
+                continue
+            pieces.append(
+                pads.dataset(pdir)
+                .to_table(
+                    columns=["vertex", "distance", "predecessor"],
+                    filter=pads.field("vertex").isin(need),
+                )
+                .to_pandas()
+            )
         rows = (
-            bfs_result.map_batches(pickrows, batch_format="pandas")
-            .to_pandas()
-            .set_index("vertex")
-        )
+            pd.concat(pieces, ignore_index=True)
+            if pieces
+            else pd.DataFrame(
+                {"vertex": pd.Series(dtype=np.int64),
+                 "distance": pd.Series(dtype=np.int64),
+                 "predecessor": pd.Series(dtype=np.int64)}
+            )
+        ).set_index("vertex")
         d = rows.loc[cur, "distance"].to_numpy(np.int64)
         p = rows.loc[cur, "predecessor"].to_numpy(np.int64)
         reached = d >= 0
