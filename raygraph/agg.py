@@ -100,6 +100,41 @@ def distinct(ds, keys: Sequence[str], num_buckets: int = 64):
     return hash_aggregate(ds, keys, None, num_buckets)
 
 
+def hash_argmin(ds, keys: Sequence[str], order_cols: Sequence[str],
+                num_buckets: int = 64):
+    """Per-key row-argmin: for each key group keep the one FULL row that is
+    lexicographically minimal on ``order_cols``.
+
+    Combinable two-phase like :func:`hash_aggregate` — each batch keeps its
+    per-key minimal row (map-side combine), then one bucket shuffle and a
+    final per-key pick.  Row identity is preserved (unlike per-column
+    ``min``, which would mix columns from different rows)."""
+    keys = list(keys)
+    order = list(order_cols)
+
+    def pick(df: pd.DataFrame) -> pd.DataFrame:
+        out = (
+            df.sort_values(order, kind="mergesort")
+            .drop_duplicates(keys, keep="first")
+            .copy()
+        )
+        out["__bk"] = (_key_hash(out, keys) % np.uint64(num_buckets)).astype(
+            np.int32
+        )
+        return out
+
+    part = ds.map_batches(pick, batch_format="pandas")
+
+    def fin(group: pd.DataFrame) -> pd.DataFrame:
+        return (
+            group.sort_values(order, kind="mergesort")
+            .drop_duplicates(keys, keep="first")
+            .drop(columns="__bk")
+        )
+
+    return part.groupby("__bk").map_groups(fin, batch_format="pandas")
+
+
 def bucketed_map_groups(
     ds,
     keys: Sequence[str],

@@ -48,7 +48,8 @@ def katz_centrality(graph, alpha: float = 0.1, beta: float = 1.0,
                     normalized: bool = True,
                     num_workers: Optional[int] = None, out_dir=None,
                     checkpoint_dir: Optional[str] = None,
-                    checkpoint_every: int = 1, resume: bool = False):
+                    checkpoint_every: int = 1, resume: bool = False,
+                    fail_on_nonconvergence: bool = True):
     engine = SuperstepEngine(
         graph, num_workers=num_workers,
         checkpoint_dir=checkpoint_dir, checkpoint_every=checkpoint_every,
@@ -75,7 +76,7 @@ def katz_centrality(graph, alpha: float = 0.1, beta: float = 1.0,
             l1 = sum(u["l1"] for u in upd)
             if checkpoint_dir and (it % engine.checkpoint_every == 0 or l1 < tol):
                 engine._checkpoint("katz", it, ["x"], {"l1": l1})
-            if l1 < tol:
+            if l1 < tol or (it == max_iter - 1 and not fail_on_nonconvergence):
                 if normalized:
                     sq = sum(u["local_sq"] for u in upd)
                     inv = 1.0 / math.sqrt(sq) if sq > 0 else 1.0
@@ -89,7 +90,8 @@ def katz_centrality(graph, alpha: float = 0.1, beta: float = 1.0,
 def eigenvector_centrality(graph, tol: float = 1e-6, max_iter: int = 100,
                            num_workers: Optional[int] = None, out_dir=None,
                            checkpoint_dir: Optional[str] = None,
-                           checkpoint_every: int = 1, resume: bool = False):
+                           checkpoint_every: int = 1, resume: bool = False,
+                           fail_on_nonconvergence: bool = True):
     engine = SuperstepEngine(
         graph, num_workers=num_workers,
         checkpoint_dir=checkpoint_dir, checkpoint_every=checkpoint_every,
@@ -125,7 +127,7 @@ def eigenvector_centrality(graph, tol: float = 1e-6, max_iter: int = 100,
                 it % engine.checkpoint_every == 0 or l1 < tol * V
             ):
                 engine._checkpoint("eigenvector", it, ["x"], {"l1": l1})
-            if l1 < tol * V:
+            if l1 < tol * V or (it == max_iter - 1 and not fail_on_nonconvergence):
                 return _result(engine, "x", "eigenvector_centrality", out_dir)
         raise ConvergenceError(f"eigenvector failed to converge in {max_iter} iters")
     finally:

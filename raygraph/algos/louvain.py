@@ -174,10 +174,17 @@ def _move_phase(level_edges, V, k, m2, comm, q_cur, resolution, max_inner,
             stay = -resolution * kk[vbest] * (ss[c[vbest]] - kk[vbest]) / m2
             in_own = cd == c[s]
             if in_own.any():
-                stay_map = dict(zip(s[in_own].tolist(), score[in_own].tolist()))
-                for i, v in enumerate(vbest.tolist()):
-                    if v in stay_map:
-                        stay[i] = stay_map[v]
+                # (src, cdst) rows are unique post-aggregation, so each
+                # src has at most one in-own row — sorted searchsorted
+                # replaces the per-vertex dict loop
+                s_own = s[in_own]
+                sc_own = score[in_own]
+                o = np.argsort(s_own, kind="stable")
+                s_own, sc_own = s_own[o], sc_own[o]
+                pos = np.searchsorted(s_own, vbest)
+                safe = np.minimum(pos, len(s_own) - 1)
+                hit = s_own[safe] == vbest
+                stay[hit] = sc_own[safe[hit]]
             keep = sbest > stay + 1e-12
             return pd.DataFrame(
                 {"vertex": vbest[keep], "best": cbest[keep]}

@@ -45,12 +45,18 @@ def pagerank(
     checkpoint_every: int = 1,
     resume: bool = False,
     out_dir: Optional[str] = None,
+    fail_on_nonconvergence: bool = True,
 ):
     """Run PageRank on a built Graph; returns Dataset (vertex, pagerank).
 
     ``nstart`` / ``personalization``: dicts or (vids, values) pairs over
     internal vertex ids; values are normalized here (pagerank.py:175-203
     renumbers+normalizes the aux frames the same way).
+
+    ``fail_on_nonconvergence=False`` (reference
+    ``link_analysis/pagerank.py:229``) returns the max_iter-th iterate
+    instead of raising — with ``tol=0`` this runs exactly ``max_iter``
+    power iterations (used by the SQL-checkable fixed-iteration query).
     """
     engine = SuperstepEngine(
         graph, num_workers=num_workers,
@@ -74,13 +80,14 @@ def pagerank(
     try:
         return _run(engine, graph, alpha, tol, max_iter, _pair(nstart),
                     _pair(personalization), personalization is not None,
-                    checkpoint_dir, resume, out_dir)
+                    checkpoint_dir, resume, out_dir, fail_on_nonconvergence)
     finally:
         engine.shutdown()
 
 
 def _run(engine, graph, alpha, tol, max_iter, nstart, personalization,
-         has_pers, checkpoint_dir, resume, out_dir):
+         has_pers, checkpoint_dir, resume, out_dir,
+         fail_on_nonconvergence=True):
     import ray
 
     V = graph.num_vertices
@@ -128,7 +135,7 @@ def _run(engine, graph, alpha, tol, max_iter, nstart, personalization,
         if l1 < tol:
             converged = True
             break
-    if not converged:
+    if not converged and fail_on_nonconvergence:
         raise ConvergenceError(
             f"PageRank failed to converge in {max_iter} iterations (L1 tol {tol})"
         )

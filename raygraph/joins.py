@@ -106,6 +106,79 @@ def hash_join(
     return both.groupby("__bucket").map_groups(merge, batch_format="pandas")
 
 
+def asof_join(
+    left,
+    right,
+    on: str,
+    by: Sequence[str] | str,
+    direction: str = "backward",
+    num_buckets: int = 64,
+    suffixes=("", "_r"),
+):
+    """Bucketed distributed as-of join: for each left row, attach the
+    right row with the greatest ``on`` ≤ left's ``on`` (``backward``;
+    exact matches included, mirroring SQL ``ASOF JOIN ... ON l.on >=
+    r.on``) within the same ``by`` key.  Inner semantics — left rows with
+    no match are dropped.
+
+    Both sides hash-shuffle once on ``by`` (the only all-to-all), then
+    each bucket sorts its two slices by ``on`` and runs a vectorized
+    per-key ``pd.merge_asof``.  For determinism, callers must make the
+    right side unique per (by, on) — with duplicate right timestamps the
+    picked row is order-dependent.
+    """
+    keys = [by] if isinstance(by, str) else list(by)
+    left_cols, left_dtypes = list(left.columns()), _np_dtypes(left)
+    right_cols, right_dtypes = list(right.columns()), _np_dtypes(right)
+
+    def tag(side_val):
+        def fn(df: pd.DataFrame) -> pd.DataFrame:
+            df = df.copy()
+            df["__side"] = np.uint8(side_val)
+            df["__bucket"] = (_key_hash(df, keys) % np.uint64(num_buckets)).astype(
+                np.int32
+            )
+            return df
+
+        return fn
+
+    both = left.map_batches(tag(0), batch_format="pandas").union(
+        right.map_batches(tag(1), batch_format="pandas")
+    )
+
+    def _restore(df: pd.DataFrame, cols, dtypes) -> pd.DataFrame:
+        df = df.reindex(columns=cols)
+        casts = {
+            c: dtypes[c]
+            for c in cols
+            if c in dtypes and df[c].dtype != dtypes[c] and dtypes[c] is not object
+        }
+        return df.astype(casts) if casts else df
+
+    def merge(group: pd.DataFrame) -> pd.DataFrame:
+        l = _restore(group[group["__side"] == 0], left_cols, left_dtypes)
+        r = _restore(group[group["__side"] == 1], right_cols, right_dtypes)
+        if not len(l) or not len(r):
+            return pd.merge_asof(
+                l.sort_values(on, kind="mergesort").head(0),
+                r.sort_values(on, kind="mergesort"),
+                on=on, by=keys, direction=direction, suffixes=suffixes,
+            )
+        out = pd.merge_asof(
+            l.sort_values(on, kind="mergesort"),
+            r.sort_values(on, kind="mergesort"),
+            on=on, by=keys, direction=direction, suffixes=suffixes,
+        )
+        # inner semantics: drop left rows with no as-of match (pandas
+        # emits them NaN-padded, which would poison downstream dtypes)
+        probe = [c for c in out.columns if c not in left_cols]
+        if probe:
+            out = out[out[probe[0]].notna()]
+        return out
+
+    return both.groupby("__bucket").map_groups(merge, batch_format="pandas")
+
+
 def broadcast_map_ref(mapping_df: pd.DataFrame, key: str, value: str):
     """ray.put a key→value mapping once; returns the object ref.
 

@@ -406,18 +406,22 @@ def q_wcc(sf_dir: str):
 
 
 def q_pagerank(sf_dir: str):
-    """PageRank (α=.85, tol 1e-6) on the undirected ps graph, keyed output.
-
-    No SQL equivalent (iterative) → rows-only driver check; correctness is
-    pinned by the oracle tests in tests/test_algorithms.py.
-    """
+    """PageRank (α=.85) on the undirected ps graph — exactly 20 power
+    iterations (tol=0, ``fail_on_nonconvergence=False``) so the DuckDB
+    oracle (the same 20 iterations unrolled as chained CTEs) is exact;
+    both sides round to 6 decimals to absorb summation-order float noise.
+    The converged tol-driven path stays pinned by tests/test_algorithms.py.
+    No dangling vertices exist here (undirected, every vertex has an
+    edge), so the oracle omits the dangling-mass term."""
     from raygraph.algos import pagerank
 
     g = _build_graph_from_keys(ps_edges_str(sf_dir), directed=False, tag="pr")
-    res = pagerank(g, alpha=0.85, tol=1e-6, max_iter=200)
+    res = pagerank(g, alpha=0.85, tol=0.0, max_iter=20,
+                   fail_on_nonconvergence=False)
     return g.unrenumber(res, "vertex").map_batches(
         lambda df: pd.DataFrame(
-            {"vertex_key": df["vertex"], "pagerank": df["pagerank"]}
+            {"vertex_key": df["vertex"],
+             "pagerank": df["pagerank"].to_numpy(np.float64).round(6)}
         ),
         batch_format="pandas",
     )
@@ -690,29 +694,41 @@ def q_leiden(sf_dir: str):
 
 
 def q_katz(sf_dir: str):
+    """Katz (α=.005, β=1) on the weighted ps graph — exactly 30
+    iterations from x=0 with final L2 normalization (tol=0,
+    ``fail_on_nonconvergence=False``), matched by the same 30 iterations
+    unrolled as chained CTEs in DuckDB; both sides round to 6 decimals."""
     from raygraph.algos.centrality import katz_centrality
 
     g = _build_graph_from_keys(ps_edges_str(sf_dir), directed=False, tag="katz")
-    res = katz_centrality(g, alpha=0.005, beta=1.0, tol=1e-8, max_iter=200)
+    res = katz_centrality(g, alpha=0.005, beta=1.0, tol=0.0, max_iter=30,
+                          fail_on_nonconvergence=False)
     return g.unrenumber(res, "vertex").map_batches(
         lambda df: pd.DataFrame(
-            {"vertex_key": df["vertex"], "katz_centrality": df["katz_centrality"]}
+            {"vertex_key": df["vertex"],
+             "katz_centrality":
+                 df["katz_centrality"].to_numpy(np.float64).round(6)}
         ),
         batch_format="pandas",
     )
 
 
 def q_hits(sf_dir: str):
+    """HITS on the weighted ps graph — exactly 30 hub/authority rounds
+    (tol=0 never breaks early; ``hits`` returns the max_iter-th iterate
+    without raising), matched by the unrolled chained-CTE oracle; both
+    sides round to 6 decimals."""
     from raygraph.algos.centrality import hits
 
     g = _build_graph_from_keys(ps_edges_str(sf_dir), directed=False, tag="hits")
-    res = hits(g, tol=1e-8, max_iter=100)
+    res = hits(g, tol=0.0, max_iter=30)
     return g.unrenumber(res, "vertex").map_batches(
         lambda df: pd.DataFrame(
             {
                 "vertex_key": df["vertex"],
-                "hubs": df["hubs"],
-                "authorities": df["authorities"],
+                "hubs": df["hubs"].to_numpy(np.float64).round(6),
+                "authorities":
+                    df["authorities"].to_numpy(np.float64).round(6),
             }
         ),
         batch_format="pandas",
@@ -790,6 +806,63 @@ def q_sssp(sf_dir: str):
     )
 
 
+def q_asof_join(sf_dir: str):
+    """As-of join on the events table: each click event picks the latest
+    view event of the same user at-or-before its timestamp (hash-checked
+    against DuckDB's native ASOF JOIN).  The right side is pre-aggregated
+    unique per (user, ts) so tie-picking is deterministic on both sides."""
+    from raygraph import joins
+    from raygraph.agg import hash_aggregate
+
+    rd = _rd()
+    ev = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "ts", "user_id", "event_type", "value"],
+    )
+    clicks = ev.map_batches(
+        lambda df: df.loc[df["event_type"] == "click",
+                          ["event_id", "user_id", "ts"]]
+        .rename(columns={"event_id": "click_event"}),
+        batch_format="pandas",
+    )
+    views = hash_aggregate(
+        ev.map_batches(
+            lambda df: df.loc[df["event_type"] == "view",
+                              ["user_id", "ts", "event_id", "value"]],
+            batch_format="pandas",
+        ),
+        ["user_id", "ts"],
+        {"view_event": ("event_id", "max"), "view_value": ("value", "max")},
+    )
+    out = joins.asof_join(clicks, views, on="ts", by="user_id",
+                          direction="backward")
+    return out.map_batches(
+        lambda df: pd.DataFrame(
+            {"click_event": df["click_event"].to_numpy(np.int64),
+             "view_event": df["view_event"].to_numpy(np.int64),
+             "view_value": df["view_value"].to_numpy(np.float64)}
+        ),
+        batch_format="pandas",
+    )
+
+
+def q_kmeans(sf_dir: str):
+    """Fixed-iteration Lloyd's k-means (k=8, 5 iterations, L2) over the
+    embeddings table — integer cluster assignments, hash-checked against
+    the same Lloyd iterations unrolled as chained CTEs in DuckDB.
+    Deterministic: init = the 8 smallest vec_ids' embeddings, ties break
+    to the lowest centroid id on both sides."""
+    from raygraph.data.kmeans import kmeans
+
+    rd = _rd()
+    emb = rd.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "embedding"],
+    )
+    assign, _ = kmeans(emb, k=8, iters=5)
+    return assign
+
+
 def q_fingerprint(sf_dir: str):
     from raygraph.data import text
 
@@ -816,10 +889,37 @@ def q_core_number(sf_dir: str):
     )
 
 
+def q_mst(sf_dir: str):
+    """Minimum spanning forest of the weight≥3 ps subgraph (rows-only;
+    ties broken by the strict (weight, internal-vid) total order, which
+    makes the forest unique — pinned exactly vs a Kruskal union-find
+    oracle under the same order in ``tests/test_mst.py``.  MST is not
+    SQL-expressible, so no DuckDB oracle)."""
+    from raygraph.algos.mst import minimum_spanning_tree
+
+    g = _w3_subgraph(sf_dir, "mst")
+    e = minimum_spanning_tree(g)
+    e = g.unrenumber(e, "src")
+    e = g.unrenumber(e, "dst")
+    return e.map_batches(
+        lambda df: pd.DataFrame(
+            {"src_key": np.minimum(df["src"], df["dst"]),
+             "dst_key": np.maximum(df["src"], df["dst"]),
+             "weight": df["weight"].to_numpy(np.float64)}
+        ),
+        batch_format="pandas",
+    )
+
+
 def q_k_truss(sf_dir: str):
-    """3-truss edges of the tripartite hyper graph (rows-only; exact
-    peel-oracle + reference golden-file replay pinned by pytest).  k=3
-    keeps a meaningful survivor set on this graph — its 5-truss is empty."""
+    """3-truss edges of the tripartite hyper graph, hash-checked against
+    an unrolled chained-CTE DuckDB peel oracle (each stage recomputes
+    per-edge triangle support and drops < k−2; converged stages are
+    idempotent so extra stages are safe).  k=3 converges in one support
+    round here — every hyper edge is born in a p–s–o triangle — which
+    keeps the query inside the driver's per-query budget; the deep
+    multi-round peel (k=4/k=5) is pinned by the pytest peel oracle and
+    the reference polbooks golden-file replay in tests/."""
     from raygraph.algos.truss import k_truss
 
     g = _build_graph_from_keys(hyper_edges(sf_dir), directed=False, tag="ktruss")
@@ -963,19 +1063,23 @@ def q_scc(sf_dir: str):
 
 
 def q_eigenvector(sf_dir: str):
-    """Eigenvector centrality on the tripartite hyper graph (rows-only;
-    pinned by pytest vs a dense power-iteration oracle).  The hyper graph
-    is non-bipartite (p–s–o triangles), so power iteration converges — the
-    bipartite ps graph oscillates between the ±λ eigenpair."""
+    """Eigenvector centrality on the tripartite hyper graph — exactly 50
+    normalized power iterations (tol=0, ``fail_on_nonconvergence=False``)
+    matched by the unrolled chained-CTE oracle; both sides round to 6
+    decimals.  The hyper graph is non-bipartite (p–s–o triangles), so
+    power iteration converges — the bipartite ps graph oscillates between
+    the ±λ eigenpair.  The tol-driven path stays pinned by pytest."""
     from raygraph.algos.centrality import eigenvector_centrality
 
     g = _build_graph_from_keys(hyper_edges(sf_dir), directed=False, tag="eig")
-    res = eigenvector_centrality(g, tol=1e-6, max_iter=500)
+    res = eigenvector_centrality(g, tol=0.0, max_iter=50,
+                                 fail_on_nonconvergence=False)
     return g.unrenumber(res, "vertex").map_batches(
         lambda df: pd.DataFrame(
             {
                 "vertex_key": df["vertex"],
-                "eigenvector_centrality": df["eigenvector_centrality"],
+                "eigenvector_centrality":
+                    df["eigenvector_centrality"].to_numpy(np.float64).round(6),
             }
         ),
         batch_format="pandas",
@@ -1200,11 +1304,14 @@ def q_neighbor_sample(sf_dir: str):
     from raygraph.algos.sampling import uniform_neighbor_sample
 
     g = _build_graph_from_keys(ps_edges_str(sf_dir), directed=False, tag="uns")
-    vmap = g.vmap_dataset().to_pandas()
-    starts = (
-        vmap[vmap["vertex_key"].str.startswith("part::")]
-        .sort_values("vertex_key")["vid"].head(5).to_numpy()
-    )
+    # partial top-5 per batch, tiny driver merge (the _min_key_vids
+    # pattern — never materializes the vmap on the driver)
+    part = g.vmap_dataset().map_batches(
+        lambda df: df[df["vertex_key"].str.startswith("part::")]
+        .sort_values("vertex_key").head(5),
+        batch_format="pandas",
+    ).to_pandas()
+    starts = part.sort_values("vertex_key")["vid"].head(5).to_numpy()
     return uniform_neighbor_sample(g, starts, fanouts=[4, 2], seed=42)
 
 
@@ -1246,11 +1353,14 @@ QUERIES = {
     "bfs": q_bfs,
     "sssp": q_sssp,
     "fingerprint": q_fingerprint,
+    "kmeans": q_kmeans,
+    "asof_join": q_asof_join,
     "core_number": q_core_number,
     "neighbor_sample": q_neighbor_sample,
     "scc": q_scc,
     "betweenness": q_betweenness,
     "k_truss": q_k_truss,
+    "mst": q_mst,
     "node2vec": q_node2vec,
     "bfs_paths": q_bfs_paths,
     "eigenvector": q_eigenvector,
@@ -1292,8 +1402,201 @@ hh(iter, vertex, h) AS (
 last AS (SELECT MAX(iter) AS m FROM hh)
 """
 
+def _k_truss_oracle_sql(k: int, rounds: int) -> str:
+    """Unrolled k-truss peel as chained CTE stages.
+
+    Recursive CTEs cannot express the peel (the triangle enumeration
+    references the working edge set three times per round, but a recursive
+    term may reference it only once), so the peel is unrolled: each stage
+    recomputes per-edge triangle support over the surviving canonical
+    (s < d) edge set and drops support < k−2.  A converged stage is
+    idempotent, so ``rounds`` only needs to be ≥ the true round count
+    (15 at sf0.01 for k=4; extra stages cost ~nothing on the small
+    survivor set)."""
+    parts = [
+        f"WITH he AS ({HYPER_EDGES_SQL_BODY}),\n",
+        "e0 AS MATERIALIZED (SELECT DISTINCT LEAST(src_key, dst_key) s,"
+        " GREATEST(src_key, dst_key) d FROM he)",
+    ]
+    for i in range(rounds):
+        parts.append(f""",
+t{i} AS MATERIALIZED (SELECT e1.s a, e1.d b, e2.d c FROM e{i} e1
+        JOIN e{i} e2 ON e2.s = e1.d
+        JOIN e{i} e3 ON e3.s = e1.s AND e3.d = e2.d),
+s{i} AS (SELECT s, d, COUNT(*) n FROM (
+        SELECT a s, b d FROM t{i} UNION ALL
+        SELECT a, c FROM t{i} UNION ALL
+        SELECT b, c FROM t{i}) GROUP BY 1, 2),
+e{i + 1} AS MATERIALIZED (SELECT e.s, e.d FROM e{i} e
+        JOIN s{i} USING (s, d) WHERE s{i}.n >= {k - 2})""")
+    parts.append(f"\nSELECT s AS src_key, d AS dst_key FROM e{rounds}")
+    return "".join(parts)
+
+
+def _pagerank_oracle_sql(alpha: float, iters: int, round_to: int) -> str:
+    """Unrolled fixed-iteration PageRank as chained CTEs.
+
+    Mirrors ``raygraph/algos/pagerank.py`` exactly for a graph with no
+    dangling vertices: pr0 = 1/V, then per iteration
+    pr'[v] = (1−α)/V + α · Σ_{(u,v)} pr[u]·w(u,v)/out_wsum[u] over the
+    min-deduped symmetrized edge set.  Both sides round to ``round_to``
+    decimals (distributed vs DuckDB summation order differs at ~1e-15)."""
+    parts = [f"""WITH e AS (SELECT 'part::' || l_partkey AS src,
+        'supp::' || l_suppkey AS dst,
+        CAST(COUNT(*) AS DOUBLE) AS w FROM lineitem GROUP BY 1, 2),
+sym AS MATERIALIZED (SELECT src, dst, MIN(w) AS w FROM
+        (SELECT src, dst, w FROM e UNION ALL SELECT dst, src, w FROM e)
+        GROUP BY 1, 2),
+ow AS MATERIALIZED (SELECT src AS v, SUM(w) AS ow FROM sym GROUP BY 1),
+n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS nv FROM ow),
+r0 AS (SELECT v, 1.0 / (SELECT nv FROM n) AS pr FROM ow)"""]
+    for i in range(iters):
+        parts.append(f""",
+r{i + 1} AS MATERIALIZED (SELECT ow.v,
+        (1.0 - {alpha}) / (SELECT nv FROM n)
+        + {alpha} * COALESCE(SUM(r.pr * s.w / o2.ow), 0.0) AS pr
+        FROM ow LEFT JOIN sym s ON s.dst = ow.v
+                LEFT JOIN r{i} r ON r.v = s.src
+                LEFT JOIN ow o2 ON o2.v = s.src
+        GROUP BY ow.v)""")
+    parts.append(
+        f"\nSELECT v AS vertex_key, ROUND(pr, {round_to}) AS pagerank"
+        f" FROM r{iters}"
+    )
+    return "".join(parts)
+
+
+_PS_SYM_SQL = """WITH e AS (SELECT 'part::' || l_partkey AS src,
+        'supp::' || l_suppkey AS dst,
+        CAST(COUNT(*) AS DOUBLE) AS w FROM lineitem GROUP BY 1, 2),
+sym AS MATERIALIZED (SELECT src, dst, MIN(w) AS w FROM
+        (SELECT src, dst, w FROM e UNION ALL SELECT dst, src, w FROM e)
+        GROUP BY 1, 2),
+v AS MATERIALIZED (SELECT src AS v FROM sym GROUP BY 1)"""
+
+
+def _katz_oracle_sql(alpha: float, beta: float, iters: int,
+                     round_to: int) -> str:
+    """Unrolled Katz: x0=0; x'[v] = α·Σ w(u,v)·x[u] + β; final x/‖x‖₂.
+    Mirrors ``raygraph/algos/centrality.py:katz_centrality``."""
+    parts = [_PS_SYM_SQL, ",\nx0 AS (SELECT v, 0.0 AS x FROM v)"]
+    for i in range(iters):
+        parts.append(f""",
+x{i + 1} AS MATERIALIZED (SELECT v.v,
+        {alpha} * COALESCE(SUM(p.x * s.w), 0.0) + {beta} AS x
+        FROM v LEFT JOIN sym s ON s.dst = v.v
+               LEFT JOIN x{i} p ON p.v = s.src
+        GROUP BY v.v)""")
+    parts.append(f""",
+nrm AS (SELECT SQRT(SUM(x * x)) AS s FROM x{iters})
+SELECT v AS vertex_key,
+       ROUND(x / (SELECT s FROM nrm), {round_to}) AS katz_centrality
+FROM x{iters}""")
+    return "".join(parts)
+
+
+def _hits_oracle_sql(iters: int, round_to: int) -> str:
+    """Unrolled HITS: h0=1/V; per round a = L1-normalized Σ w·h over
+    in-edges, then h = L1-normalized Σ w·a over out-edges (symmetric
+    graph — the same join).  Mirrors ``centrality.py:hits``."""
+    parts = [_PS_SYM_SQL, """,
+h0 AS (SELECT v, 1.0 / (SELECT COUNT(*) FROM v) AS x FROM v)"""]
+    for i in range(iters):
+        parts.append(f""",
+ar{i} AS MATERIALIZED (SELECT v.v, COALESCE(SUM(p.x * s.w), 0.0) AS x
+        FROM v LEFT JOIN sym s ON s.dst = v.v
+               LEFT JOIN h{i} p ON p.v = s.src
+        GROUP BY v.v),
+a{i} AS MATERIALIZED (SELECT v, x / (SELECT SUM(x) FROM ar{i}) AS x
+        FROM ar{i}),
+hr{i} AS MATERIALIZED (SELECT v.v, COALESCE(SUM(p.x * s.w), 0.0) AS x
+        FROM v LEFT JOIN sym s ON s.src = v.v
+               LEFT JOIN a{i} p ON p.v = s.dst
+        GROUP BY v.v),
+h{i + 1} AS MATERIALIZED (SELECT v, x / (SELECT SUM(x) FROM hr{i}) AS x
+        FROM hr{i})""")
+    parts.append(f"""
+SELECT h.v AS vertex_key, ROUND(h.x, {round_to}) AS hubs,
+       ROUND(a.x, {round_to}) AS authorities
+FROM h{iters} h JOIN a{iters - 1} a ON a.v = h.v""")
+    return "".join(parts)
+
+
+def _eigenvector_oracle_sql(iters: int, round_to: int) -> str:
+    """Unrolled normalized power iteration on the (unweighted, w=1 after
+    symmetrize-min) hyper graph: x0 = 1/√V; y = Ax; x = y/‖y‖₂.
+    Mirrors ``centrality.py:eigenvector_centrality``."""
+    parts = [f"""WITH he AS ({HYPER_EDGES_SQL_BODY}),
+sym AS MATERIALIZED (SELECT src_key AS src, dst_key AS dst FROM he
+        UNION SELECT dst_key, src_key FROM he),
+v AS MATERIALIZED (SELECT src AS v FROM sym GROUP BY 1),
+x0 AS (SELECT v, 1.0 / SQRT((SELECT COUNT(*) FROM v)) AS x FROM v)"""]
+    for i in range(iters):
+        parts.append(f""",
+y{i} AS MATERIALIZED (SELECT v.v, COALESCE(SUM(p.x), 0.0) AS x
+        FROM v LEFT JOIN sym s ON s.dst = v.v
+               LEFT JOIN x{i} p ON p.v = s.src
+        GROUP BY v.v),
+x{i + 1} AS MATERIALIZED (SELECT v, x / (SELECT SQRT(SUM(x * x)) FROM y{i})
+        AS x FROM y{i})""")
+    parts.append(f"""
+SELECT v AS vertex_key, ROUND(x, {round_to}) AS eigenvector_centrality
+FROM x{iters}""")
+    return "".join(parts)
+
+
+def _kmeans_oracle_sql(k: int, iters: int, dim: int) -> str:
+    """Unrolled Lloyd's k-means as chained CTEs (mirrors
+    ``raygraph/data/kmeans.py``): init = k smallest vec_ids, assignment
+    = min L2 distance with ties to the lowest cid, empty clusters keep
+    their previous centroid.  Output is integer assignments — no float
+    rounding needed in the compared columns."""
+    parts = [f"""WITH dim AS (SELECT i FROM range(1, {dim + 1}) t(i)),
+ev AS MATERIALIZED (SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS x
+        FROM embeddings, dim),
+init AS (SELECT vec_id, ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cid
+         FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT {k})),
+c0 AS MATERIALIZED (SELECT init.cid, ev.i, ev.x FROM init
+        JOIN ev USING (vec_id))"""]
+    for t in range(iters + 1):
+        parts.append(f""",
+d{t} AS (SELECT ev.vec_id, c.cid,
+        SUM((ev.x - c.x) * (ev.x - c.x)) AS d2
+        FROM ev JOIN c{t} c USING (i) GROUP BY 1, 2),
+a{t} AS MATERIALIZED (SELECT vec_id, cid FROM (
+        SELECT vec_id, cid,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cid) rn
+        FROM d{t}) WHERE rn = 1)""")
+        if t < iters:
+            parts.append(f""",
+u{t} AS (SELECT a.cid, ev.i, AVG(ev.x) AS x FROM a{t} a
+        JOIN ev USING (vec_id) GROUP BY 1, 2),
+c{t + 1} AS MATERIALIZED (SELECT * FROM u{t}
+        UNION ALL SELECT c.cid, c.i, c.x FROM c{t} c
+        WHERE c.cid NOT IN (SELECT DISTINCT cid FROM u{t}))""")
+    parts.append(
+        f"\nSELECT vec_id, CAST(cid AS BIGINT) AS cluster FROM a{iters}"
+    )
+    return "".join(parts)
+
+
 ORACLES = {
     "edge_table": PS_EDGES_SQL,
+    "kmeans": _kmeans_oracle_sql(k=8, iters=5, dim=64),
+    "asof_join": """
+WITH c AS (SELECT event_id AS click_event, user_id, ts FROM events
+           WHERE event_type = 'click'),
+v AS (SELECT user_id, ts, MAX(event_id) AS view_event,
+             MAX(value) AS view_value
+      FROM events WHERE event_type = 'view' GROUP BY 1, 2)
+SELECT c.click_event, v.view_event, v.view_value
+FROM c ASOF JOIN v ON c.user_id = v.user_id AND c.ts >= v.ts
+""",
+    "k_truss": _k_truss_oracle_sql(k=3, rounds=2),
+    "pagerank": _pagerank_oracle_sql(alpha=0.85, iters=20, round_to=6),
+    "katz": _katz_oracle_sql(alpha=0.005, beta=1.0, iters=30, round_to=6),
+    "hits": _hits_oracle_sql(iters=30, round_to=6),
+    "eigenvector": _eigenvector_oracle_sql(iters=50, round_to=6),
     "symmetrize": f"""
 WITH e AS ({PS_EDGES_SQL}),
 u AS (SELECT src, dst, weight FROM e
