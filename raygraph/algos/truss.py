@@ -22,7 +22,7 @@ import pyarrow as pa
 
 from raygraph import joins
 from raygraph.agg import hash_aggregate
-from raygraph.hashing import hash_int64
+from raygraph.hashing import group_pairs, hash_int64
 
 
 def _canonical_edges(graph):
@@ -45,7 +45,7 @@ def _canonical_edges(graph):
     )
 
 
-def _edge_support(e, num_buckets: int = 16):
+def _edge_support(e, num_buckets: int = 16, wide: bool = False):
     """Per-canonical-edge triangle support: degree-oriented wedge join.
 
     ``e``: Dataset (src, dst[, weight]) with src < dst.  Returns Dataset
@@ -162,11 +162,12 @@ def _edge_support(e, num_buckets: int = 16):
         e3s, e3d = np.minimum(b, c), np.maximum(b, c)
         s = np.concatenate([e1s, e2s, e3s])
         d = np.concatenate([e1d, e2d, e3d])
-        key = (s << np.int64(32)) | d  # V < 2^32 guard upstream
-        uk, cnt = np.unique(key, return_counts=True)
+        # packed (src<<32|dst) key below 2^32 vertices, two-pass lexsort
+        # above (hashing.group_pairs)
+        us, ud, cnt = group_pairs(s, d, wide=wide)
         return pa.table(
-            {"src": (uk >> np.int64(32)).astype(np.int64),
-             "dst": (uk & np.int64(0xFFFFFFFF)).astype(np.int64),
+            {"src": us.astype(np.int64),
+             "dst": ud.astype(np.int64),
              "n": cnt.astype(np.int64)}
         )
 
@@ -174,13 +175,17 @@ def _edge_support(e, num_buckets: int = 16):
     return hash_aggregate(partial, ["src", "dst"], {"support": ("n", "sum")})
 
 
-def k_truss(graph, k: int, max_rounds: int = 100):
+def k_truss(graph, k: int, max_rounds: int = 100,
+            wide_keys: "bool | None" = None):
     """K-truss subgraph edges — Dataset (src, dst, weight), canonical
-    src < dst, every edge in ≥ k−2 triangles of the result."""
+    src < dst, every edge in ≥ k−2 triangles of the result.
+
+    ``wide_keys``: support counting keys edges as packed (src<<32|dst)
+    int64s below 2^32 vertices, and by two-pass lexsort above (auto;
+    forceable for tests)."""
     if graph.directed:
         raise ValueError("k_truss requires an undirected graph")
-    if graph.num_vertices >= 2 ** 32:
-        raise NotImplementedError("k_truss packs (src<<32|dst); V >= 2^32")
+    wide = (graph.num_vertices >= 2 ** 32) if wide_keys is None else bool(wide_keys)
     e = _canonical_edges(graph).materialize()
     n = e.count()
     for _ in range(max_rounds):
@@ -190,7 +195,7 @@ def k_truss(graph, k: int, max_rounds: int = 100):
         # each round's bucketed joins shatter a tiny edge list into dozens
         # of near-empty blocks and scheduling overhead dominates
         nb = int(min(64, max(4, n // 250_000 + 4)))
-        support = _edge_support(e, num_buckets=nb).materialize()
+        support = _edge_support(e, num_buckets=nb, wide=wide).materialize()
         if support.count() == 0:
             # no triangles left anywhere
             if k <= 2:

@@ -66,6 +66,46 @@ def hash_str_array(keys) -> np.ndarray:
     )
 
 
+def group_pairs(a: np.ndarray, b: np.ndarray, weights=None, wide: bool = False):
+    """Unique (a, b) pairs in lexicographic order with per-pair aggregates.
+
+    Returns ``(ua, ub, agg)`` — ``agg`` is the pair count (int64) when
+    ``weights is None``, else the per-pair weight sum (float64).
+
+    Two interchangeable implementations with identical output ORDER
+    (lexicographic by (a, b)):
+
+    - packed (default): composite key ``a << 32 | b`` + one ``np.unique``
+      — fastest, valid only while ``0 <= a < 2^31`` and ``0 <= b < 2^32``;
+    - ``wide=True``: the two-pass lexsort variant for ids past 2^32 —
+      ``np.lexsort`` by (a, b) then segment-boundary reduction.  This is
+      the V >= 2^32 path for LPA's (dst, label) combine and k-truss's
+      canonical-edge support counting.
+    """
+    a = np.asarray(a, dtype=np.int64)
+    b = np.asarray(b, dtype=np.int64)
+    if not wide:
+        key = (a << np.int64(32)) | b
+        uk, inv = np.unique(key, return_inverse=True)
+        if weights is None:
+            agg = np.bincount(inv, minlength=len(uk)).astype(np.int64)
+        else:
+            agg = np.bincount(inv, weights=weights, minlength=len(uk))
+        return (uk >> np.int64(32)), (uk & np.int64(0xFFFFFFFF)), agg
+    order = np.lexsort((b, a))
+    a_s, b_s = a[order], b[order]
+    new = np.ones(len(a_s), dtype=bool)
+    if len(a_s) > 1:
+        new[1:] = (a_s[1:] != a_s[:-1]) | (b_s[1:] != b_s[:-1])
+    gid = np.cumsum(new) - 1
+    if weights is None:
+        agg = np.bincount(gid, minlength=int(gid[-1]) + 1 if len(gid) else 0).astype(np.int64)
+    else:
+        w = np.asarray(weights)[order]
+        agg = np.bincount(gid, weights=w, minlength=int(gid[-1]) + 1 if len(gid) else 0)
+    return a_s[new], b_s[new], agg
+
+
 def owned_vertices(num_vertices: int, part: int, num_parts: int, chunk: int = 1 << 22) -> np.ndarray:
     """Sorted array of vertex ids owned by ``part`` (hash-mod ownership).
 

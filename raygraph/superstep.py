@@ -53,7 +53,7 @@ import pyarrow.parquet as pq
 
 import ray
 
-from raygraph.hashing import owned_vertices, part_of_vertex
+from raygraph.hashing import group_pairs, owned_vertices, part_of_vertex
 
 
 @ray.remote
@@ -66,11 +66,22 @@ class PartitionWorker:
     """
 
     def __init__(self, graph_dir: str, wid: int, num_workers: int,
-                 num_parts: int, num_vertices: int, part2worker=None):
+                 num_parts: int, num_vertices: int, part2worker=None,
+                 wide_keys=None):
         self.wid = wid
         self.W = num_workers
         self.P = num_parts
         self.V = num_vertices
+        # Wide-id mode: kernels that pack two ids into one int64 composite
+        # key (BFS dist|pred, LPA dst|label, SCC color|flags, triangle
+        # slice*V+vid, k-truss src|dst) switch to two-pass lexsort / dynamic
+        # bit-width variants once V no longer fits 32 bits.  Auto past 2^32;
+        # forceable for tests (forced-path equality on small graphs).
+        self.wide = bool(wide_keys) if wide_keys is not None else (num_vertices >= 2 ** 32)
+        # bit width of a vertex id (>= 32 keeps the packed layouts identical
+        # to the historical ones for every graph below 2^32 vertices)
+        self._vbits = max(32, int(max(num_vertices - 1, 1)).bit_length())
+        self._vmask = np.int64((1 << self._vbits) - 1)
         # partition→worker assignment: edge-count-balanced (LPT) when the
         # engine provides it, else round-robin — bounds the load of hot
         # (high-degree-src) partitions without touching placement hashes
@@ -615,17 +626,21 @@ class PartitionWorker:
     _UNREACHED = np.iinfo(np.int64).max
 
     def bfs_init(self, sources):
-        if self.V >= 2 ** 32:
+        # (dist << vbits | pred) in one int64 so a single min gives
+        # min-dist with min-predecessor tie-break.  vbits grows with V
+        # (32 below 2^32 — the historical layout), leaving 63 - vbits
+        # bits of distance headroom: at V = 2^40 that is 8.4M hops, far
+        # past any graph diameter; the pack itself guards the bound.
+        if self._vbits > 56:
             raise NotImplementedError(
-                "BFS packs (dist<<32 | pred) into one int64; V >= 2^32 needs "
-                "the two-pass lexsort path (not yet implemented)"
+                "BFS packed distances need V < 2^56 (dist headroom)"
             )
         packed = np.full(self.n_owned, self._UNREACHED, dtype=np.int64)
         active = np.zeros(self.n_owned, dtype=bool)
         srcs = np.asarray(sources, dtype=np.int64)
         mine = srcs[self.part2worker[part_of_vertex(srcs, self.P)] == self.wid]
         idx = np.searchsorted(self.owned, mine)
-        packed[idx] = (np.int64(0) << np.int64(32)) | mine  # dist 0, pred=self
+        packed[idx] = (np.int64(0) << np.int64(self._vbits)) | mine  # dist 0
         active[idx] = True
         self.state["bfs"] = packed
         self.state["active"] = active
@@ -637,8 +652,11 @@ class PartitionWorker:
         best = np.full(nmsg, self._UNREACHED, dtype=np.int64)
         if emask.any():
             sl = self.src_local[emask]
-            dist = packed[sl] >> np.int64(32)
-            cand = ((dist + 1) << np.int64(32)) | self.src[emask]
+            vb = np.int64(self._vbits)
+            dist = packed[sl] >> vb
+            if int(dist.max()) + 1 >= (1 << (63 - self._vbits)):
+                raise OverflowError("BFS distance exceeds packing headroom")
+            cand = ((dist + 1) << vb) | self.src[emask]
             np.minimum.at(best, self.dst_inverse[emask], cand)
         live = best != self._UNREACHED
         out = []
@@ -671,8 +689,8 @@ class PartitionWorker:
     def bfs_result(self):
         packed = self.state["bfs"]
         reached = packed != self._UNREACHED
-        dist = np.where(reached, packed >> np.int64(32), -1)
-        pred = np.where(reached, packed & np.int64(0xFFFFFFFF), -1)
+        dist = np.where(reached, packed >> np.int64(self._vbits), -1)
+        pred = np.where(reached, packed & self._vmask, -1)
         # source vertices report predecessor -1 (cuGraph convention)
         srcmask = reached & (dist == 0)
         pred[srcmask] = -1
@@ -752,23 +770,16 @@ class PartitionWorker:
     # contract: SURVEY.md §2.4 (absent in reference; kin weak_cc.cuh:60-130
     # and Louvain's assign step louvain_impl.cuh:119-139)
     def lpa_init(self):
-        if self.V >= 2 ** 32:
-            raise NotImplementedError(
-                "LPA packs (dst<<32 | label) into one int64; V >= 2^32 needs "
-                "the two-pass lexsort path (not yet implemented)"
-            )
         self.state["labels"] = self.owned.copy()
 
     def lpa_scatter(self):
         labels = self._src_vec("labels")
         lab_e = labels[self.src_local]
-        # combine per (dst, label): composite 64-bit key (assumes V < 2^32;
-        # at larger V split into a two-pass lexsort)
-        key = (self.dst_inverse.astype(np.int64) << np.int64(32)) | lab_e
-        uk, inv = np.unique(key, return_inverse=True)
-        wsum = np.bincount(inv, weights=self.w, minlength=len(uk))
-        di = (uk >> np.int64(32)).astype(np.int64)
-        lab = (uk & np.int64(0xFFFFFFFF)).astype(np.int64)
+        # combine per (dst, label): packed composite key below 2^32
+        # labels, two-pass lexsort (hashing.group_pairs wide) above
+        di, lab, wsum = group_pairs(
+            self.dst_inverse, lab_e, weights=self.w, wide=self.wide
+        )
         ow = self.part2worker[part_of_vertex(self.dst_unique[di], self.P)]
         out = []
         rows_out = bytes_out = 0
@@ -790,14 +801,11 @@ class PartitionWorker:
         rows_in = len(vids)
         if rows_in:
             idx = np.searchsorted(self.owned, vids)
-            key = (idx.astype(np.int64) << np.int64(32)) | labs
-            uk, inv = np.unique(key, return_inverse=True)
-            wsum = np.bincount(inv, weights=ws, minlength=len(uk))
-            vi = (uk >> np.int64(32)).astype(np.int64)
-            lab = (uk & np.int64(0xFFFFFFFF)).astype(np.int64)
-            # per vertex: argmax weight, ties -> min label. uk is sorted, so
-            # within a vertex labels ascend; lexsort by (vi, -wsum) stable
-            # keeps min label first among equal weights.
+            vi, lab, wsum = group_pairs(idx, labs, weights=ws, wide=self.wide)
+            # per vertex: argmax weight, ties -> min label. group_pairs
+            # returns (vi, lab) lexicographically sorted, so within a
+            # vertex labels ascend; lexsort by (vi, -wsum) stable keeps
+            # min label first among equal weights.
             order = np.lexsort((lab, -wsum, vi))
             vi_s, lab_s = vi[order], lab[order]
             first = np.ones(len(vi_s), dtype=bool)
@@ -821,10 +829,13 @@ class PartitionWorker:
     # backward root-mark fixpoint via the dst-property fetch, assign, repeat.
     def scc_init(self):
         self._require_unsplit("scc")
-        if self.V >= 2 ** 32:
+        # colors are vertex ids: the backward-sweep pack places the mark /
+        # active flags ABOVE the color's bit width (bits 33/34 below 2^32
+        # vertices — the historical layout — shifting up with V).
+        self._scc_bits = max(33, self._vbits + 1)
+        if self._scc_bits + 2 > 63:
             raise NotImplementedError(
-                "SCC packs (color | flags<<33) into one int64; V >= 2^32 "
-                "needs a two-array exchange (not yet implemented)"
+                "SCC flag packing needs V < 2^61"
             )
         self.state["scc"] = np.full(self.n_owned, -1, dtype=np.int64)
         self.state["scc_active"] = np.ones(self.n_owned, dtype=bool)
@@ -923,12 +934,14 @@ class PartitionWorker:
         return {"changed": int((changed & act).sum()), "rows_in": rows_in}
 
     def _scc_pack(self):
-        """bits 0..32 color (< 2^32), bit 33 mark, bit 34 active — one
-        int64 per dst to fetch instead of three."""
+        """low bits color, then mark and active flags (bits 33/34 below
+        2^32 vertices, higher for wide graphs) — one int64 per dst to
+        fetch instead of three."""
+        sb = np.int64(self._scc_bits)
         self.state["scc_bw"] = (
             self.state["scc_color"]
-            | (self.state["scc_mark"].astype(np.int64) << np.int64(33))
-            | (self.state["scc_active"].astype(np.int64) << np.int64(34))
+            | (self.state["scc_mark"].astype(np.int64) << sb)
+            | (self.state["scc_active"].astype(np.int64) << (sb + np.int64(1)))
         )
 
     def scc_mark_init(self):
@@ -942,9 +955,10 @@ class PartitionWorker:
         active+marked with color[w]==color[u].  Needs 'scc_bw' dst values
         installed via apply_dst_values first."""
         bw = self._dst_vals["scc_bw"]
-        color_d = bw & np.int64(0x1FFFFFFFF)
-        mark_d = (bw >> np.int64(33)) & np.int64(1)
-        act_d = (bw >> np.int64(34)) & np.int64(1)
+        sb = np.int64(self._scc_bits)
+        color_d = bw & np.int64((1 << self._scc_bits) - 1)
+        mark_d = (bw >> sb) & np.int64(1)
+        act_d = (bw >> (sb + np.int64(1))) & np.int64(1)
         act = self.state["scc_active"]
         color = self.state["scc_color"]
         mark = self.state["scc_mark"]
@@ -1143,11 +1157,6 @@ class PartitionWorker:
     # dst's ONCE (Σ d_out per worker, vs Σ d_out² shuffled wedge rows).
     def tri_init(self):
         self._require_unsplit("triangle_count")
-        if self.V >= 2 ** 32:
-            raise NotImplementedError(
-                "intersection path packs (slice_idx*V + vid) composite keys; "
-                "V >= 2^32 needs the two-pass lexsort variant"
-            )
         # local out-degree (undirected graph: every incident edge of an
         # owned vertex is resident as a src row) — any consistent total
         # order works for orientation; degree order bounds d_out at O(√E)
@@ -1202,6 +1211,13 @@ class PartitionWorker:
         base = np.repeat(starts_old, cnt)
         local = np.arange(tot) - np.repeat(self._adj_off[:-1], cnt)
         self._adj_flat = flat[base + local]
+        if self.wide:
+            # rank-compress vertex ids through the fetched-adjacency
+            # vocabulary so the (slice, vid) composite key fits int64 for
+            # any V: key = slice * (|vocab|+1) + rank.  Candidates outside
+            # the vocabulary get the sentinel rank |vocab| (never present).
+            self._adj_vocab = np.unique(self._adj_flat)
+            self._adj_rank = np.searchsorted(self._adj_vocab, self._adj_flat)
         return True
 
     def tri_count(self, chunk_candidates: int = 8_000_000):
@@ -1224,7 +1240,13 @@ class PartitionWorker:
             np.arange(len(self._adj_ids), dtype=np.int64),
             np.diff(self._adj_off),
         )
-        adj_key = adj_slice * V + self._adj_flat
+        if self.wide:
+            K = np.int64(len(self._adj_vocab) + 1)
+            if len(self._adj_ids) * int(K) >= 2 ** 63:
+                raise OverflowError("triangle rank key exceeds int64")
+            adj_key = adj_slice * K + self._adj_rank
+        else:
+            adj_key = adj_slice * V + self._adj_flat
         remote_v, remote_c = [], []
         pos0 = 0
         while pos0 < E:
@@ -1243,7 +1265,19 @@ class PartitionWorker:
                 np.cumsum(dd) - dd, dd
             )
             cand_a = self._tri_dst[base + local]
-            cand_key = vidx[eidx] * V + cand_a
+            if self.wide:
+                nv = len(self._adj_vocab)
+                if nv:
+                    r = np.searchsorted(self._adj_vocab, cand_a)
+                    safe = np.minimum(r, nv - 1)
+                    rank = np.where(
+                        (r < nv) & (self._adj_vocab[safe] == cand_a), r, nv
+                    )
+                else:  # empty adjacency: every membership test misses
+                    rank = np.zeros(len(cand_a), dtype=np.int64)
+                cand_key = vidx[eidx] * K + rank
+            else:
+                cand_key = vidx[eidx] * V + cand_a
             p = np.searchsorted(adj_key, cand_key)
             ok = p < len(adj_key)
             ok[ok] = adj_key[p[ok]] == cand_key[ok]
@@ -1617,7 +1651,8 @@ class SuperstepEngine:
 
     def __init__(self, graph, num_workers: Optional[int] = None,
                  checkpoint_dir: Optional[str] = None, checkpoint_every: int = 1,
-                 exchange_mode: Optional[str] = None):
+                 exchange_mode: Optional[str] = None,
+                 wide_keys: Optional[bool] = None):
         self.graph = graph
         P = graph.num_partitions
         if num_workers is None:
@@ -1637,11 +1672,17 @@ class SuperstepEngine:
         if exchange_mode not in ("packed", "sliced"):
             raise ValueError(f"unknown exchange_mode {exchange_mode!r}")
         self.exchange_mode = exchange_mode
+        # wide-id kernels: auto past 2^32 vertices; forceable for the
+        # forced-path equality tests ($RAYGRAPH_WIDE_KEYS=1 or the arg).
+        if wide_keys is None:
+            env = os.environ.get("RAYGRAPH_WIDE_KEYS")
+            wide_keys = bool(int(env)) if env is not None else None
+        self.wide_keys = wide_keys
         self.part2worker = self._balanced_assignment(graph, P, self.W)
         self.workers = [
             PartitionWorker.options(num_cpus=1).remote(
                 graph.base_dir, wid, self.W, P, graph.num_vertices,
-                part2worker=self.part2worker,
+                part2worker=self.part2worker, wide_keys=wide_keys,
             )
             for wid in range(self.W)
         ]
