@@ -693,6 +693,54 @@ def q_leiden(sf_dir: str):
     )
 
 
+def q_spectral_cut(sf_dir: str):
+    """Spectral balanced-cut clustering (4 clusters, 2 Laplacian
+    eigenvectors via block power iteration) on the weight≥3 subgraph
+    (rows-only; clique recovery + metric parity pinned by pytest)."""
+    from raygraph.algos.spectral import spectral_balanced_cut_clustering
+
+    g = _w3_subgraph(sf_dir, "speccut")
+    res = spectral_balanced_cut_clustering(g, num_clusters=4,
+                                           num_eigen_vects=2,
+                                           evs_max_iter=40)
+    return g.unrenumber(res, "vertex").map_batches(
+        lambda df: pd.DataFrame(
+            {"vertex_key": df["vertex"], "cluster": df["cluster"]}
+        ),
+        batch_format="pandas",
+    )
+
+
+def q_clustering_metrics(sf_dir: str):
+    """analyzeClustering_{edge_cut,ratio_cut,modularity} of a DETERMINISTIC
+    4-way clustering (numeric id parity × key category) on the weight≥3
+    subgraph — one row, hash-checked against the same formulas in DuckDB.
+    Pins the distributed metric pass (two bucketed label joins + combiner
+    aggregate) that the spectral clusterings also report through."""
+    from raygraph.algos.spectral import analyze_clustering
+
+    g = _w3_subgraph(sf_dir, "cmet")
+
+    def rule(df: pd.DataFrame) -> pd.DataFrame:
+        key = df["vertex_key"]
+        num = key.str.split("::").str[1].astype(np.int64)
+        cat = key.str.startswith("supp::").astype(np.int64)
+        return pd.DataFrame(
+            {"vertex": df["vid"].to_numpy(np.int64),
+             "cluster": (num % 2 + 2 * cat).to_numpy(np.int64)}
+        )
+
+    clus = g.vmap_dataset().map_batches(rule, batch_format="pandas")
+    m = analyze_clustering(g, clus)
+    return pd.DataFrame(
+        [{
+            "edge_cut": round(m["edge_cut"], 6),
+            "ratio_cut": round(m["ratio_cut"], 6),
+            "modularity": round(m["modularity"], 6),
+        }]
+    )
+
+
 def q_katz(sf_dir: str):
     """Katz (α=.005, β=1) on the weighted ps graph — exactly 30
     iterations from x=0 with final L2 normalization (tol=0,
@@ -1348,6 +1396,8 @@ QUERIES = {
     "louvain": q_louvain,
     "ecg": q_ecg,
     "leiden": q_leiden,
+    "spectral_cut": q_spectral_cut,
+    "clustering_metrics": q_clustering_metrics,
     "katz": q_katz,
     "hits": q_hits,
     "bfs": q_bfs,
@@ -1649,6 +1699,31 @@ cn AS (SELECT x.u AS a, y.u AS b, COUNT(*) AS common
 SELECT cn.a, cn.b, CAST(cn.common AS BIGINT) AS common,
        CAST(cn.common AS DOUBLE) / (da.d + db.d - cn.common) AS jaccard
 FROM cn JOIN deg da ON da.u = cn.a JOIN deg db ON db.u = cn.b
+""",
+    "clustering_metrics": """
+WITH e AS (SELECT 'part::' || l_partkey AS src, 'supp::' || l_suppkey AS dst,
+                  CAST(COUNT(*) AS DOUBLE) AS w
+           FROM lineitem GROUP BY 1, 2 HAVING COUNT(*) >= 3),
+sym AS (SELECT src, dst, w FROM e UNION ALL SELECT dst, src, w FROM e),
+v AS (SELECT DISTINCT src AS vertex FROM sym),
+c AS (SELECT vertex,
+             (CAST(split_part(vertex, '::', 2) AS BIGINT) % 2)
+             + CASE WHEN vertex LIKE 'supp::%' THEN 2 ELSE 0 END AS cluster
+      FROM v),
+tagged AS (SELECT s.w, cs.cluster AS c_src, cd.cluster AS c_dst
+           FROM sym s JOIN c cs ON cs.vertex = s.src
+                      JOIN c cd ON cd.vertex = s.dst),
+per AS (SELECT c_src AS cluster, SUM(w) AS vol,
+               SUM(CASE WHEN c_src = c_dst THEN w ELSE 0 END) AS internal,
+               SUM(CASE WHEN c_src <> c_dst THEN w ELSE 0 END) AS cut
+        FROM tagged GROUP BY 1),
+sizes AS (SELECT cluster, COUNT(*) AS n FROM c GROUP BY 1),
+tot AS (SELECT SUM(vol) AS m2 FROM per)
+SELECT ROUND(SUM(p.cut) / 2.0, 6) AS edge_cut,
+       ROUND(SUM(p.cut / s.n), 6) AS ratio_cut,
+       ROUND(SUM(p.internal / t.m2 - (p.vol / t.m2) * (p.vol / t.m2)), 6)
+           AS modularity
+FROM per p JOIN sizes s USING (cluster) CROSS JOIN tot t
 """,
     "wcc": """
 WITH RECURSIVE

@@ -535,6 +535,89 @@ class PartitionWorker:
         self.state[dst_name] = new
         return {"l1": l1}
 
+    # -- generic dense block-vector ops (spectral embedding) --------------
+    # building blocks for block power iteration: deterministic init,
+    # elementwise combine, and k×k Gram partials so the driver only ever
+    # holds O(k²) — never a V-sized array.
+
+    def set_state_hash(self, name: str, salt: int):
+        """Deterministic pseudo-random init in [-0.5, 0.5): a pure function
+        of (vid, salt) — placement- and worker-count-independent."""
+        from raygraph.hashing import hash_int64
+
+        # 64-bit wraparound intended — mask in Python ints to avoid the
+        # numpy overflow warning
+        mix = np.uint64((int(salt) * 0x9E3779B97F4A7C15) & 0xFFFFFFFFFFFFFFFF)
+        h = hash_int64((self.owned.view(np.uint64) + mix).view(np.int64))
+        self.state[name] = h.astype(np.float64) / np.float64(2 ** 64) - 0.5
+        return True
+
+    def set_degree_state(self, name: str):
+        """state[name] = weighted degree of owned vertices (Σ incident w —
+        on a symmetrized graph the src-side bincount IS the degree)."""
+        self._require_unsplit("set_degree_state")
+        self.state[name] = np.bincount(
+            self.src_local, weights=self.w, minlength=self.n_owned
+        )
+        return {"local_max": float(self.state[name].max(initial=0.0)),
+                "local_sum": float(self.state[name].sum())}
+
+    def pow_state(self, dst: str, src: str, p: float):
+        """state[dst] = state[src]**p with zeros kept at zero (the
+        D^{-1/2} guard for isolated vertices)."""
+        x = self.state[src]
+        out = np.zeros_like(x, dtype=np.float64)
+        nz = x != 0
+        out[nz] = np.power(x[nz], p)
+        self.state[dst] = out
+        return True
+
+    def mul_states(self, dst: str, a: str, b: str):
+        self.state[dst] = self.state[a] * self.state[b]
+        return True
+
+    def axpby_states(self, dst: str, ca: float, a: str, cb: float, b: str):
+        self.state[dst] = ca * self.state[a] + cb * self.state[b]
+        return True
+
+    def spectral_post(self, n: str, mode: str, coef: float):
+        """Fused post-spmv step for one embedding column (single barrier
+        instead of three):
+
+        - laplacian:  z = (state[n] + dinv·state[_g]) / 2
+        - modularity: z = state[_g] + coef·sdeg + 2·(-coef is df/m2 …)
+          — caller passes the rank-one coefficient; shift handled below.
+
+        Returns the Rayleigh partial state[n]·z, then commits state[n] ← z.
+        """
+        f = self.state[n]
+        g = self.state["_g"]
+        if mode == "laplacian":
+            z = 0.5 * f + 0.5 * (self.state["dinv"] * g)
+        else:  # modularity: z = g − (df/m2)·sdeg + 2·dmax·f ; coef packs
+            df_over_m2, two_dmax = coef
+            z = g - df_over_m2 * self.state["sdeg"] + two_dmax * f
+        rq = float((f * z).sum())
+        self.state[n] = z
+        return rq
+
+    def block_gram(self, names_a, names_b=None):
+        """Partial Gram matrix [state[i]·state[j]] (len(a)×len(b)) over
+        owned rows — the driver sums these k×k partials across workers."""
+        names_b = names_a if names_b is None else names_b
+        A = np.stack([self.state[n] for n in names_a])
+        B = np.stack([self.state[n] for n in names_b])
+        return A @ B.T
+
+    def block_transform(self, names, C):
+        """[state[n] for n in names] ← Yᵀ C columnwise: the local rows of
+        Y @ C (C is k×k from the driver — Cholesky inverse etc.)."""
+        Y = np.stack([self.state[n] for n in names], axis=1)
+        Z = Y @ np.asarray(C, dtype=np.float64)
+        for j, n in enumerate(names):
+            self.state[n] = np.ascontiguousarray(Z[:, j])
+        return True
+
     def register_requests(self, request_lists):
         """Store, per requesting worker, which owned vids it needs (the
         dst-side property exchange setup; ids arrive sorted)."""
