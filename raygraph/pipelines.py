@@ -741,6 +741,70 @@ def q_clustering_metrics(sf_dir: str):
     )
 
 
+def q_force_atlas2(sf_dir: str):
+    """Force Atlas 2 layout (60 iterations) on the weight≥3 subgraph
+    (rows-only; separation + determinism pinned by pytest)."""
+    from raygraph.algos.layout import force_atlas2
+
+    g = _w3_subgraph(sf_dir, "fa2")
+    res = force_atlas2(g, max_iter=60)
+    return g.unrenumber(res, "vertex").map_batches(
+        lambda df: pd.DataFrame(
+            {"vertex_key": df["vertex"],
+             "x": df["x"].to_numpy(np.float64).round(4),
+             "y": df["y"].to_numpy(np.float64).round(4)}
+        ),
+        batch_format="pandas",
+    )
+
+
+def q_assignment(sf_dir: str):
+    """Batched Hungarian assignment: 50 independent 3×3 LAPs whose costs
+    are lineitem quantity sums keyed by (orderkey%50, linenumber%3,
+    suppkey%3); returns per-problem optimal cost — hash-checked against a
+    DuckDB oracle that enumerates all 6 permutations."""
+    from raygraph.algos.assignment import batched_dense_hungarian
+    from raygraph.agg import hash_aggregate
+
+    rd = _rd()
+    li = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_linenumber", "l_suppkey", "l_quantity"],
+    )
+
+    def cells(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"problem": (df["l_orderkey"].to_numpy(np.int64) % 50),
+             "row": (df["l_linenumber"].to_numpy(np.int64) % 3),
+             "col": (df["l_suppkey"].to_numpy(np.int64) % 3),
+             "q": df["l_quantity"].to_numpy(np.float64)}
+        )
+
+    agg = hash_aggregate(
+        li.map_batches(cells, batch_format="pandas"),
+        ["problem", "row", "col"], {"cost": ("q", "sum")},
+    ).to_pandas()  # ≤ 450 rows by construction
+    # align missing cells with the oracle's COALESCE(…, 0); only problems
+    # that appear in the data (the oracle's DISTINCT problem)
+    probs = np.sort(agg["problem"].unique())
+    full = pd.MultiIndex.from_product(
+        [probs, range(3), range(3)], names=["problem", "row", "col"]
+    ).to_frame(index=False)
+    grid = full.merge(agg[["problem", "row", "col", "cost"]],
+                      on=["problem", "row", "col"], how="left").fillna(0.0)
+    out = batched_dense_hungarian(
+        rd.from_pandas(grid), group_col="problem"
+    )
+    per = hash_aggregate(out, ["problem"], {"total_cost": ("cost", "sum")})
+    return per.map_batches(
+        lambda df: pd.DataFrame(
+            {"problem": df["problem"].to_numpy(np.int64),
+             "total_cost": df["total_cost"].to_numpy(np.float64).round(6)}
+        ),
+        batch_format="pandas",
+    )
+
+
 def q_katz(sf_dir: str):
     """Katz (α=.005, β=1) on the weighted ps graph — exactly 30
     iterations from x=0 with final L2 normalization (tol=0,
@@ -1398,6 +1462,8 @@ QUERIES = {
     "leiden": q_leiden,
     "spectral_cut": q_spectral_cut,
     "clustering_metrics": q_clustering_metrics,
+    "force_atlas2": q_force_atlas2,
+    "assignment": q_assignment,
     "katz": q_katz,
     "hits": q_hits,
     "bfs": q_bfs,
@@ -1699,6 +1765,32 @@ cn AS (SELECT x.u AS a, y.u AS b, COUNT(*) AS common
 SELECT cn.a, cn.b, CAST(cn.common AS BIGINT) AS common,
        CAST(cn.common AS DOUBLE) / (da.d + db.d - cn.common) AS jaccard
 FROM cn JOIN deg da ON da.u = cn.a JOIN deg db ON db.u = cn.b
+""",
+    "assignment": """
+WITH cells AS (
+    SELECT l_orderkey % 50 AS problem, l_linenumber % 3 AS r,
+           l_suppkey % 3 AS c, SUM(l_quantity) AS cost
+    FROM lineitem GROUP BY 1, 2, 3),
+grid AS (
+    SELECT p.problem, r.r, c.c, COALESCE(cells.cost, 0) AS cost
+    FROM (SELECT DISTINCT problem FROM cells) p
+    CROSS JOIN (VALUES (0), (1), (2)) AS r(r)
+    CROSS JOIN (VALUES (0), (1), (2)) AS c(c)
+    LEFT JOIN cells ON cells.problem = p.problem
+                   AND cells.r = r.r AND cells.c = c.c),
+perms(i0, i1, i2) AS (
+    VALUES (0,1,2), (0,2,1), (1,0,2), (1,2,0), (2,0,1), (2,1,0)),
+totals AS (
+    SELECT g0.problem,
+           g0.cost + g1.cost + g2.cost AS tot
+    FROM perms
+    JOIN grid g0 ON g0.r = 0 AND g0.c = perms.i0
+    JOIN grid g1 ON g1.r = 1 AND g1.c = perms.i1
+                AND g1.problem = g0.problem
+    JOIN grid g2 ON g2.r = 2 AND g2.c = perms.i2
+                AND g2.problem = g0.problem)
+SELECT problem, ROUND(MIN(tot), 6) AS total_cost
+FROM totals GROUP BY 1
 """,
     "clustering_metrics": """
 WITH e AS (SELECT 'part::' || l_partkey AS src, 'supp::' || l_suppkey AS dst,

@@ -601,6 +601,81 @@ class PartitionWorker:
         self.state[n] = z
         return rq
 
+    # -- Force Atlas 2 (layout/force_atlas2.py semantics) ------------------
+    # positions are two state columns ("fx","fy"); attraction comes from
+    # the generic spmv (Σ_nbr w·pos); repulsion uses a particle-mesh grid:
+    # workers bin owned vertices into a global G×G grid and the driver
+    # broadcasts the tiny (mass, centroid) cell table — the same far-field
+    # approximation role Barnes-Hut plays in the reference, with a
+    # partition-friendly regular grid instead of a shared quadtree.
+
+    def fa2_grid(self, x0: float, y0: float, inv_cell: float, n: int):
+        """Partial (mass, Σ mass·x, Σ mass·y) per grid cell over owned
+        vertices; mass = deg+1 (FA2's repulsion weight)."""
+        gx = np.clip(((self.state["fx"] - x0) * inv_cell).astype(np.int64), 0, n - 1)
+        gy = np.clip(((self.state["fy"] - y0) * inv_cell).astype(np.int64), 0, n - 1)
+        cell = gx * n + gy
+        mass = self.state["sdeg"] + 1.0
+        ncell = n * n
+        return (
+            np.bincount(cell, weights=mass, minlength=ncell),
+            np.bincount(cell, weights=mass * self.state["fx"], minlength=ncell),
+            np.bincount(cell, weights=mass * self.state["fy"], minlength=ncell),
+        )
+
+    def fa2_apply(self, cell_mass, cell_cx, cell_cy, scaling_ratio: float,
+                  gravity: float, strong_gravity: bool, speed: float,
+                  outbound_attr: bool):
+        """One FA2 position update over owned vertices.  Expects the
+        attraction gathers in state['_ax'/'_ay'] (= Σ_nbr w·pos) and the
+        weighted degree in state['swsum'].  Returns (total swing-ish
+        displacement, traction, new position bounds) for the driver's
+        adaptive speed + next grid."""
+        fx, fy = self.state["fx"], self.state["fy"]
+        deg1 = self.state["sdeg"] + 1.0
+        sw = self.state["swsum"]
+        # attraction: Σ w·(p_v − p_u); outbound distribution divides by deg+1
+        ax = self.state["_ax"] - sw * fx
+        ay = self.state["_ay"] - sw * fy
+        if outbound_attr:
+            ax = ax / deg1
+            ay = ay / deg1
+        # repulsion vs non-empty cell centroids: k_r·(deg_u+1)·Σ_c m_c·d/|d|²
+        # chunked over owned rows so the (rows × cells) temp stays bounded
+        nz = cell_mass > 0
+        m = cell_mass[nz]
+        cx = cell_cx[nz] / m
+        cy = cell_cy[nz] / m
+        rx = np.zeros(self.n_owned)
+        ry = np.zeros(self.n_owned)
+        step = max(1, 16_000_000 // max(len(m), 1))
+        for lo in range(0, self.n_owned, step):
+            hi = min(lo + step, self.n_owned)
+            dx = fx[lo:hi, None] - cx[None, :]
+            dy = fy[lo:hi, None] - cy[None, :]
+            coef = m[None, :] / (dx * dx + dy * dy + 1e-9)
+            rx[lo:hi] = (dx * coef).sum(axis=1)
+            ry[lo:hi] = (dy * coef).sum(axis=1)
+        rx *= scaling_ratio * deg1
+        ry *= scaling_ratio * deg1
+        # gravity toward the origin
+        dist = np.sqrt(fx * fx + fy * fy) + 1e-9
+        gcoef = gravity * deg1 * (1.0 if strong_gravity else 1.0 / dist)
+        gx = -gcoef * fx
+        gy = -gcoef * fy
+        Fx = ax + rx + gx
+        Fy = ay + ry + gy
+        nfx = fx + speed * Fx / deg1
+        nfy = fy + speed * Fy / deg1
+        disp = float(np.sqrt((nfx - fx) ** 2 + (nfy - fy) ** 2).sum())
+        self.state["fx"], self.state["fy"] = nfx, nfy
+        if self.n_owned:
+            bounds = (float(nfx.min()), float(nfx.max()),
+                      float(nfy.min()), float(nfy.max()))
+        else:
+            bounds = (np.inf, -np.inf, np.inf, -np.inf)
+        return disp, bounds
+
     def block_gram(self, names_a, names_b=None):
         """Partial Gram matrix [state[i]·state[j]] (len(a)×len(b)) over
         owned rows — the driver sums these k×k partials across workers."""
