@@ -59,6 +59,68 @@ def from_pandas_edgelist(df: pd.DataFrame, src="src", dst="dst",
     return normalize_edges(_rd().from_pandas(df), src=src, dst=dst, weight=weight)
 
 
+def read_edges_mtx(path: str):
+    """MatrixMarket coordinate file → canonical (src_key, dst_key, weight)
+    edge Dataset, 0-indexed.
+
+    Reference: the datasets utilities read ``.mtx`` via scipy ``mmread``
+    into a COO edge list (``utilities/utils.py`` / benchmark harnesses).
+    Ray shape: the small header is read driver-side; the body streams
+    through ``read_text`` + vectorized batch parsing (one pass, no
+    driver-side row loop).  ``pattern`` matrices get weight 1.0;
+    ``symmetric`` matrices emit both directions (general emits as-is).
+    Returns (edges_ds, meta dict with rows/cols/nnz/symmetric).
+    """
+    # header: first non-comment line after the %%MatrixMarket banner
+    with open(path, "r") as f:
+        banner = f.readline()
+        if not banner.startswith("%%MatrixMarket"):
+            raise ValueError("not a MatrixMarket file")
+        parts = banner.split()
+        field = parts[3] if len(parts) > 3 else "real"
+        sym = (parts[4].lower() == "symmetric") if len(parts) > 4 else False
+        line = f.readline()
+        while line.startswith("%"):
+            line = f.readline()
+        dims_line = line.strip()
+        nr, nc, nnz = (int(x) for x in dims_line.split())
+    pattern = field.lower() == "pattern"
+
+    ds = _rd().read_text(path)
+
+    def parse(df: pd.DataFrame) -> pd.DataFrame:
+        lines = df["text"].str.strip()
+        # drop comments and the (textually unique) dimensions line
+        body = lines[~lines.str.startswith("%") & (lines != dims_line)
+                     & (lines != "")]
+        tok = body.str.split(expand=True)
+        if tok.shape[1] < 2:
+            return pd.DataFrame(
+                {"src_key": pd.Series(dtype=np.int64),
+                 "dst_key": pd.Series(dtype=np.int64),
+                 "weight": pd.Series(dtype=np.float64)}
+            )
+        i = pd.to_numeric(tok[0]).to_numpy(np.int64)
+        j = pd.to_numeric(tok[1]).to_numpy(np.int64)
+        if pattern or tok.shape[1] < 3:
+            w = np.ones(len(i))
+        else:
+            w = pd.to_numeric(tok[2]).to_numpy(np.float64)
+        return pd.DataFrame({"src_key": i - 1, "dst_key": j - 1, "weight": w})
+
+    edges = ds.map_batches(parse, batch_format="pandas")
+    if sym:
+        def both(df: pd.DataFrame) -> pd.DataFrame:
+            off = df[df["src_key"] != df["dst_key"]]
+            rev = off.rename(columns={"src_key": "dst_key", "dst_key": "src_key"})
+            return pd.concat([df, rev[["src_key", "dst_key", "weight"]]],
+                             ignore_index=True)
+
+        edges = edges.map_batches(both, batch_format="pandas")
+    return edges, {"rows": nr, "cols": nc, "nnz": nnz, "symmetric": sym,
+                   "pattern": pattern}
+
+
 def to_pandas_edgelist(graph) -> pd.DataFrame:
     """``simpleGraph.py:246`` to_pandas_edgelist — small graphs only."""
     df = graph.edges_dataset().to_pandas()

@@ -120,3 +120,49 @@ def test_lpt_assignment_balances_hot_partitions(tmp_path):
     av = a.sort_values("vertex")["pagerank"].to_numpy()
     bv = b.sort_values("vertex")["pagerank"].to_numpy()
     assert np.allclose(av, bv, atol=1e-10)
+
+
+# ----------------------------------------------------------------- MTX
+
+
+def test_read_edges_mtx_general_and_symmetric(tmp_path):
+    from raygraph.sources import read_edges_mtx
+    from raygraph.graph import Graph
+
+    gen = tmp_path / "g.mtx"
+    gen.write_text(
+        "%%MatrixMarket matrix coordinate real general\n"
+        "% a comment\n"
+        "4 4 3\n"
+        "1 2 1.5\n"
+        "2 3 2.0\n"
+        "4 1 0.5\n"
+    )
+    edges, meta = read_edges_mtx(str(gen))
+    df = edges.to_pandas().sort_values(["src_key", "dst_key"]).reset_index(drop=True)
+    assert meta == {"rows": 4, "cols": 4, "nnz": 3, "symmetric": False,
+                    "pattern": False}
+    assert df["src_key"].tolist() == [0, 1, 3]
+    assert df["dst_key"].tolist() == [1, 2, 0]
+    assert df["weight"].tolist() == [1.5, 2.0, 0.5]
+
+    sym = tmp_path / "s.mtx"
+    sym.write_text(
+        "%%MatrixMarket matrix coordinate pattern symmetric\n"
+        "3 3 2\n"
+        "2 1\n"
+        "3 1\n"
+    )
+    edges, meta = read_edges_mtx(str(sym))
+    assert meta["symmetric"] and meta["pattern"]
+    df = edges.to_pandas().sort_values(["src_key", "dst_key"]).reset_index(drop=True)
+    # both directions, weight 1.0
+    assert list(zip(df["src_key"], df["dst_key"])) == [
+        (0, 1), (0, 2), (1, 0), (2, 0)
+    ]
+    assert (df["weight"] == 1.0).all()
+
+    # feeds Graph.from_edges directly (canonical src_key/dst_key schema)
+    g = Graph.from_edges(edges, directed=True, renumber=False,
+                         num_partitions=2, out_dir=str(tmp_path / "gmtx"))
+    assert g.num_edges == 4
