@@ -1766,6 +1766,33 @@ SELECT cn.a, cn.b, CAST(cn.common AS BIGINT) AS common,
        CAST(cn.common AS DOUBLE) / (da.d + db.d - cn.common) AS jaccard
 FROM cn JOIN deg da ON da.u = cn.a JOIN deg db ON db.u = cn.b
 """,
+    "lang_id": """
+WITH toks AS (
+    SELECT doc_id,
+           list_slice(regexp_extract_all(lower(text), '\\w+'), 1, 200) AS ws
+    FROM documents),
+flat AS (SELECT doc_id, unnest(ws) AS w FROM toks),
+votes AS (
+    SELECT doc_id,
+        SUM(CASE WHEN w IN ('the','and','of','a','to','in','is','that','it','for') THEN 1 ELSE 0 END) AS en,
+        SUM(CASE WHEN w IN ('der','die','das','und','ist','nicht','ein','zu','mit','den') THEN 1 ELSE 0 END) AS de,
+        SUM(CASE WHEN w IN ('le','la','les','et','est','un','une','de','que','pour') THEN 1 ELSE 0 END) AS fr,
+        SUM(CASE WHEN w IN ('el','la','los','y','es','un','una','de','que','por') THEN 1 ELSE 0 END) AS es
+    FROM flat GROUP BY 1),
+base AS (
+    SELECT t.doc_id, COALESCE(v.en, 0) AS en, COALESCE(v.de, 0) AS de,
+           COALESCE(v.fr, 0) AS fr, COALESCE(v.es, 0) AS es,
+           len(t.ws) AS nw
+    FROM toks t LEFT JOIN votes v USING (doc_id))
+SELECT doc_id,
+       CASE WHEN GREATEST(en, de, fr, es) = 0 THEN 'unknown'
+            WHEN en >= de AND en >= fr AND en >= es THEN 'en'
+            WHEN de >= fr AND de >= es THEN 'de'
+            WHEN fr >= es THEN 'fr' ELSE 'es' END AS lang_pred,
+       ROUND(CAST(GREATEST(en, de, fr, es) AS DOUBLE)
+             / GREATEST(nw, 1), 6) AS lang_score
+FROM base
+""",
     "assignment": """
 WITH cells AS (
     SELECT l_orderkey % 50 AS problem, l_linenumber % 3 AS r,
