@@ -50,6 +50,133 @@ def exact_dedup(ds, col: str = "text", id_col: str = "doc_id"):
 
 
 # ---------------------------------------------------------------------------
+# exact n-gram Jaccard (word n-grams, inverted-index blocking)
+
+
+def ngram_jaccard_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
+                        n: int = 3, threshold: float = 0.3,
+                        max_doc_freq: int = 50, num_buckets: int = 32):
+    """EXACT word-n-gram Jaccard near-dup pairs → Dataset (a, b, jaccard).
+
+    The complement of MinHash (approximate byte-shingle Jaccard): exact
+    set Jaccard over lowercase ``\\w+`` word n-grams, blocked by the
+    classic inverted index — candidate pairs are documents sharing at
+    least one n-gram.  Hot-gram blowup is bounded by DOCUMENT-FREQUENCY
+    filtering (grams appearing in more than ``max_doc_freq`` documents are
+    dropped from blocking AND from the Jaccard sets — one upfront df
+    pass), which keeps the per-gram pair fan-out ≤ max_doc_freq² and is
+    exactly replicable in SQL (HAVING COUNT(*) <= F) — this query is
+    driver hash-checked.
+
+    Scale shape: explode (gram, doc) rows → df aggregate + filter join →
+    one bucketed shuffle groups by gram → per-gram pair emission in-task
+    → bucketed count aggregate per pair → size joins.
+    """
+    import re
+
+    from raygraph import joins
+    from raygraph.agg import hash_aggregate
+
+    word = re.compile(r"\w+")
+
+    def grams(df: pd.DataFrame) -> pd.DataFrame:
+        ids, gs = [], []
+        for i, t in zip(df[id_col].to_numpy(), df[text_col].astype(str)):
+            ws = word.findall(t.lower())
+            if len(ws) < n:
+                continue
+            uniq = {" ".join(ws[j:j + n]) for j in range(len(ws) - n + 1)}
+            ids.extend([i] * len(uniq))
+            gs.extend(uniq)
+        return pd.DataFrame({id_col: np.asarray(ids, dtype=np.int64),
+                             "gram": gs})
+
+    gram_rows = ds.map_batches(grams, batch_format="pandas").materialize()
+    # document-frequency filter FIRST (applies to blocking and to the
+    # Jaccard sets alike — mirrors the oracle's HAVING COUNT <= F)
+    df_tab = hash_aggregate(
+        gram_rows, ["gram"], {"df": (None, "count")}, num_buckets=num_buckets
+    ).map_batches(
+        lambda df, f=max_doc_freq: df.loc[df["df"] <= f, ["gram"]],
+        batch_format="pandas",
+    )
+    gram_rows = joins.hash_join(
+        gram_rows, df_tab, on="gram", num_buckets=num_buckets
+    )
+    # per-doc distinct kept-gram counts (set sizes)
+    sizes = hash_aggregate(
+        gram_rows, [id_col], {"n_grams": (None, "count")},
+        num_buckets=num_buckets,
+    )
+    # pair emission, grouped by gram
+    from raygraph.hashing import hash_str_array
+
+    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["__gb"] = (
+            hash_str_array(df["gram"].tolist()) % np.uint32(num_buckets)
+        ).astype(np.int32)
+        return df
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        """All (a<b) doc pairs per gram — fully vectorized ragged triu
+        (no Python loop over grams; group fan-out bounded by the df cap)."""
+        empty = pd.DataFrame({"a": pd.Series(dtype=np.int64),
+                              "b": pd.Series(dtype=np.int64)})
+        if not len(g):
+            return empty
+        codes, _ = pd.factorize(g["gram"], sort=False)
+        ids = g[id_col].to_numpy(np.int64)
+        order = np.lexsort((ids, codes))
+        ids = ids[order]
+        codes = codes[order]
+        new = np.r_[True, codes[1:] != codes[:-1]]
+        starts = np.flatnonzero(new)
+        d = np.diff(np.r_[starts, len(codes)])  # group sizes
+        pos = np.arange(len(codes)) - np.repeat(starts, d)
+        rep = np.repeat(d, d) - 1 - pos  # per-row 'a' multiplicity
+        tot = int(rep.sum())
+        if tot == 0:
+            return empty
+        a_idx = np.repeat(np.arange(len(codes)), rep)
+        off = np.arange(tot) - np.repeat(np.cumsum(rep) - rep, rep)
+        b_idx = a_idx + off + 1
+        return pd.DataFrame({"a": ids[a_idx], "b": ids[b_idx]})
+
+    cand = (
+        gram_rows.map_batches(add_bucket, batch_format="pandas")
+        .groupby("__gb")
+        .map_groups(pairs, batch_format="pandas")
+    )
+    inter = hash_aggregate(
+        cand, ["a", "b"], {"common": (None, "count")}, num_buckets=num_buckets
+    )
+    sz_a = sizes.map_batches(
+        lambda df: df.rename(columns={id_col: "a", "n_grams": "na"}),
+        batch_format="pandas",
+    )
+    sz_b = sizes.map_batches(
+        lambda df: df.rename(columns={id_col: "b", "n_grams": "nb"}),
+        batch_format="pandas",
+    )
+    joined = joins.hash_join(
+        joins.hash_join(inter, sz_a, on="a", num_buckets=num_buckets),
+        sz_b, on="b", num_buckets=num_buckets,
+    )
+
+    def finish(df: pd.DataFrame, thr=threshold) -> pd.DataFrame:
+        c = df["common"].to_numpy(np.float64)
+        union = df["na"].to_numpy(np.float64) + df["nb"].to_numpy(np.float64) - c
+        jac = np.round(c / union, 6)
+        out = pd.DataFrame({"a": df["a"].to_numpy(np.int64),
+                            "b": df["b"].to_numpy(np.int64),
+                            "jaccard": jac})
+        return out[out["jaccard"] >= thr]
+
+    return joined.map_batches(finish, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
 # MinHash + LSH
 
 

@@ -489,6 +489,20 @@ def q_exact_dedup(sf_dir: str):
     return dedup.exact_dedup(docs)
 
 
+def q_ngram_jaccard(sf_dir: str):
+    """Exact word-trigram Jaccard near-dup pairs (df-capped inverted-index
+    blocking) over documents — hash-checked against the same set algebra
+    in DuckDB."""
+    from raygraph.data import dedup
+
+    rd = _rd()
+    docs = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    return dedup.ngram_jaccard_dedup(docs, n=3, threshold=0.3,
+                                     max_doc_freq=50)
+
+
 def q_token_count(sf_dir: str):
     from raygraph.data import text
 
@@ -1447,6 +1461,7 @@ QUERIES = {
     "corpus_pagerank": q_corpus_pagerank,
     "ingest_sha256": q_ingest_sha256,
     "exact_dedup": q_exact_dedup,
+    "ngram_jaccard": q_ngram_jaccard,
     "token_count": q_token_count,
     "text_quality": q_text_quality,
     "knn": q_knn,
@@ -1765,6 +1780,28 @@ cn AS (SELECT x.u AS a, y.u AS b, COUNT(*) AS common
 SELECT cn.a, cn.b, CAST(cn.common AS BIGINT) AS common,
        CAST(cn.common AS DOUBLE) / (da.d + db.d - cn.common) AS jaccard
 FROM cn JOIN deg da ON da.u = cn.a JOIN deg db ON db.u = cn.b
+""",
+    "ngram_jaccard": """
+WITH toks AS (
+    SELECT doc_id, regexp_extract_all(lower(text), '\\w+') AS ws
+    FROM documents),
+grams AS (
+    SELECT DISTINCT doc_id,
+           unnest(list_transform(range(1, len(ws) - 1),
+               i -> ws[i] || ' ' || ws[i + 1] || ' ' || ws[i + 2])) AS gram
+    FROM toks WHERE len(ws) >= 3),
+kept AS (SELECT gram FROM grams GROUP BY 1 HAVING COUNT(*) <= 50),
+fg AS (SELECT g.doc_id, g.gram FROM grams g JOIN kept USING (gram)),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM fg GROUP BY 1),
+inter AS (SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS c
+          FROM fg x JOIN fg y ON x.gram = y.gram AND x.doc_id < y.doc_id
+          GROUP BY 1, 2)
+SELECT * FROM (
+    SELECT i.a, i.b,
+           ROUND(CAST(i.c AS DOUBLE) / (sa.n + sb.n - i.c), 6) AS jaccard
+    FROM inter i JOIN sizes sa ON sa.doc_id = i.a
+                 JOIN sizes sb ON sb.doc_id = i.b)
+WHERE jaccard >= 0.3
 """,
     "lang_id": """
 WITH toks AS (

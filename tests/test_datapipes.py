@@ -273,3 +273,46 @@ def test_embedding_near_dup_lsh_recall():
     # ...with usable recall at these band settings on this data
     if te:
         assert len(ta) / len(te) >= 0.5
+
+
+def test_ngram_jaccard_dedup_matches_bruteforce():
+    import itertools
+    import re
+
+    import ray.data as rd
+
+    from raygraph.data.dedup import ngram_jaccard_dedup
+
+    docs = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "the quick brown fox jumps over the lazy cat"),
+        (2, "a completely different document about graphs"),
+        (3, "the quick brown fox jumps over the lazy dog"),  # exact dup of 0
+        (4, "another unrelated text with no shared trigrams at all"),
+    ]
+    ds = rd.from_pandas(pd.DataFrame(docs, columns=["doc_id", "text"]))
+    got = (
+        ngram_jaccard_dedup(ds, n=3, threshold=0.2, max_doc_freq=10)
+        .to_pandas().sort_values(["a", "b"]).reset_index(drop=True)
+    )
+
+    word = re.compile(r"\w+")
+
+    def gramset(t):
+        ws = word.findall(t.lower())
+        return {" ".join(ws[i:i + 3]) for i in range(len(ws) - 2)}
+
+    sets = {i: gramset(t) for i, t in docs}
+    want = []
+    for a, b in itertools.combinations(sorted(sets), 2):
+        inter = len(sets[a] & sets[b])
+        if inter == 0:
+            continue
+        j = round(inter / len(sets[a] | sets[b]), 6)
+        if j >= 0.2:
+            want.append((a, b, j))
+    want = pd.DataFrame(want, columns=["a", "b", "jaccard"])
+    assert got[["a", "b"]].values.tolist() == want[["a", "b"]].values.tolist()
+    assert np.allclose(got["jaccard"], want["jaccard"])
+    # the exact dup pair scores 1.0
+    assert got.set_index(["a", "b"]).loc[(0, 3), "jaccard"] == 1.0
