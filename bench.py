@@ -111,15 +111,22 @@ def run_bench() -> dict:
             import ray as _ray
 
             _ray.get([w.pagerank_init.remote() for w in eng.workers])
-            from raygraph.algos.pagerank import _iteration
 
+            # pipelined (lag-1) convergence loop, same as algos.pagerank
             iters = 0
             t_pr = time.perf_counter()
+            prev = None
             for it in range(500):
-                _, upd = _iteration(eng, 0.85, False, g.num_vertices)
+                refs = eng.pagerank_round_async(0.85, False)
                 iters += 1
-                if sum(s["l1"] for s in upd) < 1e-6:
+                if prev is not None and sum(
+                    s["l1"] for s in _ray.get(prev)
+                ) < 1e-6:
+                    _ray.get(refs)
                     break
+                prev = refs
+            else:
+                _ray.get(prev)
             pr_loop_sec = time.perf_counter() - t_pr
             eng.result_dataset(["pr"]).count()
         finally:
@@ -230,10 +237,20 @@ def run_rmat_pagerank() -> dict:
         ray.get([w.pagerank_init.remote() for w in eng.workers])
         for _ in range(3):  # warm caches / routing tables
             _iteration(eng, 0.85, False, g.num_vertices)
+        # pipelined (lag-1) rounds: dispatch round k+1 before joining
+        # round k — actor ordering keeps rounds sequential per worker,
+        # the driver's per-round dispatch+join latency is hidden
         t0 = time.perf_counter()
+        prev = None
         for _ in range(iters):
-            _, upd = _iteration(eng, 0.85, False, g.num_vertices)
-            bytes_in_total += sum(u.get("bytes_in", 0) for u in upd)
+            refs = eng.pagerank_round_async(0.85, False)
+            if prev is not None:
+                bytes_in_total += sum(
+                    u.get("bytes_in", 0) for u in ray.get(prev)
+                )
+            prev = refs
+        if prev is not None:
+            bytes_in_total += sum(u.get("bytes_in", 0) for u in ray.get(prev))
         dt = time.perf_counter() - t0
         W = eng.W
         mode = eng.exchange_mode

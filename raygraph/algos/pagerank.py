@@ -114,27 +114,56 @@ def _run(engine, graph, alpha, tol, max_iter, nstart, personalization,
             start_iter = latest + 1
 
     converged = False
-    for it in range(start_iter, max_iter):
-        import time
+    # Pipelined (lag-1) loop: dispatch round k+1 before joining round k's
+    # stats — actor task ordering guarantees round k's update committed
+    # before round k+1's scatter reads the state, so the per-round driver
+    # dispatch+join latency (measured ~35 ms at W=32) is hidden behind
+    # worker compute.  Convergence is then detected one round late: the
+    # returned state is the first-below-tol iterate PLUS one extra power
+    # iteration — still converged (L1 is decreasing), and deterministic
+    # across worker counts.  Checkpointing needs per-round joins, so the
+    # checkpointed path stays synchronous.
+    pipelined = not checkpoint_dir and not getattr(engine, "has_mirrors", False)
+    if pipelined:
+        prev_refs = None
+        for it in range(start_iter, max_iter):
+            refs = engine.pagerank_round_async(alpha, has_pers)
+            if prev_refs is not None:
+                import ray
 
-        t0 = time.perf_counter()
-        scatter_stats, update_stats = _iteration(engine, alpha, has_pers, V)
-        l1 = sum(s["l1"] for s in update_stats)
-        wall = time.perf_counter() - t0
-        if checkpoint_dir and (it % engine.checkpoint_every == 0 or l1 < tol):
-            engine._checkpoint(
-                "pagerank", it, ["pr"],
-                {
-                    "l1": l1,
-                    "wall_sec": wall,
-                    "rows_out": sum(s["rows_out"] for s in scatter_stats),
-                    "rows_in": sum(s["rows_in"] for s in update_stats),
-                    "shuffle_bytes": sum(s["bytes_out"] for s in scatter_stats),
-                },
-            )
-        if l1 < tol:
-            converged = True
-            break
+                l1 = sum(s["l1"] for s in ray.get(prev_refs))
+                if l1 < tol:
+                    ray.get(refs)  # join the in-flight extra round
+                    converged = True
+                    break
+            prev_refs = refs
+        if not converged and prev_refs is not None:
+            import ray
+
+            l1 = sum(s["l1"] for s in ray.get(prev_refs))
+            converged = l1 < tol
+    else:
+        for it in range(start_iter, max_iter):
+            import time
+
+            t0 = time.perf_counter()
+            scatter_stats, update_stats = _iteration(engine, alpha, has_pers, V)
+            l1 = sum(s["l1"] for s in update_stats)
+            wall = time.perf_counter() - t0
+            if checkpoint_dir and (it % engine.checkpoint_every == 0 or l1 < tol):
+                engine._checkpoint(
+                    "pagerank", it, ["pr"],
+                    {
+                        "l1": l1,
+                        "wall_sec": wall,
+                        "rows_out": sum(s["rows_out"] for s in scatter_stats),
+                        "rows_in": sum(s["rows_in"] for s in update_stats),
+                        "shuffle_bytes": sum(s["bytes_out"] for s in scatter_stats),
+                    },
+                )
+            if l1 < tol:
+                converged = True
+                break
     if not converged and fail_on_nonconvergence:
         raise ConvergenceError(
             f"PageRank failed to converge in {max_iter} iterations (L1 tol {tol})"

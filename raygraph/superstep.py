@@ -1991,10 +1991,14 @@ class SuperstepEngine:
             ]
         )
 
-    def pagerank_round(self, alpha: float, has_pers: bool):
-        """Single-barrier pagerank superstep in the engine's exchange mode.
-        Split graphs pay one extra mirror-sync round for the pr values of
-        foreign srcs."""
+    def pagerank_round_async(self, alpha: float, has_pers: bool):
+        """Dispatch one pagerank superstep WITHOUT joining; returns the
+        update-stat refs.  Safe to dispatch the next round before joining
+        this one: Ray actor tasks execute in submission order per worker,
+        so round k's update commits before round k+1's scatter reads the
+        state — the driver barrier exists only to read convergence stats,
+        and a lag-1 (pipelined) reader hides the whole dispatch+join
+        latency behind the workers' compute."""
         if getattr(self, "has_mirrors", False):
             self.fetch_mirror("pr")
         W = self.W
@@ -2015,7 +2019,13 @@ class SuperstepEngine:
                 self.workers[q].pagerank_update.remote(alpha, has_pers, msg_refs)
                 for q in range(W)
             ]
-        return ray.get(upd)
+        return upd
+
+    def pagerank_round(self, alpha: float, has_pers: bool):
+        """Single-barrier pagerank superstep in the engine's exchange mode.
+        Split graphs pay one extra mirror-sync round for the pr values of
+        foreign srcs."""
+        return ray.get(self.pagerank_round_async(alpha, has_pers))
 
     def spmv_round_refs(self, name: str):
         """Scatter for one spmv round; returns (per-receiver msg ref lists
