@@ -428,12 +428,36 @@ def q_pagerank(sf_dir: str):
 
 
 def q_lpa(sf_dir: str):
+    """Synchronous weighted-majority LPA, 20 rounds, on the UNRENUMBERED
+    int-keyed ps graph — raw vertex ids make the min-label tie-break
+    SQL-replicable, so this is hash-checked against the same 20 rounds
+    unrolled as ROW_NUMBER CTEs in DuckDB (renumbered-graph LPA stays
+    pinned by the pytest oracles in tests/test_algorithms.py)."""
+    from raygraph import joins
     from raygraph.algos import label_propagation
+    from raygraph.graph import Graph
 
-    g = _build_graph_from_keys(ps_edges_str(sf_dir), directed=False, tag="lpa")
+    g = Graph.from_edges(
+        ps_edges(sf_dir), src="src", dst="dst", weight="weight",
+        directed=False, renumber=False, num_partitions=8,
+        out_dir=_tmpdir("lpa"),
+    )
     res = label_propagation(g, max_iter=20)
-    return g.unrenumber(res, "vertex").map_batches(
-        lambda df: pd.DataFrame({"vertex_key": df["vertex"], "label": df["label"]}),
+    # keep only vertices that exist in the edge table (renumber=False
+    # allocates dense state up to max id; isolated ids stay self-labeled)
+    verts = g.edges_dataset(columns=["src"]).map_batches(
+        lambda df: df.drop_duplicates("src").rename(columns={"src": "vertex"}),
+        batch_format="pandas",
+    )
+    from raygraph.agg import distinct
+
+    verts = distinct(verts, ["vertex"])
+    out = joins.hash_join(res, verts, on="vertex")
+    return out.map_batches(
+        lambda df: pd.DataFrame(
+            {"vertex": df["vertex"].to_numpy(np.int64),
+             "label": df["label"].to_numpy(np.int64)}
+        ),
         batch_format="pandas",
     )
 
@@ -1606,6 +1630,33 @@ sym AS MATERIALIZED (SELECT src, dst, MIN(w) AS w FROM
 v AS MATERIALIZED (SELECT src AS v FROM sym GROUP BY 1)"""
 
 
+def _lpa_oracle_sql(iters: int) -> str:
+    """Unrolled synchronous LPA on the int-keyed ps graph: label0 = id;
+    per round, label[v] = argmax_l Σ w(u,v)[label[u]=l], ties → min
+    label; vertices with no votes keep their label.  Mirrors
+    ``raygraph/superstep.py:lpa_scatter/lpa_update`` exactly (raw ids ⇒
+    identical tie-break order)."""
+    parts = [f"""WITH e AS ({PS_EDGES_SQL}),
+sym AS MATERIALIZED (SELECT src, dst, MIN(weight) AS w FROM (
+        SELECT src, dst, weight FROM e
+        UNION ALL SELECT dst, src, weight FROM e) GROUP BY 1, 2),
+v AS (SELECT DISTINCT src AS vertex FROM sym),
+l0 AS (SELECT vertex, vertex AS label FROM v)"""]
+    for i in range(iters):
+        parts.append(f""",
+vt{i} AS MATERIALIZED (SELECT s.dst AS vertex, p.label, SUM(s.w) AS ws
+        FROM sym s JOIN l{i} p ON p.vertex = s.src GROUP BY 1, 2),
+w{i} AS (SELECT vertex, label FROM (
+        SELECT vertex, label, ROW_NUMBER() OVER (PARTITION BY vertex
+                ORDER BY ws DESC, label ASC) AS rn FROM vt{i}) WHERE rn = 1),
+l{i + 1} AS MATERIALIZED (SELECT v.vertex,
+        COALESCE(w{i}.label, l{i}.label) AS label
+        FROM v JOIN l{i} USING (vertex)
+        LEFT JOIN w{i} ON w{i}.vertex = v.vertex)""")
+    parts.append(f"\nSELECT vertex, label FROM l{iters}")
+    return "".join(parts)
+
+
 def _katz_oracle_sql(alpha: float, beta: float, iters: int,
                      round_to: int) -> str:
     """Unrolled Katz: x0=0; x'[v] = α·Σ w(u,v)·x[u] + β; final x/‖x‖₂.
@@ -1725,6 +1776,7 @@ FROM c ASOF JOIN v ON c.user_id = v.user_id AND c.ts >= v.ts
 """,
     "k_truss": _k_truss_oracle_sql(k=3, rounds=2),
     "pagerank": _pagerank_oracle_sql(alpha=0.85, iters=20, round_to=6),
+    "lpa": _lpa_oracle_sql(iters=20),
     "katz": _katz_oracle_sql(alpha=0.005, beta=1.0, iters=30, round_to=6),
     "hits": _hits_oracle_sql(iters=30, round_to=6),
     "eigenvector": _eigenvector_oracle_sql(iters=50, round_to=6),
