@@ -112,21 +112,31 @@ def run_bench() -> dict:
 
             _ray.get([w.pagerank_init.remote() for w in eng.workers])
 
-            # pipelined (lag-1) convergence loop, same as algos.pagerank
+            # lag-1 pipelined loop only when per-worker compute covers the
+            # dispatch latency (same 2M-edges/worker gate as algos.pagerank;
+            # the sf0.1 corpus graph is below it → synchronous loop)
+            pipe = g.num_edges >= 2_000_000 * eng.W
             iters = 0
             t_pr = time.perf_counter()
-            prev = None
-            for it in range(500):
-                refs = eng.pagerank_round_async(0.85, False)
-                iters += 1
-                if prev is not None and sum(
-                    s["l1"] for s in _ray.get(prev)
-                ) < 1e-6:
-                    _ray.get(refs)
-                    break
-                prev = refs
+            if pipe:
+                prev = None
+                for it in range(500):
+                    refs = eng.pagerank_round_async(0.85, False)
+                    iters += 1
+                    if prev is not None and sum(
+                        s["l1"] for s in _ray.get(prev)
+                    ) < 1e-6:
+                        _ray.get(refs)
+                        break
+                    prev = refs
+                else:
+                    _ray.get(prev)
             else:
-                _ray.get(prev)
+                for it in range(500):
+                    upd = eng.pagerank_round(0.85, False)
+                    iters += 1
+                    if sum(s["l1"] for s in upd) < 1e-6:
+                        break
             pr_loop_sec = time.perf_counter() - t_pr
             eng.result_dataset(["pr"]).count()
         finally:
@@ -237,20 +247,27 @@ def run_rmat_pagerank() -> dict:
         ray.get([w.pagerank_init.remote() for w in eng.workers])
         for _ in range(3):  # warm caches / routing tables
             _iteration(eng, 0.85, False, g.num_vertices)
-        # pipelined (lag-1) rounds: dispatch round k+1 before joining
-        # round k — actor ordering keeps rounds sequential per worker,
-        # the driver's per-round dispatch+join latency is hidden
+        # pipelined (lag-1) rounds when per-worker compute covers the
+        # dispatch latency (2M edges/worker gate, same as algos.pagerank)
+        pipe = g.num_edges >= 2_000_000 * eng.W
         t0 = time.perf_counter()
-        prev = None
-        for _ in range(iters):
-            refs = eng.pagerank_round_async(0.85, False)
+        if pipe:
+            prev = None
+            for _ in range(iters):
+                refs = eng.pagerank_round_async(0.85, False)
+                if prev is not None:
+                    bytes_in_total += sum(
+                        u.get("bytes_in", 0) for u in ray.get(prev)
+                    )
+                prev = refs
             if prev is not None:
                 bytes_in_total += sum(
                     u.get("bytes_in", 0) for u in ray.get(prev)
                 )
-            prev = refs
-        if prev is not None:
-            bytes_in_total += sum(u.get("bytes_in", 0) for u in ray.get(prev))
+        else:
+            for _ in range(iters):
+                upd = eng.pagerank_round(0.85, False)
+                bytes_in_total += sum(u.get("bytes_in", 0) for u in upd)
         dt = time.perf_counter() - t0
         W = eng.W
         mode = eng.exchange_mode

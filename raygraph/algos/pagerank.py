@@ -123,7 +123,17 @@ def _run(engine, graph, alpha, tol, max_iter, nstart, personalization,
     # iteration — still converged (L1 is decreasing), and deterministic
     # across worker counts.  Checkpointing needs per-round joins, so the
     # checkpointed path stays synchronous.
-    pipelined = not checkpoint_dir and not getattr(engine, "has_mirrors", False)
+    #
+    # Only worth it when per-worker compute can cover the dispatch work:
+    # measured A/B at W=32 on this class of host — 134M edges (4.2M/worker,
+    # ~200 ms/iter): pipelined 8-13% faster; 33.5M (1M/worker): 20% slower;
+    # 5M (160k/worker): 1.8× slower (the overlapped driver dispatch
+    # contends with saturated workers for cores).  Gate at 2M edges/worker.
+    pipelined = (
+        not checkpoint_dir
+        and not getattr(engine, "has_mirrors", False)
+        and graph.num_edges >= 2_000_000 * engine.W
+    )
     if pipelined:
         prev_refs = None
         for it in range(start_iter, max_iter):
