@@ -740,7 +740,8 @@ def q_spectral_cut(sf_dir: str):
     g = _w3_subgraph(sf_dir, "speccut")
     res = spectral_balanced_cut_clustering(g, num_clusters=4,
                                            num_eigen_vects=2,
-                                           evs_max_iter=40)
+                                           evs_max_iter=40,
+                                           kmean_max_iter=15)
     return g.unrenumber(res, "vertex").map_batches(
         lambda df: pd.DataFrame(
             {"vertex_key": df["vertex"], "cluster": df["cluster"]}
