@@ -129,10 +129,16 @@ def _run(engine, graph, alpha, tol, max_iter, nstart, personalization,
     # ~200 ms/iter): pipelined 8-13% faster; 33.5M (1M/worker): 20% slower;
     # 5M (160k/worker): 1.8× slower (the overlapped driver dispatch
     # contends with saturated workers for cores).  Gate at 2M edges/worker.
+    import os
+
+    env = os.environ.get("RAYGRAPH_PIPELINE")  # force on/off (tests)
     pipelined = (
         not checkpoint_dir
         and not getattr(engine, "has_mirrors", False)
-        and graph.num_edges >= 2_000_000 * engine.W
+        and (
+            bool(int(env)) if env is not None
+            else graph.num_edges >= 2_000_000 * engine.W
+        )
     )
     if pipelined:
         prev_refs = None

@@ -491,3 +491,27 @@ def test_edge_betweenness_sampled_no_extrapolation(tmp_path):
     for r in got.itertuples():
         assert abs(r.betweenness_centrality
                    - want[(r.src, r.dst)] / (V * (V - 1))) < 1e-9
+
+
+def test_pipelined_pagerank_matches_sync(tmp_path, monkeypatch):
+    # the lag-1 pipelined loop (normally gated to >=2M edges/worker) must
+    # produce the same converged scores as the synchronous loop — forced
+    # on/off via $RAYGRAPH_PIPELINE; the pipelined run commits exactly one
+    # extra power iteration past tol, so compare at the tol scale
+    g = build(fixtures.karate_df(), False, tmp_path, "pipe")
+    monkeypatch.setenv("RAYGRAPH_PIPELINE", "0")
+    sync = pr_vec(pagerank(g, tol=1e-10, max_iter=500, num_workers=4),
+                  fixtures.KARATE_V)
+    monkeypatch.setenv("RAYGRAPH_PIPELINE", "1")
+    pipe = pr_vec(pagerank(g, tol=1e-10, max_iter=500, num_workers=4),
+                  fixtures.KARATE_V)
+    assert np.allclose(sync, pipe, atol=1e-9)
+    # fixed-iteration (tol=0) runs are bit-identical: exactly max_iter
+    # rounds on both paths
+    monkeypatch.setenv("RAYGRAPH_PIPELINE", "0")
+    s20 = pr_vec(pagerank(g, tol=0.0, max_iter=20, num_workers=4,
+                          fail_on_nonconvergence=False), fixtures.KARATE_V)
+    monkeypatch.setenv("RAYGRAPH_PIPELINE", "1")
+    p20 = pr_vec(pagerank(g, tol=0.0, max_iter=20, num_workers=4,
+                          fail_on_nonconvergence=False), fixtures.KARATE_V)
+    assert np.array_equal(s20, p20)
