@@ -160,11 +160,22 @@ class PartitionWorker:
         # searchsorted positions of each sender's vids are computed once
         self._pos_cache: dict[int, np.ndarray] = {}
 
-    def _recv_pos(self, sender: int, vids: np.ndarray) -> np.ndarray:
-        # cache is only valid for the static packed-layout paths (pagerank /
-        # spmv), whose vid sets never change; verify cheaply (length + ends)
-        # so a dynamic-routing caller can't pick up stale positions
+    def _recv_pos(self, sender: int, vids) -> np.ndarray:
+        # Positions for the STATIC packed-layout paths (pagerank / spmv),
+        # whose per-sender vid sets never change for the life of the worker.
+        # ``vids is None`` means the sender shipped a vid-free message
+        # (steady-state rounds re-ship only partials — half the bytes); the
+        # cached positions from the mandatory vid-ful round 0 are used.
+        # Vid-ful messages re-validate cheaply (length + ends) so a stale
+        # entry can never be silently reused.
         pos = self._pos_cache.get(sender)
+        if vids is None:
+            if pos is None:
+                raise RuntimeError(
+                    f"vid-free message from sender {sender} before any "
+                    "vid-ful round — engine must ship vids on round 0"
+                )
+            return pos
         if (
             pos is None
             or len(pos) != len(vids)
@@ -193,9 +204,12 @@ class PartitionWorker:
         out, stats = getattr(self, scatter_name)(*args)
         return (*out, stats)
 
-    def pagerank_scatter_sliced(self):
+    def pagerank_scatter_sliced(self, ship_vids: bool = True):
         """Per-receiver pagerank messages (num_returns=W):
-        (vids_q, partials_q, dangling_partial)."""
+        (vids_q | None, partials_q, dangling_partial).  The routing layout
+        is static, so after a vid-ful round 0 the engine requests vid-free
+        messages (``ship_vids=False``) — receivers index with their cached
+        positions and the exchange ships half the bytes."""
         pr = self.state["pr"]
         pr_ext = self._src_vec("pr")
         contrib = pr_ext[self.src_local] * self._pr_edge_coef
@@ -205,13 +219,14 @@ class PartitionWorker:
         offs = self.route_offsets
         pv, pp = self.packed_vids, partial[self.route_order]
         return tuple(
-            (pv[offs[q]:offs[q + 1]], pp[offs[q]:offs[q + 1]], dangling_sum)
+            (pv[offs[q]:offs[q + 1]] if ship_vids else None,
+             pp[offs[q]:offs[q + 1]], dangling_sum)
             for q in range(self.W)
         )
 
-    def spmv_scatter_sliced(self, name: str):
-        """Per-receiver spmv messages (num_returns=W+1): W (vids, partials)
-        tuples followed by the stats dict."""
+    def spmv_scatter_sliced(self, name: str, ship_vids: bool = True):
+        """Per-receiver spmv messages (num_returns=W+1): W (vids | None,
+        partials) tuples followed by the stats dict."""
         x = self.state[name]
         contrib = self._src_vec(name)[self.src_local] * self.w
         partial = np.bincount(self.dst_inverse, weights=contrib,
@@ -219,10 +234,12 @@ class PartitionWorker:
         offs = self.route_offsets
         pv, pp = self.packed_vids, partial[self.route_order]
         msgs = tuple(
-            (pv[offs[q]:offs[q + 1]], pp[offs[q]:offs[q + 1]])
+            (pv[offs[q]:offs[q + 1]] if ship_vids else None,
+             pp[offs[q]:offs[q + 1]])
             for q in range(self.W)
         )
-        return (*msgs, {"rows_out": len(pv), "bytes_out": pv.nbytes * 2,
+        bytes_out = pp.nbytes + (pv.nbytes if ship_vids else 0)
+        return (*msgs, {"rows_out": len(pv), "bytes_out": bytes_out,
                         "local_sum": float(x.sum()),
                         "local_sq": float((x * x).sum())})
 
@@ -424,23 +441,26 @@ class PartitionWorker:
             )
         return float(self.state["pr"].sum())
 
-    def pagerank_scatter(self):
+    def pagerank_scatter(self, ship_vids: bool = True):
         """One plasma object per sender per superstep:
-        (packed vids, packed partials, offsets, dangling partial).
+        (packed vids | None, packed partials, offsets, dangling partial).
 
         Packed layout (receiver q reads [off[q]:off[q+1]]) keeps both the
         object count AND the per-receive deserialize count at O(W).  The
         dangling partial rides along so receivers can compute the global
         unvarying term themselves — the driver never sits between scatter
-        and update (single barrier per superstep)."""
+        and update (single barrier per superstep).  The vid/offset layout
+        is static across supersteps, so after round 0 the engine requests
+        ``ship_vids=False`` and only the float partials move — half the
+        steady-state exchange bytes (offsets are O(W), kept for slicing)."""
         pr = self.state["pr"]
         pr_ext = self._src_vec("pr")
         contrib = pr_ext[self.src_local] * self._pr_edge_coef
         partial = np.bincount(self.dst_inverse, weights=contrib,
                               minlength=len(self.dst_unique))
         dangling_sum = float(pr[self.state["dangling"]].sum())
-        return (self.packed_vids, partial[self.route_order],
-                self.route_offsets, dangling_sum)
+        return (self.packed_vids if ship_vids else None,
+                partial[self.route_order], self.route_offsets, dangling_sum)
 
     def pagerank_update(self, alpha: float, has_pers: bool, msg_refs):
         """Gather + state update; computes unvarying locally from the
@@ -457,16 +477,19 @@ class PartitionWorker:
         for sender, m in enumerate(all_msgs):
             if len(m) == 4:  # packed: full arrays shipped, slice ours
                 vids_all, part_all, offs, d = m
-                bytes_in += vids_all.nbytes + part_all.nbytes + offs.nbytes
-                vids = vids_all[offs[lo]:offs[hi]]
+                bytes_in += part_all.nbytes + offs.nbytes + (
+                    vids_all.nbytes if vids_all is not None else 0)
+                vids = (vids_all[offs[lo]:offs[hi]]
+                        if vids_all is not None else None)
                 partials = part_all[offs[lo]:offs[hi]]
             else:  # sliced: exactly our slice shipped
                 vids, partials, d = m
-                bytes_in += vids.nbytes + partials.nbytes
+                bytes_in += partials.nbytes + (
+                    vids.nbytes if vids is not None else 0)
             dangling += d
             pos = self._recv_pos(sender, vids)
             gather[pos] += partials  # vids unique per sender → plain fancy add
-            rows_in += len(vids)
+            rows_in += len(partials)
         if has_pers:
             unvarying = alpha * dangling + (1.0 - alpha)
         else:
@@ -486,15 +509,19 @@ class PartitionWorker:
     # spmv: per_v_transform_reduce_incoming_e with e_op = x[src]*w
     # dst exchange: update_edge_dst_property (prims/update_edge_src_dst_
     # property.cuh) — the dst-side half that is not free under 1D placement.
-    def spmv_scatter(self, name: str):
-        """num_returns=2: (packed msgs, stats); packed = (vids, partials, offs)."""
+    def spmv_scatter(self, name: str, ship_vids: bool = True):
+        """num_returns=2: (packed msgs, stats); packed = (vids | None,
+        partials, offs) — vid-free after round 0, same as pagerank_scatter."""
         x = self.state[name]
         contrib = self._src_vec(name)[self.src_local] * self.w
         partial = np.bincount(self.dst_inverse, weights=contrib,
                               minlength=len(self.dst_unique))
-        packed = (self.packed_vids, partial[self.route_order], self.route_offsets)
+        packed = (self.packed_vids if ship_vids else None,
+                  partial[self.route_order], self.route_offsets)
+        bytes_out = packed[1].nbytes + (
+            self.packed_vids.nbytes if ship_vids else 0)
         return packed, {"rows_out": len(self.packed_vids),
-                        "bytes_out": self.packed_vids.nbytes * 2,
+                        "bytes_out": bytes_out,
                         "local_sum": float(x.sum()), "local_sq": float((x * x).sum())}
 
     def gather_into(self, name: str, msg_refs, alpha: float = 1.0, beta: float = 0.0,
@@ -507,13 +534,14 @@ class PartitionWorker:
         for sender, m in enumerate(all_msgs):
             if len(m) == 3:  # packed
                 vids_all, part_all, offs = m
-                vids = vids_all[offs[lo]:offs[hi]]
+                vids = (vids_all[offs[lo]:offs[hi]]
+                        if vids_all is not None else None)
                 partials = part_all[offs[lo]:offs[hi]]
             else:  # sliced
                 vids, partials = m
             pos = self._recv_pos(sender, vids)
             gather[pos] += partials
-            rows_in += len(vids)
+            rows_in += len(partials)
         old = self.state.get(name)
         new = scale * (alpha * gather + beta)
         l1 = float(np.abs(new - old).sum()) if old is not None else float("inf")
@@ -1830,6 +1858,11 @@ class SuperstepEngine:
         if exchange_mode not in ("packed", "sliced"):
             raise ValueError(f"unknown exchange_mode {exchange_mode!r}")
         self.exchange_mode = exchange_mode
+        # pagerank/spmv message layout is static across supersteps, so vids
+        # need shipping only once per worker lifetime: the first static
+        # round is vid-ful (receivers cache positions), every later one
+        # ships float partials only — half the steady-state exchange bytes.
+        self._static_vids_shipped = False
         # wide-id kernels: auto past 2^32 vertices; forceable for the
         # forced-path equality tests ($RAYGRAPH_WIDE_KEYS=1 or the arg).
         if wide_keys is None:
@@ -2002,9 +2035,11 @@ class SuperstepEngine:
         if getattr(self, "has_mirrors", False):
             self.fetch_mirror("pr")
         W = self.W
+        ship_vids = not self._static_vids_shipped
+        self._static_vids_shipped = True
         if self.exchange_mode == "sliced":
             outs = [
-                w.pagerank_scatter_sliced.options(num_returns=W).remote()
+                w.pagerank_scatter_sliced.options(num_returns=W).remote(ship_vids)
                 for w in self.workers
             ]
             upd = [
@@ -2014,7 +2049,7 @@ class SuperstepEngine:
                 for q in range(W)
             ]
         else:
-            msg_refs = [w.pagerank_scatter.remote() for w in self.workers]
+            msg_refs = [w.pagerank_scatter.remote(ship_vids) for w in self.workers]
             upd = [
                 self.workers[q].pagerank_update.remote(alpha, has_pers, msg_refs)
                 for q in range(W)
@@ -2034,16 +2069,19 @@ class SuperstepEngine:
         if getattr(self, "has_mirrors", False):
             self.fetch_mirror(name)
         W = self.W
+        ship_vids = not self._static_vids_shipped
+        self._static_vids_shipped = True
         if self.exchange_mode == "sliced":
             outs = [
-                w.spmv_scatter_sliced.options(num_returns=W + 1).remote(name)
+                w.spmv_scatter_sliced.options(num_returns=W + 1).remote(
+                    name, ship_vids)
                 for w in self.workers
             ]
             stats = ray.get([o[W] for o in outs])
             per_receiver = [[outs[s][q] for s in range(W)] for q in range(W)]
             return per_receiver, stats
         outs = [
-            w.spmv_scatter.options(num_returns=2).remote(name)
+            w.spmv_scatter.options(num_returns=2).remote(name, ship_vids)
             for w in self.workers
         ]
         msg_refs = [o[0] for o in outs]

@@ -264,6 +264,29 @@ def test_sliced_exchange_matches_packed(tmp_path, monkeypatch):
     )
 
 
+def test_static_exchange_ships_vids_once(tmp_path):
+    # pagerank/spmv routing is static, so round 0 ships (vids, partials)
+    # and every later round ships partials only — bytes_out must halve
+    # (modulo the O(W) offsets) and results stay exact (covered above).
+    from raygraph.superstep import SuperstepEngine
+
+    g = build(fixtures.karate_df(), False, tmp_path, "kvf")
+    eng = SuperstepEngine(g, num_workers=4)
+    try:
+        import ray
+
+        ray.get([w.set_state.remote("x", 1.0) for w in eng.workers])
+        _, stats0 = eng.spmv_round_refs("x")
+        _, stats1 = eng.spmv_round_refs("x")
+        b0 = sum(s["bytes_out"] for s in stats0)
+        b1 = sum(s["bytes_out"] for s in stats1)
+        rows = sum(s["rows_out"] for s in stats0)
+        assert b0 == rows * 16  # int64 vids + float64 partials
+        assert b1 == rows * 8   # partials only
+    finally:
+        eng.shutdown()
+
+
 # ---------------------------------------------- high-degree src splitting
 
 
