@@ -92,7 +92,7 @@ def uniform_neighbor_sample(graph, start_vertices, fanouts, seed: int = 42):
 
 
 def _run_walks(graph, start_vertices, max_length: int, seed: int,
-               p=None, q=None, num_workers=None, out_dir=None):
+               p=None, q=None, biased=False, num_workers=None, out_dir=None):
     """Shared walker-routing driver loop on the superstep engine.
 
     The adjacency stays resident per worker (built once); per step only
@@ -122,10 +122,10 @@ def _run_walks(graph, start_vertices, max_length: int, seed: int,
     engine = SuperstepEngine(graph, num_workers=num_workers,
                              exchange_mode="packed")
     try:
-        ray.get([w.walk_build.remote() for w in engine.workers])
+        ray.get([w.walk_build.remote(biased) for w in engine.workers])
         ray.get(
             [
-                w.walk_init.remote(ids, starts, seed, p, q)
+                w.walk_init.remote(ids, starts, seed, p, q, biased)
                 for w in engine.workers
             ]
         )
@@ -181,4 +181,19 @@ def random_walks(graph, start_vertices, max_length: int, seed: int = 42,
     adjacency resident per worker.
     """
     return _run_walks(graph, start_vertices, max_length, seed,
+                      num_workers=num_workers, out_dir=out_dir)
+
+
+def biased_random_walks(graph, start_vertices, max_length: int,
+                        seed: int = 42, num_workers=None, out_dir=None):
+    """Edge-weight-biased random walks: the next hop is drawn with
+    probability proportional to the outgoing edge weight
+    (``random_walks_impl.cuh`` biased variant / ``sampling/random_walks.py``
+    ``biased_random_walks``).  Weights must be non-negative; a vertex whose
+    outgoing weights sum to zero is treated as a sink (walk stops there).
+    Same engine and determinism contract as :func:`random_walks` — the
+    draw is an inverse-CDF lookup in the resident row's weight cumsum,
+    one vectorized ``searchsorted`` per worker per step.
+    Returns Dataset (walker:int64, step:int32, vertex:int64)."""
+    return _run_walks(graph, start_vertices, max_length, seed, biased=True,
                       num_workers=num_workers, out_dir=out_dir)

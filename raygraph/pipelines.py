@@ -324,8 +324,9 @@ def q_hypergraph_events(sf_dir: str):
     )
 
 
-def q_jaccard_users(sf_dir: str):
-    """Jaccard over user pairs in the user–etype bipartite graph."""
+def _user_similarity(sf_dir: str, kind: str):
+    """Shared pipeline for the jaccard/sorensen/overlap user queries:
+    user–etype bipartite graph → pairwise coefficient over user pairs."""
     from raygraph.algos.similarity import pairwise_similarity
     from raygraph.graph import symmetrize
 
@@ -356,7 +357,7 @@ def q_jaccard_users(sf_dir: str):
         ),
         dedup="min",
     ).map_batches(lambda df: df[["src", "dst"]], batch_format="pandas")
-    sim = pairwise_similarity(sym, kind="jaccard")
+    sim = pairwise_similarity(sym, kind=kind)
     out = sim.map_batches(
         lambda df: df.loc[
             df["a"].str.startswith("user::") & df["b"].str.startswith("user::")
@@ -364,16 +365,33 @@ def q_jaccard_users(sf_dir: str):
         batch_format="pandas",
     )
     return out.map_batches(
-        lambda df: pd.DataFrame(
+        lambda df, kind=kind: pd.DataFrame(
             {
                 "a": df["a"],
                 "b": df["b"],
                 "common": df["common"].astype(np.int64),
-                "jaccard": df["coeff"].astype(np.float64),
+                kind: df["coeff"].astype(np.float64),
             }
         ),
         batch_format="pandas",
     )
+
+
+def q_jaccard_users(sf_dir: str):
+    """Jaccard over user pairs in the user–etype bipartite graph."""
+    return _user_similarity(sf_dir, "jaccard")
+
+
+def q_sorensen_users(sf_dir: str):
+    """Sørensen coefficient (2·common / (deg_a+deg_b)) over user pairs
+    (``link_prediction/sorensen.py`` semantics)."""
+    return _user_similarity(sf_dir, "sorensen")
+
+
+def q_overlap_users(sf_dir: str):
+    """Overlap coefficient (common / min(deg_a, deg_b)) over user pairs
+    (``link_prediction/overlap.py`` semantics)."""
+    return _user_similarity(sf_dir, "overlap")
 
 
 # ---------------------------------------------------------------------------
@@ -1262,6 +1280,33 @@ def q_random_walks(sf_dir: str):
     )
 
 
+def q_biased_walks(sf_dir: str):
+    """Edge-weight-biased random walks from the 5 lowest part keys on the
+    FULL weighted ps graph (weights = lineitem co-occurrence counts, so the
+    bias is non-trivial).  Rows-only; weight-proportional draw pinned by
+    pytest distribution/extreme-weight tests."""
+    from raygraph.algos.sampling import biased_random_walks
+
+    g = _build_graph_from_keys(ps_edges_str(sf_dir), directed=False, tag="bw")
+    vmap_part = g.vmap_dataset().map_batches(
+        lambda df: df[df["vertex_key"].str.startswith("part::")]
+        .sort_values("vertex_key").head(5),
+        batch_format="pandas",
+    ).to_pandas().sort_values("vertex_key").head(5)
+    starts = vmap_part["vid"].to_numpy(np.int64)
+    walks = biased_random_walks(g, starts, max_length=4, seed=42)
+    return g.unrenumber(walks, "vertex").map_batches(
+        lambda df: pd.DataFrame(
+            {
+                "walker": df["walker"].astype(np.int64),
+                "step": df["step"].astype(np.int64),
+                "vertex_key": df["vertex"],
+            }
+        ),
+        batch_format="pandas",
+    )
+
+
 def q_k_core(sf_dir: str):
     """Edges of the 2-core of the weight≥3 subgraph (rows-only; exact
     peeling pinned by pytest)."""
@@ -1479,6 +1524,8 @@ QUERIES = {
     "coarsen_brand": q_coarsen_brand,
     "hypergraph_events": q_hypergraph_events,
     "jaccard_users": q_jaccard_users,
+    "sorensen_users": q_sorensen_users,
+    "overlap_users": q_overlap_users,
     "wcc": q_wcc,
     "triangles": q_triangles,
     "pagerank": q_pagerank,
@@ -1521,6 +1568,7 @@ QUERIES = {
     "bfs_paths": q_bfs_paths,
     "eigenvector": q_eigenvector,
     "random_walks": q_random_walks,
+    "biased_walks": q_biased_walks,
     "k_core": q_k_core,
     "egonet": q_egonet,
     "degree_centrality": q_degree_centrality,
@@ -1832,6 +1880,26 @@ cn AS (SELECT x.u AS a, y.u AS b, COUNT(*) AS common
        FROM ue x JOIN ue y ON x.t = y.t AND x.u < y.u GROUP BY 1, 2)
 SELECT cn.a, cn.b, CAST(cn.common AS BIGINT) AS common,
        CAST(cn.common AS DOUBLE) / (da.d + db.d - cn.common) AS jaccard
+FROM cn JOIN deg da ON da.u = cn.a JOIN deg db ON db.u = cn.b
+""",
+    "sorensen_users": """
+WITH ue AS (SELECT DISTINCT 'user::' || lpad(CAST(user_id AS VARCHAR), 6, '0') AS u,
+                            event_type AS t FROM events),
+deg AS (SELECT u, COUNT(*) AS d FROM ue GROUP BY 1),
+cn AS (SELECT x.u AS a, y.u AS b, COUNT(*) AS common
+       FROM ue x JOIN ue y ON x.t = y.t AND x.u < y.u GROUP BY 1, 2)
+SELECT cn.a, cn.b, CAST(cn.common AS BIGINT) AS common,
+       2.0 * CAST(cn.common AS DOUBLE) / (da.d + db.d) AS sorensen
+FROM cn JOIN deg da ON da.u = cn.a JOIN deg db ON db.u = cn.b
+""",
+    "overlap_users": """
+WITH ue AS (SELECT DISTINCT 'user::' || lpad(CAST(user_id AS VARCHAR), 6, '0') AS u,
+                            event_type AS t FROM events),
+deg AS (SELECT u, COUNT(*) AS d FROM ue GROUP BY 1),
+cn AS (SELECT x.u AS a, y.u AS b, COUNT(*) AS common
+       FROM ue x JOIN ue y ON x.t = y.t AND x.u < y.u GROUP BY 1, 2)
+SELECT cn.a, cn.b, CAST(cn.common AS BIGINT) AS common,
+       CAST(cn.common AS DOUBLE) / LEAST(da.d, db.d) AS overlap
 FROM cn JOIN deg da ON da.u = cn.a JOIN deg db ON db.u = cn.b
 """,
     "ngram_jaccard": """

@@ -1584,9 +1584,11 @@ class PartitionWorker:
     # bounced walker state off the driver — VERDICT r2 finding #1).
     # Draws use the (seed, walker, step) counter stream, so outputs are
     # bit-identical at any worker count / placement.
-    def walk_build(self):
+    def walk_build(self, biased: bool = False):
         """One-time CSR over resident edges, rows sorted by dst (the same
-        candidate ordering the draw contract requires)."""
+        candidate ordering the draw contract requires).  ``biased`` also
+        builds the per-row weight CDF for edge-weight-proportional draws
+        (``biased_random_walks``) and rejects negative weights."""
         self._require_unsplit("random_walks")
         order = np.lexsort((self.dst, self.src_local))
         self._walk_dst = self.dst[order]
@@ -1594,10 +1596,20 @@ class PartitionWorker:
         counts = np.bincount(self.src_local, minlength=self.n_owned)
         self._walk_indptr = np.zeros(self.n_owned + 1, dtype=np.int64)
         np.cumsum(counts, out=self._walk_indptr[1:])
+        if biased:
+            if len(self._walk_w) and (self._walk_w < 0).any():
+                raise ValueError(
+                    "biased_random_walks requires non-negative edge weights"
+                )
+            # global cumsum: the CDF of row v is the window
+            # (_walk_wcum[indptr[v]-1], _walk_wcum[indptr[v+1]-1]] — one
+            # vectorized searchsorted serves every resident walker at once
+            self._walk_wcum = np.cumsum(self._walk_w)
         return True
 
     def walk_init(self, walker_ids, starts, seed: int,
-                  p: Optional[float] = None, q: Optional[float] = None):
+                  p: Optional[float] = None, q: Optional[float] = None,
+                  biased: bool = False):
         """Install the walkers whose start vertex this worker owns; emit
         their step-0 output rows."""
         ids = np.asarray(walker_ids, dtype=np.int64)
@@ -1609,6 +1621,7 @@ class PartitionWorker:
         self._walk_seed = seed
         self._walk_p = p
         self._walk_q = q
+        self._walk_biased = biased
         self._wk_out = [
             (self._wk_id, np.zeros(len(self._wk_id), np.int32), self._wk_cur)
         ]
@@ -1646,19 +1659,35 @@ class PartitionWorker:
         return (ids[order], prevs[order], nxt[order], offs)
 
     def walk_step_scatter(self, step: int):
-        """Uniform walk step: draw a neighbor for each resident walker from
-        the resident CSR row (sinks stop), record the output row, route the
-        walker to owner(next).  Packed-exchange layout only."""
+        """One walk step: draw a neighbor for each resident walker from the
+        resident CSR row (uniform, or edge-weight-proportional when the
+        walk was initialised ``biased``; sinks stop), record the output
+        row, route the walker to owner(next).  Packed-exchange layout
+        only."""
         from raygraph.algos.sampling import _seeded_uniform
 
         start, deg = self._walk_rows()
         alive = deg > 0
         ids = self._wk_id[alive]
         start, deg = start[alive], deg[alive]
+        if self._walk_biased and len(ids):
+            # weight-proportional draw: inverse-CDF within the row's window
+            # of the global weight cumsum.  Zero-total rows are sinks.
+            cum = self._walk_wcum
+            base = np.where(start > 0, cum[start - 1], 0.0)
+            total = cum[start + deg - 1] - base
+            live = total > 0
+            ids, start, deg = ids[live], start[live], deg[live]
+            base, total = base[live], total[live]
         if len(ids):
             u = _seeded_uniform(self._walk_seed, ids, step)[:, 0]
-            pick = (u * deg).astype(np.int64) % deg
-            nxt = self._walk_dst[start + pick]
+            if self._walk_biased:
+                gpick = np.searchsorted(cum, base + u * total, side="right")
+                gpick = np.minimum(gpick, start + deg - 1)
+                nxt = self._walk_dst[gpick]
+            else:
+                pick = (u * deg).astype(np.int64) % deg
+                nxt = self._walk_dst[start + pick]
             self._wk_out.append(
                 (ids, np.full(len(ids), step, dtype=np.int32), nxt)
             )
@@ -1820,6 +1849,11 @@ class PartitionWorker:
         ids = np.concatenate([o[0] for o in self._wk_out])
         steps = np.concatenate([o[1] for o in self._wk_out])
         verts = np.concatenate([o[2] for o in self._wk_out])
+        if len(ids) == 0:
+            # an empty file would surface as a schemaless zero-row block
+            # downstream (Ray RefBundle schema warnings); some worker always
+            # owns at least one start vertex, so the directory is never empty
+            return 0
         order = np.lexsort((steps, ids))
         t = pa.table(
             {

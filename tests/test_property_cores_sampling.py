@@ -216,3 +216,80 @@ def test_walks_worker_count_invariant(karate):
     assert a.sort_values(key).reset_index(drop=True).equals(
         b.sort_values(key).reset_index(drop=True)
     )
+
+
+# ------------------------------------------------------------ biased walks
+
+
+def _star_graph(tmp_path, weights, name):
+    n = len(weights)
+    df = pd.DataFrame(
+        {
+            "src": np.zeros(n, np.int64),
+            "dst": np.arange(1, n + 1, dtype=np.int64),
+            "weight": np.asarray(weights, dtype=np.float64),
+        }
+    )
+    return Graph.from_edges(
+        rd.from_pandas(df), src="src", dst="dst", weight="weight",
+        directed=True, renumber=False, num_partitions=2,
+        out_dir=str(tmp_path / name),
+    )
+
+
+def test_biased_walks_extreme_weight(tmp_path):
+    # edge (0,3) carries ~all the weight: every walker's first hop is 3
+    from raygraph.algos.sampling import biased_random_walks
+
+    g = _star_graph(tmp_path, [1e-9, 1e-9, 1e6, 1e-9, 1e-9], "bext")
+    out = biased_random_walks(g, [0] * 20, max_length=2, seed=5).to_pandas()
+    step1 = out[out["step"] == 1]["vertex"].to_numpy()
+    assert len(step1) == 20 and (step1 == 3).all()
+
+
+def test_biased_walks_follow_weight_distribution(tmp_path):
+    # star with weights 1:2:3 — hop frequencies must track the weights
+    from raygraph.algos.sampling import biased_random_walks
+
+    g = _star_graph(tmp_path, [1.0, 2.0, 3.0], "bdist")
+    n = 3000
+    out = biased_random_walks(g, [0] * n, max_length=2, seed=7).to_pandas()
+    step1 = out[out["step"] == 1]["vertex"].to_numpy()
+    freq = np.bincount(step1, minlength=4)[1:4] / n
+    assert np.allclose(freq, [1 / 6, 2 / 6, 3 / 6], atol=0.04)
+
+
+def test_biased_walks_deterministic_and_valid(karate):
+    from raygraph.algos.sampling import biased_random_walks
+
+    key = ["walker", "step"]
+    a = biased_random_walks(karate, [0, 5, 33], 6, seed=11,
+                            num_workers=1).to_pandas()
+    b = biased_random_walks(karate, [0, 5, 33], 6, seed=11,
+                            num_workers=4).to_pandas()
+    assert a.sort_values(key).reset_index(drop=True).equals(
+        b.sort_values(key).reset_index(drop=True)
+    )
+    eset = set(map(tuple, fixtures.karate_df()[["src", "dst"]].to_numpy()))
+    eset |= {(y, x) for x, y in eset}
+    for w, grp in a.sort_values("step").groupby("walker"):
+        vs = grp["vertex"].to_numpy()
+        for x, y in zip(vs[:-1], vs[1:]):
+            assert (x, y) in eset
+
+
+def test_biased_walks_zero_weight_row_is_sink(tmp_path):
+    # all-zero weights: the walk stops at step 0 (documented contract)
+    from raygraph.algos.sampling import biased_random_walks
+
+    g = _star_graph(tmp_path, [0.0, 0.0], "bzero")
+    out = biased_random_walks(g, [0], max_length=4, seed=3).to_pandas()
+    assert out["step"].max() == 0
+
+
+def test_biased_walks_negative_weight_raises(tmp_path):
+    from raygraph.algos.sampling import biased_random_walks
+
+    g = _star_graph(tmp_path, [1.0, -1.0], "bneg")
+    with pytest.raises(ValueError):
+        biased_random_walks(g, [0], max_length=3, seed=3)
