@@ -148,6 +148,14 @@ def bucketed_map_groups(
     runs a pandas groupby-apply inside: ``fn`` receives each complete key
     group, exactly as Ray's ``map_groups`` would deliver it.  Use when the
     expected group count is large and per-group work is small.
+
+    Note: when fewer than ``num_buckets`` distinct buckets exist, Ray's
+    sort-based groupby emits columnless empty blocks for the empty
+    partitions and logs "RefBundle with a different schema" warnings.
+    That is Ray-internal (reproducible with a vanilla
+    ``groupby().map_groups`` on sparse keys, no UDF involved) and
+    harmless; user ``fn``s should still return typed empty frames so the
+    blocks THEY produce stay schema-stable.
     """
     keys = list(keys)
 

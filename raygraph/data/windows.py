@@ -52,20 +52,32 @@ def session_windows(ds, ts_col="ts", key_col="user_id", gap_sec: int = 1800):
     def sessions(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(ts_col)
         us = g[ts_col].astype("datetime64[us]").astype(np.int64).to_numpy()
+        if len(us) == 0:
+            # typed empty frame: a columnless one would diverge from the
+            # non-empty blocks' schema (Ray RefBundle schema warnings)
+            return pd.DataFrame(
+                {
+                    key_col: g[key_col].iloc[:0],
+                    "session_start": pd.Series(dtype=np.int64),
+                    "session_end": pd.Series(dtype=np.int64),
+                    "n_events": pd.Series(dtype=np.int64),
+                }
+            )
+        # vectorized run detection on the sorted timestamps: a session
+        # starts wherever the gap to the previous event exceeds ``gap``
         new = np.ones(len(us), dtype=bool)
         new[1:] = (us[1:] - us[:-1]) > gap
         sid = np.cumsum(new) - 1
-        out = []
-        for s in np.unique(sid):
-            m = sid == s
-            out.append(
-                {
-                    key_col: g[key_col].iloc[0],
-                    "session_start": us[m].min(),
-                    "session_end": us[m].max(),
-                    "n_events": int(m.sum()),
-                }
-            )
-        return pd.DataFrame(out)
+        starts_idx = np.flatnonzero(new)
+        ends_idx = np.append(starts_idx[1:] - 1, len(us) - 1)
+        return pd.DataFrame(
+            {
+                key_col: np.repeat(g[key_col].iloc[:1].to_numpy(),
+                                   len(starts_idx)),
+                "session_start": us[starts_idx],
+                "session_end": us[ends_idx],
+                "n_events": np.bincount(sid).astype(np.int64),
+            }
+        )
 
     return bucketed_map_groups(ds, [key_col], sessions)
