@@ -38,6 +38,45 @@ def tumbling_window(ds, ts_col="ts", key_col="user_id", value_col="value",
     )
 
 
+def hopping_window(ds, ts_col="ts", key_col="user_id", value_col="value",
+                   width_sec: int = 300, slide_sec: int = 60):
+    """(key, window_start, n_events, sum_value) per hopping (sliding)
+    window: windows of ``width_sec`` starting every ``slide_sec`` — each
+    event lands in ``ceil(width/slide)`` overlapping windows.
+
+    Vectorized multi-assignment (one repeat per candidate window start in
+    a map stage, no per-row loop) followed by the same combiner aggregate
+    tumbling uses; output volume is width/slide × the input, which is the
+    operator's intrinsic cost at any scale.
+    """
+    from raygraph.agg import hash_aggregate
+
+    width = np.int64(width_sec * 1_000_000)
+    slide = np.int64(slide_sec * 1_000_000)
+    k = int((width + slide - 1) // slide)
+
+    def assign(df: pd.DataFrame) -> pd.DataFrame:
+        us = df[ts_col].astype("datetime64[us]").astype(np.int64).to_numpy()
+        last = (us // slide) * slide  # latest window start containing t
+        starts = last[:, None] - (np.arange(k, dtype=np.int64) * slide)[None, :]
+        valid = starts > (us[:, None] - width)  # w + width > t
+        reps = valid.sum(axis=1)
+        return pd.DataFrame(
+            {
+                key_col: np.repeat(df[key_col].to_numpy(), reps),
+                "window_start": starts[valid],
+                value_col: np.repeat(df[value_col].to_numpy(), reps),
+            }
+        )
+
+    w = ds.map_batches(assign, batch_format="pandas")
+    return hash_aggregate(
+        w,
+        [key_col, "window_start"],
+        {"n_events": (None, "count"), "sum_value": (value_col, "sum")},
+    )
+
+
 def session_windows(ds, ts_col="ts", key_col="user_id", gap_sec: int = 1800):
     """Per-key session windows: events closer than ``gap_sec`` chain together.
 

@@ -179,6 +179,44 @@ def asof_join(
     return both.groupby("__bucket").map_groups(merge, batch_format="pandas")
 
 
+def interval_join(
+    left,
+    right,
+    on: str,
+    by: Sequence[str] | str,
+    start_col: str,
+    end_col: str,
+    num_buckets: int = 64,
+    suffixes=("", "_r"),
+):
+    """Bucketed distributed point-in-interval join: attach to each left
+    row the right row (same ``by`` key) whose closed interval
+    ``[start_col, end_col]`` contains the left row's ``on`` value.
+    Inner semantics — unmatched left rows are dropped.
+
+    Contract: intervals within one key must be non-overlapping (e.g. the
+    output of :func:`raygraph.data.windows.session_windows`), so each
+    left row matches at most one interval.  That reduces the join to a
+    backward as-of on ``start_col`` (one bucketed shuffle per side via
+    :func:`asof_join`, vectorized ``merge_asof`` per bucket) followed by
+    a map-side ``end_col ≥ on`` filter — no wedge/range explosion at any
+    scale.
+    """
+    def prep(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df[on] = df[start_col]
+        return df
+
+    r2 = right.map_batches(prep, batch_format="pandas")
+    j = asof_join(left, r2, on=on, by=by, direction="backward",
+                  num_buckets=num_buckets, suffixes=suffixes)
+    left_cols = set(left.columns())
+    end_out = end_col + suffixes[1] if end_col in left_cols else end_col
+    return j.map_batches(
+        lambda df: df[df[end_out] >= df[on]], batch_format="pandas"
+    )
+
+
 def broadcast_map_ref(mapping_df: pd.DataFrame, key: str, value: str):
     """ray.put a key→value mapping once; returns the object ref.
 

@@ -657,6 +657,68 @@ def q_tumbling(sf_dir: str):
     )
 
 
+def q_hopping(sf_dir: str):
+    """Hopping (sliding) windows: 300 s width starting every 60 s — each
+    event contributes to 5 overlapping windows."""
+    from raygraph.data import windows
+
+    rd = _rd()
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"))
+    out = windows.hopping_window(ev, width_sec=300, slide_sec=60)
+    return out.map_batches(
+        lambda df: pd.DataFrame(
+            {
+                "user_id": df["user_id"].astype(np.int64),
+                "window_start": df["window_start"].astype(np.int64),
+                "n_events": df["n_events"].astype(np.int64),
+                "sum_value": df["sum_value"].round(6),
+            }
+        ),
+        batch_format="pandas",
+    )
+
+
+def q_interval_join(sf_dir: str):
+    """Point-in-interval join: attribute every event to its session
+    (sessions from session_windows; intervals are non-overlapping per
+    user by construction, so each event matches exactly one)."""
+    from raygraph.data import windows
+    from raygraph.joins import interval_join
+
+    rd = _rd()
+    ev = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["user_id", "ts", "event_id"],
+    )
+    sess = windows.session_windows(ev, gap_sec=1800)
+
+    def to_us(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "user_id": df["user_id"].astype(np.int64),
+                "event_id": df["event_id"].astype(np.int64),
+                "us": df["ts"].astype("datetime64[us]").astype(np.int64),
+            }
+        )
+
+    j = interval_join(
+        ev.map_batches(to_us, batch_format="pandas"),
+        sess,
+        on="us", by="user_id",
+        start_col="session_start", end_col="session_end",
+    )
+    return j.map_batches(
+        lambda df: pd.DataFrame(
+            {
+                "user_id": df["user_id"].astype(np.int64),
+                "event_id": df["event_id"].astype(np.int64),
+                "session_start": df["session_start"].astype(np.int64),
+            }
+        ),
+        batch_format="pandas",
+    )
+
+
 def q_sessionize(sf_dir: str):
     from raygraph.data import windows
 
@@ -1543,7 +1605,9 @@ QUERIES = {
     "ivf_knn": q_ivf_knn,
     "embed_dedup": q_embed_dedup,
     "tumbling": q_tumbling,
+    "hopping": q_hopping,
     "sessionize": q_sessionize,
+    "interval_join": q_interval_join,
     "louvain": q_louvain,
     "ecg": q_ecg,
     "leiden": q_leiden,
@@ -2219,6 +2283,36 @@ SELECT user_id,
        CAST(COUNT(*) AS BIGINT) AS n_events,
        ROUND(SUM(value), 6) AS sum_value
 FROM events GROUP BY 1, 2
+""",
+    "hopping": """
+WITH par AS (SELECT user_id, epoch_us(ts) AS us, value FROM events),
+w AS (SELECT user_id, value,
+             (us // 60000000 - i) * 60000000 AS window_start
+      FROM par, range(0, 5) r(i)
+      WHERE (us // 60000000 - i) * 60000000 > us - 300000000)
+SELECT user_id, window_start,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       ROUND(SUM(value), 6) AS sum_value
+FROM w GROUP BY 1, 2
+""",
+    "interval_join": """
+WITH t AS (
+  SELECT user_id, event_id, epoch_us(ts) AS us,
+         CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER w > 1800000000
+                   OR LAG(epoch_us(ts)) OVER w IS NULL
+              THEN 1 ELSE 0 END AS brk
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+s AS (SELECT user_id, event_id, us,
+             SUM(brk) OVER (PARTITION BY user_id ORDER BY us
+                            ROWS UNBOUNDED PRECEDING) AS sid
+      FROM t),
+sess AS (SELECT user_id, sid, MIN(us) AS session_start, MAX(us) AS session_end
+         FROM s GROUP BY user_id, sid)
+SELECT e.user_id, e.event_id, sess.session_start
+FROM s e JOIN sess ON sess.user_id = e.user_id
+             AND e.us BETWEEN sess.session_start AND sess.session_end
 """,
     "sessionize": """
 WITH t AS (

@@ -194,6 +194,63 @@ def test_session_windows():
     assert sorted(u1["n_events"]) == [1, 2]
 
 
+def test_hopping_window_multi_assignment():
+    # one event at t=250s in 300s/100s hopping windows → starts 0,100,200
+    df = pd.DataFrame(
+        {
+            "user_id": [1],
+            "ts": pd.to_datetime(["2024-01-01 00:04:10"]),
+            "value": [2.0],
+        }
+    )
+    out = windows.hopping_window(
+        rd.from_pandas(df), width_sec=300, slide_sec=100
+    ).to_pandas().sort_values("window_start")
+    base = pd.Timestamp("2024-01-01").value // 1000  # µs epoch of midnight
+    assert list(out["window_start"] - base) == [0, 100_000_000, 200_000_000]
+    assert (out["n_events"] == 1).all() and (out["sum_value"] == 2.0).all()
+
+
+def test_hopping_window_reduces_to_tumbling():
+    # slide == width → exactly the tumbling result
+    ev = rd.read_parquet(f"{SF}/events.parquet")
+    hop = windows.hopping_window(ev, width_sec=3600, slide_sec=3600).to_pandas()
+    tum = windows.tumbling_window(ev, width_sec=3600).to_pandas()
+    k = ["user_id", "window_start"]
+    a = hop.sort_values(k).reset_index(drop=True)
+    b = tum.sort_values(k).reset_index(drop=True)
+    assert np.array_equal(a["n_events"].to_numpy(), b["n_events"].to_numpy())
+    assert np.allclose(a["sum_value"], b["sum_value"])
+
+
+def test_interval_join_attributes_points():
+    from raygraph.joins import interval_join
+
+    iv = pd.DataFrame(
+        {
+            "k": [1, 1, 2],
+            "lo": [0, 100, 50],
+            "hi": [10, 110, 60],
+            "tag": ["a", "b", "c"],
+        }
+    )
+    pts = pd.DataFrame(
+        {
+            "k": [1, 1, 1, 2, 2],
+            "x": [5, 100, 50, 55, 200],
+            "pid": [10, 11, 12, 13, 14],
+        }
+    )
+    out = interval_join(
+        rd.from_pandas(pts), rd.from_pandas(iv),
+        on="x", by="k", start_col="lo", end_col="hi",
+    ).to_pandas().sort_values("pid")
+    # pid 10 → a (5∈[0,10]); 11 → b (100∈[100,110]); 12 unmatched
+    # (50∉ either k=1 interval); 13 → c; 14 unmatched
+    assert list(out["pid"]) == [10, 11, 13]
+    assert list(out["tag"]) == ["a", "b", "c"]
+
+
 def test_multimodal_fake_decode():
     payloads = [b"img-bytes-1", b"img-bytes-2" * 100]
     df = pd.DataFrame({"item_id": [1, 2], "payload": payloads})
