@@ -135,6 +135,40 @@ def hash_argmin(ds, keys: Sequence[str], order_cols: Sequence[str],
     return part.groupby("__bk").map_groups(fin, batch_format="pandas")
 
 
+def grouped_topk(ds, keys: Sequence[str], order_cols: Sequence[str], k: int,
+                 ascending: bool = False, num_buckets: int = 64):
+    """Per-key top-k FULL rows by ``order_cols`` (descending by default).
+
+    Combinable two-phase: each batch keeps its per-key top-k (map-side
+    combine bounds the shuffle to ≤ k rows per key per block), then one
+    bucket shuffle and a final per-key top-k.  Deterministic iff
+    ``order_cols`` is a total order within each key — include a tiebreak
+    column (e.g. a row id) when the ranking column has duplicates.
+    """
+    keys = list(keys)
+    order = list(order_cols)
+    asc = [True] * len(keys) + [ascending] * len(order)
+
+    def topk(df: pd.DataFrame) -> pd.DataFrame:
+        return (
+            df.sort_values(keys + order, ascending=asc, kind="mergesort")
+            .groupby(keys, sort=False)
+            .head(k)
+        )
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        out = topk(df).copy()
+        out["__bk"] = (_key_hash(out, keys) % np.uint64(num_buckets)).astype(
+            np.int32
+        )
+        return out
+
+    part = ds.map_batches(combine, batch_format="pandas")
+    return part.groupby("__bk").map_groups(
+        lambda g: topk(g.drop(columns="__bk")), batch_format="pandas"
+    )
+
+
 def bucketed_map_groups(
     ds,
     keys: Sequence[str],

@@ -719,6 +719,29 @@ def q_interval_join(sf_dir: str):
     )
 
 
+def q_topk_events(sf_dir: str):
+    """Top-3 events per user by value (event_id tiebreak): per-key top-k
+    with map-side combine (``agg.grouped_topk``)."""
+    from raygraph.agg import grouped_topk
+
+    rd = _rd()
+    ev = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["user_id", "event_id", "value"],
+    )
+    out = grouped_topk(ev, ["user_id"], ["value", "event_id"], k=3)
+    return out.map_batches(
+        lambda df: pd.DataFrame(
+            {
+                "user_id": df["user_id"].astype(np.int64),
+                "event_id": df["event_id"].astype(np.int64),
+                "value": df["value"].round(6),
+            }
+        ),
+        batch_format="pandas",
+    )
+
+
 def q_sessionize(sf_dir: str):
     from raygraph.data import windows
 
@@ -1606,6 +1629,7 @@ QUERIES = {
     "embed_dedup": q_embed_dedup,
     "tumbling": q_tumbling,
     "hopping": q_hopping,
+    "topk_events": q_topk_events,
     "sessionize": q_sessionize,
     "interval_join": q_interval_join,
     "louvain": q_louvain,
@@ -2283,6 +2307,12 @@ SELECT user_id,
        CAST(COUNT(*) AS BIGINT) AS n_events,
        ROUND(SUM(value), 6) AS sum_value
 FROM events GROUP BY 1, 2
+""",
+    "topk_events": """
+SELECT user_id, event_id, ROUND(value, 6) AS value
+FROM events
+QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id
+                           ORDER BY value DESC, event_id DESC) <= 3
 """,
     "hopping": """
 WITH par AS (SELECT user_id, epoch_us(ts) AS us, value FROM events),

@@ -68,3 +68,41 @@ def test_bucketed_map_groups_sees_complete_groups():
     m = out.set_index("k1")["total"]
     for k, v in want.items():
         assert abs(m[k] - v) < 1e-9
+
+
+def test_grouped_topk_matches_pandas():
+    from raygraph.agg import grouped_topk
+
+    df = _df(6000)
+    df["rid"] = np.arange(len(df))  # total-order tiebreak
+    out = grouped_topk(
+        rd.from_pandas(df), ["k1"], ["v", "rid"], k=3
+    ).to_pandas()
+    want = (
+        df.sort_values(["k1", "v", "rid"], ascending=[True, False, False])
+        .groupby("k1", sort=False)
+        .head(3)
+    )
+    key = ["k1", "rid"]
+    a = out.sort_values(key).reset_index(drop=True)
+    b = want.sort_values(key).reset_index(drop=True)[a.columns]
+    assert a.equals(b)
+
+
+def test_grouped_topk_ascending_bottom_k():
+    from raygraph.agg import grouped_topk
+
+    df = _df(2000)
+    df["rid"] = np.arange(len(df))
+    out = grouped_topk(
+        rd.from_pandas(df), ["k2"], ["v", "rid"], k=2, ascending=True
+    ).to_pandas()
+    want = (
+        df.sort_values(["k2", "v", "rid"], ascending=[True, True, True])
+        .groupby("k2", sort=False)
+        .head(2)
+    )
+    assert len(out) == len(want)
+    assert set(map(tuple, out[["k2", "rid"]].to_numpy())) == set(
+        map(tuple, want[["k2", "rid"]].to_numpy())
+    )
