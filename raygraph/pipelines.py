@@ -719,6 +719,44 @@ def q_interval_join(sf_dir: str):
     )
 
 
+def q_hash_sample(sf_dir: str):
+    """Deterministic 25% document sample keyed on md5(doc_id) — stable
+    under re-runs, resumes, and any parallelism."""
+    from raygraph.data.sample import hash_sample
+
+    rd = _rd()
+    docs = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"]
+    )
+    out = hash_sample(docs, "doc_id", rate=0.25)
+    return out.map_batches(
+        lambda df: pd.DataFrame({"doc_id": df["doc_id"].astype(np.int64)}),
+        batch_format="pandas",
+    )
+
+
+def q_hash_split(sf_dir: str):
+    """Stable 80/10/10 train/val/test assignment keyed on md5(doc_id)."""
+    from raygraph.data.sample import hash_split
+
+    rd = _rd()
+    docs = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"]
+    )
+    out = hash_split(
+        docs, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}
+    )
+    return out.map_batches(
+        lambda df: pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].astype(np.int64),
+                "split": df["split"].astype(str),
+            }
+        ),
+        batch_format="pandas",
+    )
+
+
 def q_topk_events(sf_dir: str):
     """Top-3 events per user by value (event_id tiebreak): per-key top-k
     with map-side combine (``agg.grouped_topk``)."""
@@ -1630,6 +1668,8 @@ QUERIES = {
     "tumbling": q_tumbling,
     "hopping": q_hopping,
     "topk_events": q_topk_events,
+    "hash_sample": q_hash_sample,
+    "hash_split": q_hash_split,
     "sessionize": q_sessionize,
     "interval_join": q_interval_join,
     "louvain": q_louvain,
@@ -2313,6 +2353,21 @@ SELECT user_id, event_id, ROUND(value, 6) AS value
 FROM events
 QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id
                            ORDER BY value DESC, event_id DESC) <= 3
+""",
+    "hash_sample": """
+SELECT doc_id FROM documents
+WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT)
+      < 1073741824
+""",
+    "hash_split": """
+SELECT doc_id,
+       CASE WHEN h < 3435973836 THEN 'train'
+            WHEN h < 3865470566 THEN 'val'
+            ELSE 'test' END AS split
+FROM (SELECT doc_id,
+             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                  AS UBIGINT) AS h
+      FROM documents)
 """,
     "hopping": """
 WITH par AS (SELECT user_id, epoch_us(ts) AS us, value FROM events),

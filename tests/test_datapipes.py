@@ -373,3 +373,54 @@ def test_ngram_jaccard_dedup_matches_bruteforce():
     assert np.allclose(got["jaccard"], want["jaccard"])
     # the exact dup pair scores 1.0
     assert got.set_index(["a", "b"]).loc[(0, 3), "jaccard"] == 1.0
+
+
+def test_hash_sample_deterministic_and_rate():
+    from raygraph.data.sample import hash_sample
+    import hashlib
+
+    df = pd.DataFrame({"doc_id": np.arange(4000, dtype=np.int64)})
+    out = hash_sample(rd.from_pandas(df), "doc_id", rate=0.25).to_pandas()
+    # exact membership oracle
+    want = [
+        i for i in range(4000)
+        if int.from_bytes(hashlib.md5(str(i).encode()).digest()[:4], "big")
+        < int(0.25 * 2 ** 32)
+    ]
+    assert sorted(out["doc_id"]) == want
+    assert abs(len(out) / 4000 - 0.25) < 0.03
+    # re-run picks the identical subset
+    out2 = hash_sample(rd.from_pandas(df), "doc_id", rate=0.25).to_pandas()
+    assert sorted(out2["doc_id"]) == sorted(out["doc_id"])
+
+
+def test_hash_split_stable_and_partitioned():
+    from raygraph.data.sample import hash_split
+
+    df = pd.DataFrame({"doc_id": np.arange(5000, dtype=np.int64)})
+    out = hash_split(
+        rd.from_pandas(df), "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}
+    ).to_pandas()
+    assert len(out) == 5000  # every row labeled exactly once
+    frac = out["split"].value_counts(normalize=True)
+    assert abs(frac["train"] - 0.8) < 0.03
+    assert abs(frac["val"] - 0.1) < 0.02
+    assert abs(frac["test"] - 0.1) < 0.02
+    # membership is a pure function of the id: a salted split differs,
+    # the same salt reproduces
+    a = hash_split(rd.from_pandas(df), "doc_id", {"a": 0.5, "b": 0.5}).to_pandas()
+    b = hash_split(rd.from_pandas(df), "doc_id", {"a": 0.5, "b": 0.5}).to_pandas()
+    assert a.sort_values("doc_id")["split"].tolist() == \
+        b.sort_values("doc_id")["split"].tolist()
+    s = hash_split(rd.from_pandas(df), "doc_id", {"a": 0.5, "b": 0.5},
+                   salt="other").to_pandas()
+    assert s.sort_values("doc_id")["split"].tolist() != \
+        a.sort_values("doc_id")["split"].tolist()
+
+
+def test_hash_split_rejects_bad_weights():
+    from raygraph.data.sample import hash_split
+
+    df = pd.DataFrame({"doc_id": [1, 2]})
+    with pytest.raises(ValueError):
+        hash_split(rd.from_pandas(df), "doc_id", {"a": 0.5, "b": 0.3})
