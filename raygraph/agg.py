@@ -136,8 +136,10 @@ def hash_argmin(ds, keys: Sequence[str], order_cols: Sequence[str],
 
 
 def grouped_topk(ds, keys: Sequence[str], order_cols: Sequence[str], k: int,
-                 ascending: bool = False, num_buckets: int = 64):
-    """Per-key top-k FULL rows by ``order_cols`` (descending by default).
+                 ascending=False, num_buckets: int = 64):
+    """Per-key top-k FULL rows by ``order_cols`` (descending by default;
+    pass a bool per order column for mixed directions, e.g. score
+    descending with a string tiebreak ascending).
 
     Combinable two-phase: each batch keeps its per-key top-k (map-side
     combine bounds the shuffle to ≤ k rows per key per block), then one
@@ -147,7 +149,13 @@ def grouped_topk(ds, keys: Sequence[str], order_cols: Sequence[str], k: int,
     """
     keys = list(keys)
     order = list(order_cols)
-    asc = [True] * len(keys) + [ascending] * len(order)
+    per_col = (
+        [ascending] * len(order) if isinstance(ascending, bool)
+        else list(ascending)
+    )
+    if len(per_col) != len(order):
+        raise ValueError("ascending must be a bool or one flag per order col")
+    asc = [True] * len(keys) + per_col
 
     def topk(df: pd.DataFrame) -> pd.DataFrame:
         return (

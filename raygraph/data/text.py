@@ -136,3 +136,62 @@ def fingerprint(ds, text_col="text", id_col="doc_id", window: int = 16):
         )
 
     return ds.map_batches(fn, batch_format="pandas")
+
+
+def term_frequencies(ds, text_col="text", id_col="doc_id"):
+    """(id, term, tf): per-document term counts over lowercase ``\\w+``
+    tokens.  A document is one row, so tf is computed entirely map-side —
+    no shuffle; this is the input to df/idf aggregation."""
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        ids, terms, tfs = [], [], []
+        for i, t in zip(df[id_col].to_numpy(), df[text_col].astype(str)):
+            ws, counts = np.unique(_WORD.findall(t.lower()), return_counts=True)
+            ids.append(np.full(len(ws), i))
+            terms.append(ws)
+            tfs.append(counts)
+        if not ids:
+            return pd.DataFrame(
+                {id_col: df[id_col].iloc[:0], "term": pd.Series(dtype=object),
+                 "tf": pd.Series(dtype=np.int64)}
+            )
+        return pd.DataFrame(
+            {
+                id_col: np.concatenate(ids),
+                "term": np.concatenate(terms).astype(object),
+                "tf": np.concatenate(tfs).astype(np.int64),
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pandas")
+
+
+def tfidf_top_terms(ds, text_col="text", id_col="doc_id", k: int = 3,
+                    num_buckets: int = 64):
+    """Top-k terms per document by tf·idf, idf = ln(N / df).
+
+    Three bounded stages: map-side term frequencies (tf is per-row, no
+    shuffle), one bucketed aggregate for document frequencies, one
+    bucketed join of df onto the (doc, term, tf) rows, and a per-doc
+    top-k with map-side combine (``agg.grouped_topk``).  Scores are
+    rounded to 6 decimals BEFORE ranking so the ordering (and the DuckDB
+    oracle's) is exact; ties break on the term ascending.
+    """
+    from raygraph.agg import grouped_topk, hash_aggregate
+    from raygraph.joins import hash_join
+
+    N = ds.count()
+    tf = term_frequencies(ds, text_col=text_col, id_col=id_col)
+    tf = tf.materialize()  # consumed by both df-aggregation and the join
+    df_counts = hash_aggregate(tf, ["term"], {"df": (None, "count")})
+    joined = hash_join(tf, df_counts, on="term", num_buckets=num_buckets)
+
+    def score(d: pd.DataFrame) -> pd.DataFrame:
+        idf = np.log(float(N) / d["df"].to_numpy(np.float64))
+        out = d[[id_col, "term"]].copy()
+        out["tfidf"] = np.round(d["tf"].to_numpy(np.float64) * idf, 6)
+        return out
+
+    scored = joined.map_batches(score, batch_format="pandas")
+    return grouped_topk(scored, [id_col], ["tfidf", "term"], k=k,
+                        ascending=[False, True], num_buckets=num_buckets)

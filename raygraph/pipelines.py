@@ -719,6 +719,28 @@ def q_interval_join(sf_dir: str):
     )
 
 
+def q_tfidf(sf_dir: str):
+    """Top-3 terms per document by tf·idf (idf = ln(N/df); rounded-then-
+    ranked so ordering is SQL-exact; term-ascending tiebreak)."""
+    from raygraph.data.text import tfidf_top_terms
+
+    rd = _rd()
+    docs = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    out = tfidf_top_terms(docs, k=3)
+    return out.map_batches(
+        lambda df: pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].astype(np.int64),
+                "term": df["term"].astype(str),
+                "tfidf": df["tfidf"].astype(np.float64),
+            }
+        ),
+        batch_format="pandas",
+    )
+
+
 def q_hash_sample(sf_dir: str):
     """Deterministic 25% document sample keyed on md5(doc_id) — stable
     under re-runs, resumes, and any parallelism."""
@@ -1670,6 +1692,7 @@ QUERIES = {
     "topk_events": q_topk_events,
     "hash_sample": q_hash_sample,
     "hash_split": q_hash_split,
+    "tfidf": q_tfidf,
     "sessionize": q_sessionize,
     "interval_join": q_interval_join,
     "louvain": q_louvain,
@@ -2353,6 +2376,21 @@ SELECT user_id, event_id, ROUND(value, 6) AS value
 FROM events
 QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id
                            ORDER BY value DESC, event_id DESC) <= 3
+""",
+    "tfidf": """
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '\\w+')) AS term
+  FROM documents),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+dfc AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+n AS (SELECT COUNT(*) AS n FROM documents)
+SELECT doc_id, term,
+       ROUND(tf * ln(CAST(n.n AS DOUBLE) / dfc.df), 6) AS tfidf
+FROM tf JOIN dfc USING (term), n
+QUALIFY ROW_NUMBER() OVER (
+    PARTITION BY doc_id
+    ORDER BY ROUND(tf * ln(CAST(n.n AS DOUBLE) / dfc.df), 6) DESC,
+             term ASC) <= 3
 """,
     "hash_sample": """
 SELECT doc_id FROM documents

@@ -424,3 +424,40 @@ def test_hash_split_rejects_bad_weights():
     df = pd.DataFrame({"doc_id": [1, 2]})
     with pytest.raises(ValueError):
         hash_split(rd.from_pandas(df), "doc_id", {"a": 0.5, "b": 0.3})
+
+
+def test_tfidf_top_terms_small_oracle():
+    from raygraph.data.text import tfidf_top_terms
+
+    df = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            "text": [
+                "apple apple banana",
+                "banana cherry cherry cherry",
+                "apple banana cherry durian",
+            ],
+        }
+    )
+    out = tfidf_top_terms(rd.from_pandas(df), k=2).to_pandas()
+    # numpy reference
+    import re
+
+    docs = {r.doc_id: re.findall(r"\w+", r.text.lower()) for r in df.itertuples()}
+    dfreq = {}
+    for ws in docs.values():
+        for w in set(ws):
+            dfreq[w] = dfreq.get(w, 0) + 1
+    rows = []
+    for d, ws in docs.items():
+        terms, counts = np.unique(ws, return_counts=True)
+        scores = np.round(counts * np.log(3.0 / np.array([dfreq[t] for t in terms])), 6)
+        order = sorted(zip(-scores, terms))[:2]
+        rows += [(d, t, -s) for s, t in order]
+    want = pd.DataFrame(rows, columns=["doc_id", "term", "tfidf"])
+    key = ["doc_id", "term"]
+    a = out.sort_values(key).reset_index(drop=True)[want.columns]
+    b = want.sort_values(key).reset_index(drop=True)
+    assert a.equals(b)
+    # durian (df=1) dominates doc 3
+    assert out[(out["doc_id"] == 3)].sort_values("tfidf").iloc[-1]["term"] == "durian"
