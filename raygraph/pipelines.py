@@ -741,6 +741,29 @@ def q_tfidf(sf_dir: str):
     )
 
 
+def q_hll_registers(sf_dir: str):
+    """HyperLogLog register table (b=10) over lineitem part keys — the
+    registers are a pure function of the value set (md5 item hash), so
+    the approximate-distinct sketch itself is hash-exact vs SQL; the
+    estimate accuracy is pinned by pytest."""
+    from raygraph.data.sketch import hll_registers
+
+    rd = _rd()
+    li = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"), columns=["l_partkey"]
+    )
+    out = hll_registers(li, "l_partkey", b=10)
+    return out.map_batches(
+        lambda df: pd.DataFrame(
+            {
+                "bucket": df["bucket"].astype(np.int64),
+                "maxrank": df["maxrank"].astype(np.int64),
+            }
+        ),
+        batch_format="pandas",
+    )
+
+
 def q_hash_sample(sf_dir: str):
     """Deterministic 25% document sample keyed on md5(doc_id) — stable
     under re-runs, resumes, and any parallelism."""
@@ -1693,6 +1716,7 @@ QUERIES = {
     "hash_sample": q_hash_sample,
     "hash_split": q_hash_split,
     "tfidf": q_tfidf,
+    "hll_registers": q_hll_registers,
     "sessionize": q_sessionize,
     "interval_join": q_interval_join,
     "louvain": q_louvain,
@@ -2391,6 +2415,19 @@ QUALIFY ROW_NUMBER() OVER (
     PARTITION BY doc_id
     ORDER BY ROUND(tf * ln(CAST(n.n AS DOUBLE) / dfc.df), 6) DESC,
              term ASC) <= 3
+""",
+    "hll_registers": """
+WITH h AS (
+  SELECT CAST(('0x' || substr(md5(CAST(l_partkey AS VARCHAR)), 1, 8))
+              AS UBIGINT) AS hv
+  FROM lineitem),
+r AS (SELECT CAST(hv // 4194304 AS BIGINT) AS bucket,
+             hv % 4194304 AS tail FROM h)
+SELECT bucket,
+       CAST(MAX(CASE WHEN tail = 0 THEN 23
+                     ELSE 22 - CAST(floor(log2(CAST(tail AS DOUBLE)))
+                               AS BIGINT) END) AS BIGINT) AS maxrank
+FROM r GROUP BY 1
 """,
     "hash_sample": """
 SELECT doc_id FROM documents

@@ -461,3 +461,30 @@ def test_tfidf_top_terms_small_oracle():
     assert a.equals(b)
     # durian (df=1) dominates doc 3
     assert out[(out["doc_id"] == 3)].sort_values("tfidf").iloc[-1]["term"] == "durian"
+
+
+def test_hll_estimate_accuracy_and_determinism():
+    from raygraph.data.sketch import approx_distinct, hll_registers, hll_estimate
+
+    n = 20000
+    df = pd.DataFrame({"v": (np.arange(n) % 7919).astype(np.int64)})
+    true = 7919
+    est = approx_distinct(rd.from_pandas(df), "v", b=10)
+    assert abs(est - true) / true < 0.08  # 1.04/sqrt(1024) ≈ 3.3% expected
+    # registers identical at different parallelism (pure function of set)
+    a = hll_registers(rd.from_pandas(df), "v", b=10).to_pandas()
+    b = hll_registers(
+        rd.from_pandas(df).repartition(7), "v", b=10
+    ).to_pandas()
+    key = ["bucket"]
+    assert a.sort_values(key).reset_index(drop=True).equals(
+        b.sort_values(key).reset_index(drop=True)
+    )
+
+
+def test_hll_linear_counting_small_range():
+    from raygraph.data.sketch import approx_distinct
+
+    df = pd.DataFrame({"v": np.arange(40, dtype=np.int64)})
+    est = approx_distinct(rd.from_pandas(df), "v", b=10)
+    assert abs(est - 40) < 4  # linear counting is near-exact here
