@@ -741,6 +741,28 @@ def q_tfidf(sf_dir: str):
     )
 
 
+def q_repetition(sf_dir: str):
+    """Gopher-style repetition quality signals per document."""
+    from raygraph.data.quality import repetition_scores
+
+    rd = _rd()
+    docs = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    out = repetition_scores(docs)
+    return out.map_batches(
+        lambda df: pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].astype(np.int64),
+                "n_lines": df["n_lines"].astype(np.int64),
+                "dup_line_frac": df["dup_line_frac"].astype(np.float64),
+                "top_bigram_frac": df["top_bigram_frac"].astype(np.float64),
+            }
+        ),
+        batch_format="pandas",
+    )
+
+
 def q_hll_registers(sf_dir: str):
     """HyperLogLog register table (b=10) over lineitem part keys — the
     registers are a pure function of the value set (md5 item hash), so
@@ -1717,6 +1739,7 @@ QUERIES = {
     "hash_split": q_hash_split,
     "tfidf": q_tfidf,
     "hll_registers": q_hll_registers,
+    "repetition": q_repetition,
     "sessionize": q_sessionize,
     "interval_join": q_interval_join,
     "louvain": q_louvain,
@@ -2415,6 +2438,27 @@ QUALIFY ROW_NUMBER() OVER (
     PARTITION BY doc_id
     ORDER BY ROUND(tf * ln(CAST(n.n AS DOUBLE) / dfc.df), 6) DESC,
              term ASC) <= 3
+""",
+    "repetition": """
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '\\w+') AS ws
+  FROM documents),
+bg AS (SELECT doc_id,
+              unnest(list_transform(range(1, len(ws)),
+                                    i -> ws[i] || ' ' || ws[i + 1])) AS g
+       FROM toks WHERE len(ws) >= 2),
+cnt AS (SELECT doc_id, g, COUNT(*) AS c FROM bg GROUP BY 1, 2),
+top AS (SELECT doc_id, MAX(c) AS mx, SUM(c) AS tot FROM cnt GROUP BY 1),
+lf AS (SELECT doc_id,
+              len(string_split(text, chr(10))) AS n_lines,
+              1.0 - CAST(len(list_distinct(string_split(text, chr(10))))
+                         AS DOUBLE) / len(string_split(text, chr(10))) AS dup
+       FROM documents)
+SELECT lf.doc_id, CAST(lf.n_lines AS BIGINT) AS n_lines,
+       ROUND(lf.dup, 6) AS dup_line_frac,
+       ROUND(COALESCE(CAST(top.mx AS DOUBLE) / top.tot, 0.0), 6)
+           AS top_bigram_frac
+FROM lf LEFT JOIN top USING (doc_id)
 """,
     "hll_registers": """
 WITH h AS (

@@ -488,3 +488,25 @@ def test_hll_linear_counting_small_range():
     df = pd.DataFrame({"v": np.arange(40, dtype=np.int64)})
     est = approx_distinct(rd.from_pandas(df), "v", b=10)
     assert abs(est - 40) < 4  # linear counting is near-exact here
+
+
+def test_repetition_scores_small_oracle():
+    from raygraph.data.quality import repetition_scores
+
+    df = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            "text": [
+                "a b\na b\nc d",  # dup line; bigrams a-b,b-a,a-b,b-c,c-d → top 2/5
+                "unique line one\nanother line",
+                "word",                    # <2 tokens → bigram frac 0
+            ],
+        }
+    )
+    out = repetition_scores(rd.from_pandas(df)).to_pandas().set_index("doc_id")
+    assert out.loc[1, "n_lines"] == 3
+    # scores are rounded to 6 decimals inside the operator
+    assert abs(out.loc[1, "dup_line_frac"] - (1 - 2 / 3)) < 1e-6
+    assert abs(out.loc[1, "top_bigram_frac"] - 2 / 5) < 1e-6
+    assert out.loc[2, "dup_line_frac"] == 0.0
+    assert out.loc[3, "top_bigram_frac"] == 0.0
