@@ -741,6 +741,21 @@ def q_tfidf(sf_dir: str):
     )
 
 
+def q_quantiles(sf_dir: str):
+    """Exact discrete quantiles of lineitem quantity (value-count
+    aggregate → driver order statistics; bounded-distinct contract)."""
+    from raygraph.data.stats import quantiles_disc
+
+    rd = _rd()
+    li = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"), columns=["l_quantity"]
+    )
+    out = quantiles_disc(li, "l_quantity", [0.25, 0.5, 0.75, 0.9])
+    return pd.DataFrame(
+        {"q": out["q"].astype(np.float64), "value": out["value"].astype(np.float64)}
+    )
+
+
 def q_repetition(sf_dir: str):
     """Gopher-style repetition quality signals per document."""
     from raygraph.data.quality import repetition_scores
@@ -1740,6 +1755,7 @@ QUERIES = {
     "tfidf": q_tfidf,
     "hll_registers": q_hll_registers,
     "repetition": q_repetition,
+    "quantiles": q_quantiles,
     "sessionize": q_sessionize,
     "interval_join": q_interval_join,
     "louvain": q_louvain,
@@ -2438,6 +2454,15 @@ QUALIFY ROW_NUMBER() OVER (
     PARTITION BY doc_id
     ORDER BY ROUND(tf * ln(CAST(n.n AS DOUBLE) / dfc.df), 6) DESC,
              term ASC) <= 3
+""",
+    "quantiles": """
+SELECT 0.25 AS q, quantile_disc(l_quantity, 0.25) AS value FROM lineitem
+UNION ALL
+SELECT 0.5, quantile_disc(l_quantity, 0.5) FROM lineitem
+UNION ALL
+SELECT 0.75, quantile_disc(l_quantity, 0.75) FROM lineitem
+UNION ALL
+SELECT 0.9, quantile_disc(l_quantity, 0.9) FROM lineitem
 """,
     "repetition": """
 WITH toks AS (

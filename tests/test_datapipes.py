@@ -510,3 +510,18 @@ def test_repetition_scores_small_oracle():
     assert abs(out.loc[1, "top_bigram_frac"] - 2 / 5) < 1e-6
     assert out.loc[2, "dup_line_frac"] == 0.0
     assert out.loc[3, "top_bigram_frac"] == 0.0
+
+
+def test_quantiles_disc_matches_duckdb():
+    from raygraph.data.stats import quantiles_disc
+    import duckdb
+
+    rng = np.random.RandomState(7)
+    df = pd.DataFrame({"v": rng.randint(1, 51, 3000).astype(np.float64)})
+    qs = [0.0, 0.1, 0.25, 0.5, 0.75, 0.9, 1.0]
+    got = quantiles_disc(rd.from_pandas(df), "v", qs)
+    con = duckdb.connect()
+    con.register("t", df)
+    for q, v in zip(got["q"], got["value"]):
+        want = con.execute(f"SELECT quantile_disc(v, {q}) FROM t").fetchone()[0]
+        assert v == want, (q, v, want)
