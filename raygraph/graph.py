@@ -269,7 +269,8 @@ def translate_edges(edges_ds, vmap_ds, num_vertices: int,
 
 
 def partition_and_write(edges_ds, out_dir: str, num_partitions: int,
-                        split_degree_threshold: Optional[int] = None):
+                        split_degree_threshold: Optional[int] = None,
+                        mirror: bool = False):
     """Hash-partition edges by src into hive dirs of sorted-run files.
 
     No shuffle: each block is sorted by (src,dst) locally (the reference
@@ -286,7 +287,31 @@ def partition_and_write(edges_ds, out_dir: str, num_partitions: int,
     splitting (``renumber_edgelist_impl.cuh`` degree segments).  The
     superstep engine detects the resulting foreign-src ("mirror") edges
     and syncs mirror state per iteration (PageRank path).
+
+    ``mirror``: the input holds each undirected edge ONCE in canonical
+    (src ≤ dst) order; every non-self-loop row is written in both
+    orientations here, map-side.  This lets the undirected build dedup
+    the canonical E-row table (half the shuffle volume) and pay the 2×
+    expansion only in this shuffle-free write stage.
     """
+
+    def mirror_rows(t: pa.Table) -> pa.Table:
+        s, d = t.column("src").to_numpy(), t.column("dst").to_numpy()
+        keep = s != d  # a self-loop is one undirected edge — never doubled
+        swapped = pa.table(
+            {
+                "src": pa.array(d[keep], pa.int64()),
+                "dst": pa.array(s[keep], pa.int64()),
+                "weight": t.column("weight").filter(pa.array(keep)),
+            }
+        )
+        return pa.concat_tables([t.select(["src", "dst", "weight"]), swapped])
+
+    if mirror:
+        edges_ds = edges_ds.map_batches(
+            mirror_rows, batch_format="pyarrow", zero_copy_batch=True
+        )
+
     hot_ref = None
     if split_degree_threshold is not None:
         import ray
@@ -563,14 +588,48 @@ class Graph:
             ).to_pandas()
             V = int(mx["m"].max()) + 1 if len(mx) else 0
 
+        mirror = False
         if not directed:
-            ds = symmetrize(ds, dedup=dedup or "min")
+            # canonical-pair symmetrize: dedup the E-row (min(src,dst),
+            # max(src,dst)) table — HALF the shuffle volume of the legacy
+            # both-directions-then-dedup — and mirror each surviving edge
+            # at write time (shuffle-free).  Exactly equivalent to
+            # ``symmetrize(ds, dedup)``: min/sum over an unordered pair's
+            # copies is orientation-independent; legacy "sum" counts each
+            # self-loop copy twice (orig + its identical swap), which the
+            # pre-dedup doubling below reproduces.
+            how = dedup or "min"
+
+            def canon(t: pa.Table, how=how) -> pa.Table:
+                s = t.column("src").to_numpy()
+                d = t.column("dst").to_numpy()
+                w = t.column("weight").to_numpy(zero_copy_only=False)
+                if how == "sum":
+                    sl = s == d
+                    if sl.any():
+                        w = w.copy()
+                        w[sl] *= 2.0
+                return pa.table(
+                    {
+                        "src": pa.array(np.minimum(s, d), pa.int64()),
+                        "dst": pa.array(np.maximum(s, d), pa.int64()),
+                        "weight": pa.array(w, pa.float64()),
+                    }
+                )
+
+            ds = dedup_edges(
+                ds.map_batches(canon, batch_format="pyarrow",
+                               zero_copy_batch=True),
+                how,
+            )
+            mirror = True
         elif dedup is not None:
             ds = dedup_edges(ds, dedup)
 
         partition_and_write(
             ds, out_dir, num_partitions,
             split_degree_threshold=split_degree_threshold,
+            mirror=mirror,
         )
 
         # edge count from parquet metadata (no data read)

@@ -181,3 +181,41 @@ def test_multi_column_vertex_keys(tmp_path):
     out = e.to_pandas().sort_values(["sc", "si"]).reset_index(drop=True)
     assert list(out["sc"]) == ["a", "a", "b"]
     assert list(out["si"].astype(int)) == [1, 2, 1]
+
+
+def test_undirected_build_matches_legacy_symmetrize(tmp_path):
+    """The canonical-pair dedup + mirror-at-write undirected build must
+    reproduce the legacy symmetrize(min) result exactly — reverse
+    duplicates, parallel edges with differing weights, and self-loops."""
+    df = pd.DataFrame(
+        {
+            "src": np.array([0, 1, 1, 2, 3, 3, 4, 0], np.int64),
+            "dst": np.array([1, 0, 2, 1, 3, 3, 0, 1], np.int64),
+            "weight": [5.0, 2.0, 1.0, 4.0, 9.0, 7.0, 3.0, 8.0],
+        }
+    )
+    g = Graph.from_edges(
+        rd.from_pandas(df), src="src", dst="dst", weight="weight",
+        directed=False, renumber=False, num_partitions=2,
+        out_dir=str(tmp_path / "canon"),
+    )
+    got = (
+        g.edges_dataset()
+        .to_pandas()[["src", "dst", "weight"]]
+        .sort_values(["src", "dst"])
+        .reset_index(drop=True)
+    )
+    # legacy reference: append reversed copies, min over (src, dst)
+    both = pd.concat(
+        [df, df.rename(columns={"src": "dst", "dst": "src"})], ignore_index=True
+    )
+    want = (
+        both.groupby(["src", "dst"], as_index=False)["weight"].min()
+        .sort_values(["src", "dst"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got.astype(want.dtypes.to_dict()), want)
+    assert g.num_edges == len(want)
+    # self-loop (3,3) appears exactly once with the min weight
+    sl = got[(got["src"] == 3) & (got["dst"] == 3)]
+    assert len(sl) == 1 and sl["weight"].iloc[0] == 7.0
