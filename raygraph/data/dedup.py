@@ -516,7 +516,7 @@ class SimHasher:
         miss_idx = [i for i, t in enumerate(uniq) if t not in self._vocab]
         if miss_idx:
             miss = uniq[miss_idx]
-            # 64-bit token hash: crc32 widened with the length, finalized
+            # 64-bit token hash: vectorized siphash mixed with the length, finalized
             h = hash_str_array(miss).astype(np.uint64)
             lens = np.fromiter((len(t) for t in miss), np.uint64, count=len(miss))
             hv = splitmix64(h ^ (lens << np.uint64(32)))

@@ -54,16 +54,19 @@ def hash_str(key: str) -> int:
 
 
 def hash_str_array(keys) -> np.ndarray:
-    """Stable uint32 hashes of a sequence of string keys.
+    """Stable uint64 hashes of a sequence of string keys.
 
-    crc32 is a C loop per key — fine for renumber-scale distinct key sets;
-    at 1e12-row scale this stage runs distributed inside ``map_batches`` so
-    the per-key cost is parallelized across the cluster.
+    Vectorized pandas SipHash (fixed internal key — deterministic across
+    processes, runs and machines for a pinned pandas version), replacing
+    a per-key python crc32 loop that showed up in the graph-build profile
+    (12M key instances per sf0.1 build).  Consumers use it for shuffle
+    bucketing and dense-vid assignment, which only require
+    within-deployment stability.
     """
-    crc = zlib.crc32
-    return np.fromiter(
-        (crc(k.encode("utf-8")) for k in keys), dtype=np.uint32, count=len(keys)
-    )
+    import pandas as pd
+
+    arr = np.asarray(keys, dtype=object)
+    return pd.util.hash_array(arr, categorize=False)
 
 
 def group_pairs(a: np.ndarray, b: np.ndarray, weights=None, wide: bool = False):
