@@ -23,7 +23,7 @@ from typing import Optional
 import ray
 
 from raygraph.algos.pagerank import ConvergenceError
-from raygraph.superstep import SuperstepEngine
+from raygraph.superstep import SuperstepEngine, ref_list
 
 
 def _result(engine, src_name, out_name, out_dir=None):
@@ -168,7 +168,7 @@ def hits(graph, tol: float = 1e-5, max_iter: int = 100,
                 ray.get([w.scale_state.remote("a", 1.0 / s) for w in engine.workers])
             # serve authority values to the workers whose blocks need them
             served = [
-                w.serve_dst_values.options(num_returns=W).remote("a")
+                ref_list(w.serve_dst_values.options(num_returns=W).remote("a"), W)
                 for w in engine.workers
             ]
             ray.get(
@@ -245,7 +245,7 @@ def _brandes_sweep(engine, sources, edge_acc: bool = False):
 
     def fetch(name):
         served = [
-            w.serve_dst_values.options(num_returns=W).remote(name)
+            ref_list(w.serve_dst_values.options(num_returns=W).remote(name), W)
             for w in engine.workers
         ]
         ray.get(

@@ -22,7 +22,7 @@ from typing import Optional
 
 import ray
 
-from raygraph.superstep import SuperstepEngine
+from raygraph.superstep import SuperstepEngine, ref_list
 
 
 def weakly_connected_components(
@@ -96,7 +96,7 @@ def strongly_connected_components(
 
         def fetch(name):
             served = [
-                w.serve_dst_values.options(num_returns=W).remote(name)
+                ref_list(w.serve_dst_values.options(num_returns=W).remote(name), W)
                 for w in engine.workers
             ]
             ray.get(

@@ -200,7 +200,7 @@ def _triangle_count_intersect(graph, num_workers=None):
     """
     import ray
 
-    from raygraph.superstep import SuperstepEngine
+    from raygraph.superstep import SuperstepEngine, ref_list
 
     engine = SuperstepEngine(graph, num_workers=num_workers)
     W = engine.W
@@ -216,7 +216,7 @@ def _triangle_count_intersect(graph, num_workers=None):
             ]
         )
         served = [
-            w.serve_dst_values.options(num_returns=W).remote("odeg")
+            ref_list(w.serve_dst_values.options(num_returns=W).remote("odeg"), W)
             for w in engine.workers
         ]
         ray.get(

@@ -56,6 +56,14 @@ import ray
 from raygraph.hashing import group_pairs, owned_vertices, part_of_vertex
 
 
+def ref_list(refs, n: int):
+    """Normalize a ``num_returns=n`` remote call result to a list: Ray
+    returns a bare ObjectRef when ``n == 1`` and a list of refs otherwise,
+    so every ``served[p][q]`` fan-in indexing pattern breaks on a
+    single-worker engine without this."""
+    return [refs] if n == 1 else refs
+
+
 @ray.remote
 class PartitionWorker:
     """Holds a set of graph partitions (CSR blocks) + the vertex state they own.
@@ -218,11 +226,13 @@ class PartitionWorker:
         dangling_sum = float(pr[self.state["dangling"]].sum())
         offs = self.route_offsets
         pv, pp = self.packed_vids, partial[self.route_order]
-        return tuple(
+        out = tuple(
             (pv[offs[q]:offs[q + 1]] if ship_vids else None,
              pp[offs[q]:offs[q + 1]], dangling_sum)
             for q in range(self.W)
         )
+        # num_returns=W: bare payload at W==1 (see serve_dst_values)
+        return out[0] if self.W == 1 else out
 
     def spmv_scatter_sliced(self, name: str, ship_vids: bool = True):
         """Per-receiver spmv messages (num_returns=W+1): W (vids | None,
@@ -269,8 +279,10 @@ class PartitionWorker:
         return True
 
     def serve_mirror_values(self, name: str):
+        # num_returns=W: bare payload at W==1 (see serve_dst_values)
         x = self.state[name]
-        return [x[pos] for pos in self._mirror_serve_pos]
+        out = [x[pos] for pos in self._mirror_serve_pos]
+        return out[0] if self.W == 1 else out
 
     def apply_mirror_values(self, name: str, value_refs):
         vals = ray.get(list(value_refs))
@@ -735,9 +747,14 @@ class PartitionWorker:
         return [self.dst_unique[self.route[q]] for q in range(self.W)]
 
     def serve_dst_values(self, name: str):
-        """Values of state[name] for each requester's registered ids."""
+        """Values of state[name] for each requester's registered ids.
+        Called with ``num_returns=W``; at W==1 Ray does NOT unpack a
+        returned 1-list (the single ref would point at the list itself),
+        so the lone payload is returned bare — ``ref_list`` on the caller
+        side restores the uniform served[p][q] indexing."""
         x = self.state[name]
-        return [x[pos] for pos in self._serve_pos]
+        out = [x[pos] for pos in self._serve_pos]
+        return out[0] if self.W == 1 else out
 
     def apply_dst_values(self, name: str, value_refs):
         """Install served dst values into a dense per-dst_unique array
@@ -1876,7 +1893,10 @@ class SuperstepEngine:
         self.graph = graph
         P = graph.num_partitions
         if num_workers is None:
-            cpus = int(ray.available_resources().get("CPU", 4))
+            # cluster_resources (total), NOT available_resources: the latter
+            # fluctuates with concurrent load and can collapse W to 1
+            # mid-suite; actor tasks queue fine if CPUs are busy.
+            cpus = int(ray.cluster_resources().get("CPU", 4))
             num_workers = max(1, min(P, cpus))
         self.W = num_workers
         self.checkpoint_dir = checkpoint_dir
@@ -2046,7 +2066,10 @@ class SuperstepEngine:
         """One src-property exchange: owners serve ``state[name]`` for each
         worker's registered mirror ids."""
         served = [
-            w.serve_mirror_values.options(num_returns=self.W).remote(name)
+            ref_list(
+                w.serve_mirror_values.options(num_returns=self.W).remote(name),
+                self.W,
+            )
             for w in self.workers
         ]
         ray.get(
@@ -2073,7 +2096,12 @@ class SuperstepEngine:
         self._static_vids_shipped = True
         if self.exchange_mode == "sliced":
             outs = [
-                w.pagerank_scatter_sliced.options(num_returns=W).remote(ship_vids)
+                ref_list(
+                    w.pagerank_scatter_sliced.options(num_returns=W).remote(
+                        ship_vids
+                    ),
+                    W,
+                )
                 for w in self.workers
             ]
             upd = [

@@ -498,6 +498,61 @@ def test_edge_betweenness_karate(tmp_path):
                    - want[(r.src, r.dst)] / (V * (V - 1))) < 1e-9
 
 
+def test_single_worker_engine_fetch_paths(tmp_path):
+    """num_workers=1 regression: Ray returns a bare ObjectRef (not a list)
+    from num_returns=1 calls, which used to break every served[p][q]
+    fan-in (edge BC / SCC / intersect-triangles fetch); under concurrent
+    cluster load the default W could collapse to 1 mid-suite."""
+    from raygraph.algos import strongly_connected_components
+    from raygraph.algos.centrality import edge_betweenness_centrality
+    from raygraph.algos.triangles import triangle_count
+
+    g = build(fixtures.karate_df(), False, tmp_path, "w1", num_partitions=1)
+    src, dst, _ = fixtures.karate_sym_arrays()
+    V = fixtures.KARATE_V
+
+    want = oracles.ref_edge_betweenness((src, dst), V)
+    got = edge_betweenness_centrality(g, normalized=False, num_workers=1)
+    for r in got.to_pandas().itertuples():
+        assert abs(r.betweenness_centrality - want[(r.src, r.dst)] / 2.0) < 1e-9
+
+    tri = triangle_count(g, method="intersect", num_workers=1).to_pandas()
+    assert tri[tri.columns[-1]].sum() == 3 * 45  # per-vertex counts, 45 tris
+
+    # directed fixture for the SCC fetch path
+    gd = build(
+        pd.DataFrame({"src": [0, 1, 2, 2], "dst": [1, 2, 0, 3],
+                      "weight": [1.0] * 4}),
+        True, tmp_path, "w1d", num_partitions=1,
+    )
+    comp = (
+        strongly_connected_components(gd, num_workers=1)
+        .to_pandas()
+        .sort_values("vertex")["labels"]
+        .tolist()
+    )
+    assert comp == [0, 0, 0, 3]
+
+    # sliced-exchange pagerank at W=1 (pagerank_scatter_sliced num_returns=1)
+    import os
+
+    from raygraph.algos import pagerank
+
+    os.environ["RAYGRAPH_EXCHANGE"] = "sliced"
+    try:
+        pr_sliced = (
+            pagerank(g, num_workers=1).to_pandas()
+            .sort_values("vertex")["pagerank"].to_numpy()
+        )
+    finally:
+        del os.environ["RAYGRAPH_EXCHANGE"]
+    pr_packed = (
+        pagerank(g, num_workers=1).to_pandas()
+        .sort_values("vertex")["pagerank"].to_numpy()
+    )
+    assert np.allclose(pr_sliced, pr_packed, atol=1e-12)
+
+
 def test_edge_betweenness_sampled_no_extrapolation(tmp_path):
     """Sampled edge BC matches the oracle on the same sources with NO V/k
     factor (the reference's NetworkX-compat note)."""
