@@ -839,6 +839,142 @@ def q_hash_split(sf_dir: str):
     )
 
 
+def q_decontam(sf_dir: str):
+    """Benchmark decontamination report: documents sharing any word
+    3-gram with the benchmark slice (doc_id % 97 == 0) of the corpus.
+    Benchmark grams broadcast once via ``ray.put``; the corpus side is a
+    pure map — no shuffle.  (n=3 keeps planted overlap non-trivial in
+    the synthetic corpus; production would use the GPT-3 n=13.)"""
+    from raygraph.data import decontam
+
+    rd = _rd()
+    docs = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    bench_texts = (
+        docs.map_batches(
+            lambda df: df[df["doc_id"] % 97 == 0], batch_format="pandas"
+        )
+        .to_pandas()["text"]
+        .tolist()
+    )
+    ref = decontam.build_benchmark(bench_texts, n=3)
+    rest = docs.map_batches(
+        lambda df: df[df["doc_id"] % 97 != 0], batch_format="pandas"
+    )
+    out = decontam.contamination_report(rest, ref)
+    return out.map_batches(
+        lambda df: pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].astype(np.int64),
+                "n_hit_grams": df["n_hit_grams"].astype(np.int64),
+            }
+        ),
+        batch_format="pandas",
+    )
+
+
+def q_seq_pack(sf_dir: str):
+    """Sequence-packing offsets: global exclusive prefix sum of document
+    token counts in doc_id order (distributed range-bucket scan), plus
+    the first/last 512-token training-sequence index per document."""
+    from raygraph.data import packing
+    from raygraph.data.text import token_count
+
+    rd = _rd()
+    docs = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    toks = token_count(docs)
+    out = packing.sequence_offsets(toks, "n_tokens", "doc_id", seq_len=512)
+    return out.map_batches(
+        lambda df: pd.DataFrame(
+            {c: df[c].astype(np.int64) for c in
+             ["doc_id", "n_tokens", "start_offset", "first_seq", "last_seq"]}
+        ),
+        batch_format="pandas",
+    )
+
+
+def q_cms(sf_dir: str):
+    """Count-Min sketch counter table (depth=4, width=512) over lineitem
+    part keys — the counters are a pure function of the multiset (md5
+    row-hash), so the sketch is hash-exact vs SQL; point-query accuracy
+    is pinned by pytest."""
+    from raygraph.data.cms import cms_table
+
+    rd = _rd()
+    li = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"), columns=["l_partkey"]
+    )
+    out = cms_table(li, "l_partkey", depth=4, width=512)
+    return out.map_batches(
+        lambda df: pd.DataFrame(
+            {
+                "row_idx": df["row"].astype(np.int64),
+                "col_idx": df["col"].astype(np.int64),
+                "cnt": df["cnt"].astype(np.int64),
+            }
+        ),
+        batch_format="pandas",
+    )
+
+
+def q_bloom_bits(sf_dir: str):
+    """Bloom-filter bit table (m=8192, k=3) over BUILDING-segment
+    customer keys — the set bits are a pure function of the key set (md5
+    row-hashes), so the filter itself is hash-exact vs SQL."""
+    from raygraph.data.bloom import bloom_bits
+
+    rd = _rd()
+    cust = rd.read_parquet(
+        os.path.join(sf_dir, "customer.parquet"),
+        columns=["c_custkey", "c_mktsegment"],
+    ).map_batches(
+        lambda df: df.loc[df["c_mktsegment"] == "BUILDING", ["c_custkey"]],
+        batch_format="pandas",
+    )
+    out = bloom_bits(cust, "c_custkey", m_bits=8192, k=3)
+    return out.map_batches(
+        lambda df: pd.DataFrame({"bit": df["bit"].astype(np.int64)})
+        if len(df) else pd.DataFrame({"bit": pd.Series(dtype=np.int64)}),
+        batch_format="pandas",
+    )
+
+
+def q_bloom_semijoin(sf_dir: str):
+    """Orders of BUILDING-segment customers via Bloom semi-join (map-only
+    probe of the broadcast bitmap) + exact confirm join — exact inner
+    semi-join semantics with no shuffle of the orders table beyond the
+    (small) survivor set."""
+    from raygraph.data.bloom import bloom_build, bloom_semi_join
+
+    rd = _rd()
+    cust = rd.read_parquet(
+        os.path.join(sf_dir, "customer.parquet"),
+        columns=["c_custkey", "c_mktsegment"],
+    ).map_batches(
+        lambda df: df.loc[df["c_mktsegment"] == "BUILDING", ["c_custkey"]]
+        .rename(columns={"c_custkey": "o_custkey"}),
+        batch_format="pandas",
+    )
+    orders = rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_custkey"],
+    )
+    bf = bloom_build(cust, "o_custkey", m_bits=1 << 16, k=4)
+    out = bloom_semi_join(orders, bf, "o_custkey", exact_with=cust)
+    return out.map_batches(
+        lambda df: pd.DataFrame(
+            {
+                "o_orderkey": df["o_orderkey"].astype(np.int64),
+                "o_custkey": df["o_custkey"].astype(np.int64),
+            }
+        ),
+        batch_format="pandas",
+    )
+
+
 def q_topk_events(sf_dir: str):
     """Top-3 events per user by value (event_id tiebreak): per-key top-k
     with map-side combine (``agg.grouped_topk``)."""
@@ -1756,6 +1892,11 @@ QUERIES = {
     "hll_registers": q_hll_registers,
     "repetition": q_repetition,
     "quantiles": q_quantiles,
+    "decontam": q_decontam,
+    "seq_pack": q_seq_pack,
+    "cms": q_cms,
+    "bloom_bits": q_bloom_bits,
+    "bloom_semijoin": q_bloom_semijoin,
     "sessionize": q_sessionize,
     "interval_join": q_interval_join,
     "louvain": q_louvain,
@@ -2484,6 +2625,68 @@ SELECT lf.doc_id, CAST(lf.n_lines AS BIGINT) AS n_lines,
        ROUND(COALESCE(CAST(top.mx AS DOUBLE) / top.tot, 0.0), 6)
            AS top_bigram_frac
 FROM lf LEFT JOIN top USING (doc_id)
+""",
+    "decontam": """
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '\\w+') AS ws
+  FROM documents),
+grams AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(ws) - 1),
+                i -> array_to_string(list_slice(ws, i, i + 2), ' '))) AS g
+  FROM toks WHERE len(ws) >= 3),
+bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % 97 = 0),
+hits AS (SELECT DISTINCT d.doc_id, d.g
+         FROM grams d JOIN bench USING (g)
+         WHERE d.doc_id % 97 <> 0)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_hit_grams
+FROM hits GROUP BY 1
+""",
+    "seq_pack": """
+WITH t AS (
+  SELECT doc_id,
+         CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)
+           AS n_tokens
+  FROM documents),
+s AS (
+  SELECT doc_id, n_tokens,
+         CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS start_offset
+  FROM t)
+SELECT doc_id, n_tokens, start_offset,
+       start_offset // 512 AS first_seq,
+       (start_offset + n_tokens - 1) // 512 AS last_seq
+FROM s
+""",
+    "bloom_bits": """
+WITH keys AS (
+  SELECT DISTINCT CAST(c_custkey AS VARCHAR) AS s
+  FROM customer WHERE c_mktsegment = 'BUILDING'),
+bits AS (
+  SELECT DISTINCT
+         CAST(('0x' || substr(md5(CAST(r.i AS VARCHAR) || ':' || s), 1, 8))
+              AS UBIGINT) % 8192 AS b
+  FROM keys CROSS JOIN range(3) r(i))
+SELECT CAST(b AS BIGINT) AS bit FROM bits
+""",
+    "bloom_semijoin": """
+SELECT o.o_orderkey, o.o_custkey
+FROM orders o
+JOIN (SELECT DISTINCT c_custkey FROM customer
+      WHERE c_mktsegment = 'BUILDING') c
+  ON o.o_custkey = c.c_custkey
+""",
+    "cms": """
+WITH h AS (
+  SELECT r.j,
+         CAST(('0x' || substr(md5(CAST(r.j AS VARCHAR) || ':' ||
+                                  CAST(l_partkey AS VARCHAR)), 1, 8))
+              AS UBIGINT) % 512 AS c
+  FROM lineitem CROSS JOIN range(4) r(j))
+SELECT CAST(j AS BIGINT) AS row_idx, CAST(c AS BIGINT) AS col_idx,
+       CAST(COUNT(*) AS BIGINT) AS cnt
+FROM h GROUP BY 1, 2
 """,
     "hll_registers": """
 WITH h AS (
