@@ -105,17 +105,50 @@ def import_edges(corpus_ds, concurrency=(1, 4)):
     )
 
 
-def derive_edges(corpus_ds, kinds=("membership", "imports"), concurrency=(1, 4)):
-    """All requested extractors, unioned into one string-keyed edge Dataset."""
-    parts = []
-    if "membership" in kinds:
-        parts.append(
-            corpus_ds.map_batches(
-                membership_edges, batch_format="pyarrow", zero_copy_batch=True
-            )
+# -- extractor registry ----------------------------------------------------
+# The reference's loadable graph-creation extensions
+# (cugraph_service_server/cugraph_handler.py:161-244: user modules
+# registered by name, invoked by the server) — here a plain name→stage
+# registry.  A stage is either a batch FUNCTION (pa.Table -> pa.Table of
+# EDGE_SCHEMA) or a callable CLASS (actor-pool stage for stateful
+# extractors); register_extractor decides by inspect.isclass.
+_EXTRACTORS: dict = {}
+
+
+def register_extractor(name: str, stage, concurrency=None):
+    """Register an edge-derivation stage under ``name`` for use in
+    ``derive_edges(kinds=(..., name, ...))``.  Classes become actor-pool
+    ``map_batches`` stages (state built once per actor in ``__init__``);
+    functions become stateless task stages.  Re-registering a name
+    replaces it (latest wins, like the reference's extension reload)."""
+    import inspect
+
+    _EXTRACTORS[name] = (stage, inspect.isclass(stage), concurrency)
+
+
+def extractor_names():
+    return sorted(_EXTRACTORS)
+
+
+register_extractor("membership", membership_edges)
+register_extractor("imports", ImportEdgeExtractor, concurrency=(1, 4))
+
+
+def derive_edges(corpus_ds, kinds=("membership", "imports"), concurrency=None):
+    """All requested extractors (built-in or :func:`register_extractor`-ed),
+    unioned into one string-keyed edge Dataset."""
+    unknown = [k for k in kinds if k not in _EXTRACTORS]
+    if unknown:
+        raise KeyError(
+            f"unknown extractor(s) {unknown}; registered: {extractor_names()}"
         )
-    if "imports" in kinds:
-        parts.append(import_edges(corpus_ds, concurrency=concurrency))
+    parts = []
+    for k in kinds:
+        stage, is_cls, default_cc = _EXTRACTORS[k]
+        kw = {"batch_format": "pyarrow", "zero_copy_batch": True}
+        if is_cls:
+            kw["concurrency"] = concurrency or default_cc or (1, 4)
+        parts.append(corpus_ds.map_batches(stage, **kw))
     ds = parts[0]
     for p in parts[1:]:
         ds = ds.union(p)

@@ -123,3 +123,38 @@ def test_derive_edges_end_to_end():
     n_membership = (df["src_key"].str.startswith("repo::")).sum()
     assert n_membership == n
     assert (df["src_key"].str.startswith("path::")).sum() > 0
+
+
+def test_extractor_registry_custom_stage():
+    """register_extractor: a user stage participates in derive_edges by
+    name (the reference's loadable-extension surface, cugraph_handler.py
+    style); unknown names raise with the registered list."""
+    import pyarrow as pa
+    import pytest
+
+    def lang_edges(t: pa.Table) -> pa.Table:
+        import numpy as np
+        import pyarrow.compute as pc
+
+        src = pc.binary_join_element_wise(
+            pa.scalar("repo::"), t.column("repo"), pa.scalar("")
+        )
+        dst = pc.binary_join_element_wise(
+            pa.scalar("lang::"), t.column("lang"), pa.scalar("")
+        )
+        return pa.table(
+            {"src_key": src, "dst_key": dst,
+             "weight": np.ones(len(t), dtype=np.float64)}
+        )
+
+    derive.register_extractor("langs", lang_edges)
+    try:
+        assert "langs" in derive.extractor_names()
+        ds = corpus.corpus_dataset(50, seed=1)
+        df = derive.derive_edges(ds, kinds=("membership", "langs")).to_pandas()
+        assert (df["dst_key"].str.startswith("lang::")).sum() == 50
+        assert (df["src_key"].str.startswith("repo::")).sum() == 100
+        with pytest.raises(KeyError, match="registered"):
+            derive.derive_edges(ds, kinds=("nope",))
+    finally:
+        derive._EXTRACTORS.pop("langs", None)
