@@ -27,7 +27,7 @@ from typing import Dict, Optional, Sequence, Tuple
 import numpy as np
 import pandas as pd
 
-from raygraph.joins import _key_hash
+from raygraph.joins import _key_hash, coalesce_for_exchange
 
 # agg spec: out_col -> (in_col | None, op)
 AggSpec = Dict[str, Tuple[Optional[str], str]]
@@ -40,6 +40,7 @@ def hash_aggregate(
     keys: Sequence[str],
     aggs: Optional[AggSpec] = None,
     num_buckets: int = 64,
+    coalesce: bool = True,
 ):
     """Grouped aggregate of ``ds`` by ``keys``; returns keys + agg columns.
 
@@ -93,6 +94,11 @@ def hash_aggregate(
         out = pieces[0]
         return out
 
+    if coalesce:
+        # Skip (coalesce=False) when the partials are data-sized (e.g. a
+        # near-unique-key dedup): the extra plasma copy evicts more than
+        # the small-block savings buy — see joins.coalesce_for_exchange.
+        combined = coalesce_for_exchange(combined, num_buckets)
     return combined.groupby("__bk").map_groups(finalize, batch_format="pandas")
 
 
@@ -132,6 +138,7 @@ def hash_argmin(ds, keys: Sequence[str], order_cols: Sequence[str],
             .drop(columns="__bk")
         )
 
+    part = coalesce_for_exchange(part, num_buckets)
     return part.groupby("__bk").map_groups(fin, batch_format="pandas")
 
 
@@ -172,6 +179,7 @@ def grouped_topk(ds, keys: Sequence[str], order_cols: Sequence[str], k: int,
         return out
 
     part = ds.map_batches(combine, batch_format="pandas")
+    part = coalesce_for_exchange(part, num_buckets)
     return part.groupby("__bk").map_groups(
         lambda g: topk(g.drop(columns="__bk")), batch_format="pandas"
     )
@@ -219,4 +227,5 @@ def bucketed_map_groups(
             return r if r is not None else pd.DataFrame()
         return pd.concat(outs, ignore_index=True)
 
+    tagged = coalesce_for_exchange(tagged, num_buckets)
     return tagged.groupby("__bk").map_groups(per_bucket, batch_format=batch_format)

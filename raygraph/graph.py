@@ -137,10 +137,17 @@ def symmetrize(ds, dedup: Optional[str] = "min"):
 
 def dedup_edges(ds, how: str = "min"):
     """Exact (src,dst) dedup: map-side combine + bucketed hash aggregate
-    (see raygraph.agg for why not Ray's sort-based groupby)."""
+    (see raygraph.agg for why not Ray's sort-based groupby).
+
+    ``coalesce=False``: edge keys are mostly unique, so the combine's
+    partials are data-sized — the pre-exchange coalesce would copy the
+    whole edge table through plasma once more, evicting page cache that
+    the next stage's actor startups need (measured: +18s first-engine
+    spin-up after the build at sf0.1)."""
     from raygraph.agg import hash_aggregate
 
-    return hash_aggregate(ds, ["src", "dst"], {"weight": ("weight", how)})
+    return hash_aggregate(ds, ["src", "dst"], {"weight": ("weight", how)},
+                          coalesce=False)
 
 
 # ---------------------------------------------------------------------------
@@ -187,6 +194,7 @@ def build_vertex_map(edges_ds, src_col="src_key", dst_col="dst_key",
             }
         )
 
+    keyed = joins.coalesce_for_exchange(keyed, num_buckets)
     ranked = keyed.groupby("__bucket").map_groups(rank_within, batch_format="pandas")
     ranked = ranked.materialize()  # small (distinct keys); reused twice below
 

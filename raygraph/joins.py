@@ -30,6 +30,31 @@ import pyarrow as pa
 from raygraph.hashing import hash_int64, hash_str_array
 
 
+def coalesce_for_exchange(ds, num_buckets: int):
+    """Merge small blocks before a ``groupby(bucket)`` exchange.
+
+    Ray's sort-based groupby pays a fixed per-block cost on BOTH sort
+    sides; a stage fed by hundreds of tiny blocks (map-side partials,
+    distinct-per-batch projections) spends more on block bookkeeping
+    than on data (measured: 11.3s → 2.9s for the 1.8M-row renumber
+    exchange fed by 384 ~4.7k-row blocks).  Coalescing to
+    ``max(num_buckets, cluster CPUs)`` blocks keeps full parallelism and
+    is heap-safe under these modules' existing sizing contract: callers
+    already raise ``num_buckets`` until one BUCKET fits a task heap, and
+    a coalesced block holds ≤ total/num_buckets ≈ one bucket of rows.
+    (``target_num_rows_per_block`` repartition was measured slower than
+    the plain count-based coalesce at this Ray version.)
+    """
+    import os
+
+    import ray
+
+    if os.environ.get("RAYGRAPH_NO_COALESCE"):  # A/B kill-switch
+        return ds
+    tgt = max(num_buckets, int(ray.cluster_resources().get("CPU", num_buckets)))
+    return ds.repartition(tgt, shuffle=False)
+
+
 def _key_hash(df: pd.DataFrame, keys: Sequence[str]) -> np.ndarray:
     h = np.zeros(len(df), dtype=np.uint64)
     for k in keys:
@@ -103,6 +128,7 @@ def hash_join(
         r = _restore(group[group["__side"] == 1], right_cols, right_dtypes)
         return l.merge(r, on=keys, how=how, suffixes=suffixes)
 
+    both = coalesce_for_exchange(both, num_buckets)
     return both.groupby("__bucket").map_groups(merge, batch_format="pandas")
 
 
@@ -176,6 +202,7 @@ def asof_join(
             out = out[out[probe[0]].notna()]
         return out
 
+    both = coalesce_for_exchange(both, num_buckets)
     return both.groupby("__bucket").map_groups(merge, batch_format="pandas")
 
 

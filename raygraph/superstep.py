@@ -98,6 +98,8 @@ class PartitionWorker:
         self.part2worker = np.asarray(part2worker, dtype=np.int64)
         self.parts = [p for p in range(num_parts) if self.part2worker[p] == wid]
 
+        import time as _time
+        self._t_init_enter = _time.time()
         tables = []
         for p in self.parts:
             pdir = os.path.join(graph_dir, "edges", f"part={p}")
@@ -167,6 +169,7 @@ class PartitionWorker:
         # receive-position cache: the dst routing tables are static, so the
         # searchsorted positions of each sender's vids are computed once
         self._pos_cache: dict[int, np.ndarray] = {}
+        self._t_init_done = _time.time()
 
     def _recv_pos(self, sender: int, vids) -> np.ndarray:
         # Positions for the STATIC packed-layout paths (pagerank / spmv),
@@ -306,6 +309,10 @@ class PartitionWorker:
         return np.concatenate([x, self._mirror_vals[name]])
 
     # -- bookkeeping ------------------------------------------------------
+    def init_times(self):
+        import time as _time
+        return (self._t_init_enter, getattr(self, "_t_init_done", _time.time()))
+
     def info(self):
         return {
             "wid": self.wid,
@@ -1923,7 +1930,12 @@ class SuperstepEngine:
             env = os.environ.get("RAYGRAPH_WIDE_KEYS")
             wide_keys = bool(int(env)) if env is not None else None
         self.wide_keys = wide_keys
+        import time as _time
+
+        _dbg = os.environ.get("RAYGRAPH_DEBUG_CTOR")
+        _t0 = _time.perf_counter()
         self.part2worker = self._balanced_assignment(graph, P, self.W)
+        _t1 = _time.perf_counter()
         self.workers = [
             PartitionWorker.options(num_cpus=1).remote(
                 graph.base_dir, wid, self.W, P, graph.num_vertices,
@@ -1931,7 +1943,21 @@ class SuperstepEngine:
             )
             for wid in range(self.W)
         ]
+        _t2 = _time.perf_counter()
         ray.get([w.info.remote() for w in self.workers])
+        if _dbg:
+            import sys as _sys
+
+            times = ray.get([w.init_times.remote() for w in self.workers])
+            enters = [t[0] for t in times]
+            durs = [t[1] - t[0] for t in times]
+            print(
+                f"CTOR phases: lpt={_t1 - _t0:.2f} spawn={_t2 - _t1:.2f} "
+                f"load={_time.perf_counter() - _t2:.2f} "
+                f"enter_spread={max(enters) - min(enters):.2f} "
+                f"init_dur min={min(durs):.2f} max={max(durs):.2f}",
+                file=_sys.stderr,
+            )
 
     @staticmethod
     def _balanced_assignment(graph, P: int, W: int) -> np.ndarray:
