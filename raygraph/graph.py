@@ -557,6 +557,28 @@ class Graph:
         # small relative to the source corpus — and materialize() keeps it
         # as spillable object-store blocks, so this stays streaming-safe.
         ds = ds.materialize()
+        # The derivation inherits the source's block granularity (often
+        # hundreds of tiny blocks for a narrow 3-column table), and every
+        # downstream stage of the build pays per-block overhead: at sf0.1
+        # one coalesce here cut vertex_map 8.3→2.7s, translate 10.1→3.5s,
+        # dedup 13.1→1.2s, write 2.3→0.6s.  Size-aware and self-gating:
+        # target ≥128 MB per block, at least one block per CPU, and only
+        # when the current count is pathological (>2× target).
+        import ray as _ray
+
+        nb, sz = ds.num_blocks(), ds.size_bytes() or 0
+        tgt = max(
+            int(_ray.cluster_resources().get("CPU", 16)),
+            int(sz // (128 << 20)) + 1,
+        )
+        if nb > 2 * tgt:
+            # LAZY coalesce: consumers merge the materialized blocks on
+            # the fly.  A second .materialize() here measurably stalls
+            # the next actor-pool spin-up (a second persistent E-sized
+            # plasma copy; see BASELINE.md coalesce finding) — the lazy
+            # merge costs a re-execution per consumer but keeps exactly
+            # one persistent copy.
+            ds = ds.repartition(tgt, shuffle=False)
 
         if renumber:
             # detect key type from schema

@@ -1937,7 +1937,9 @@ class SuperstepEngine:
         self.part2worker = self._balanced_assignment(graph, P, self.W)
         _t1 = _time.perf_counter()
         self.workers = [
-            PartitionWorker.options(num_cpus=1).remote(
+            PartitionWorker.options(
+                num_cpus=float(os.environ.get("RAYGRAPH_WORKER_CPUS", "1"))
+            ).remote(
                 graph.base_dir, wid, self.W, P, graph.num_vertices,
                 part2worker=self.part2worker, wide_keys=wide_keys,
             )
