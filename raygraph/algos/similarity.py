@@ -25,6 +25,15 @@ from a groupby, coefficients from exact integer counts:
 * jaccard  = |N(a)∩N(b)| / |N(a)∪N(b)|
 * sorensen = 2·|N(a)∩N(b)| / (|N(a)|+|N(b)|)
 * overlap  = |N(a)∩N(b)| / min(|N(a)|,|N(b)|)
+
+**Weighted variants** (reference: ``link_prediction/wjaccard.py`` jaccard_w,
+``woverlap.py``, ``wsorensen.py`` — per-vertex weights w(v) generalize set
+size to volume vol(S) = Σ_{v∈S} w(v)): pass ``vertex_weights`` (a
+(vertex, weight) Dataset) to either API; ``common`` becomes
+vol(N(a)∩N(b)) and degrees become neighborhood volumes, so e.g.
+weighted jaccard = vol(N(a)∩N(b)) / vol(N(a)∪N(b)).  Plumbing is one
+extra bucketed join attaching w to the shared endpoint + weighted sums
+in place of counts — same shuffle count as unweighted.
 """
 
 from __future__ import annotations
@@ -37,7 +46,7 @@ import pandas as pd
 from raygraph import joins
 
 
-def _coeff_frame(df: pd.DataFrame, kind: str) -> pd.DataFrame:
+def _coeff_frame(df: pd.DataFrame, kind: str, weighted: bool) -> pd.DataFrame:
     c = df["common"].to_numpy(np.float64)
     da = df["deg_a"].to_numpy(np.float64)
     db = df["deg_b"].to_numpy(np.float64)
@@ -50,12 +59,16 @@ def _coeff_frame(df: pd.DataFrame, kind: str) -> pd.DataFrame:
     else:
         raise ValueError(kind)
     out = df[["a", "b"]].copy()
-    out["common"] = df["common"].to_numpy(np.int64)
+    out["common"] = (
+        df["common"].to_numpy(np.float64) if weighted
+        else df["common"].to_numpy(np.int64)
+    )
     out["coeff"] = v
     return out
 
 
-def _attach_coeff(common, deg, kind: str, num_buckets: int):
+def _attach_coeff(common, deg, kind: str, num_buckets: int,
+                  weighted: bool = False):
     """Join per-pair common counts with both endpoint degrees and compute
     the coefficient. Returns (a, b, common, coeff)."""
     dega = deg.map_batches(
@@ -69,8 +82,37 @@ def _attach_coeff(common, deg, kind: str, num_buckets: int):
     j1 = joins.hash_join(common, dega, on="a", num_buckets=num_buckets)
     j2 = joins.hash_join(j1, degb, on="b", num_buckets=num_buckets)
     return j2.map_batches(
-        lambda df: _coeff_frame(df, kind), batch_format="pandas"
+        lambda df: _coeff_frame(df, kind, weighted), batch_format="pandas"
     )
+
+
+def _endpoint_weights(vertex_weights, num_buckets: int):
+    """(vertex, weight) Dataset → (w, __wt) frame for joining on the
+    shared wedge endpoint column."""
+    return vertex_weights.map_batches(
+        lambda df: pd.DataFrame(
+            {"w": df["vertex"], "__wt": df["weight"].to_numpy(np.float64)}
+        ),
+        batch_format="pandas",
+    )
+
+
+def _volumes(edges_ds, vertex_weights, num_buckets: int):
+    """Neighborhood volume per vertex: vol(v) = Σ_{u∈N(v)} w(u).
+    Returns (src, deg) with deg = weighted volume (one bucketed join on
+    the neighbor endpoint + a map-combined sum)."""
+    from raygraph.agg import hash_aggregate
+
+    ew = joins.hash_join(
+        edges_ds.map_batches(
+            lambda df: df.rename(columns={"dst": "w"})[["src", "w"]],
+            batch_format="pandas",
+        ),
+        _endpoint_weights(vertex_weights, num_buckets),
+        on="w",
+        num_buckets=num_buckets,
+    )
+    return hash_aggregate(ew, ["src"], {"deg": ("__wt", "sum")})
 
 
 def pairwise_similarity(
@@ -78,6 +120,7 @@ def pairwise_similarity(
     kind: str = "jaccard",
     num_buckets: int = 64,
     max_wedge_degree: Optional[int] = None,
+    vertex_weights=None,
 ):
     """edges_ds: symmetrized simple (src,dst) Dataset. Returns
     (a, b, common, deg_a, deg_b, coeff) for a<b pairs with common>0.
@@ -85,14 +128,28 @@ def pairwise_similarity(
     ``max_wedge_degree``: skip shared endpoints with degree above this —
     bounds per-task wedge rows to max_wedge_degree² under hub skew (the
     same hot-key guard as the LSH bucket cap, ``dedup.py``).  None = exact.
+
+    ``vertex_weights``: optional (vertex, weight) Dataset → weighted
+    coefficients (``wjaccard.py`` semantics); ``common`` becomes the
+    weighted intersection volume (float64).
     """
     from raygraph.agg import hash_aggregate
 
-    deg = hash_aggregate(edges_ds, ["src"], {"deg": (None, "count")})
+    weighted = vertex_weights is not None
+    if weighted:
+        deg = _volumes(edges_ds, vertex_weights, num_buckets)
+    else:
+        deg = hash_aggregate(edges_ds, ["src"], {"deg": (None, "count")})
 
     if max_wedge_degree is not None:
-        # attach deg(w) once (one bucketed join), drop hub-mediated wedges
-        degw = deg.map_batches(
+        # attach deg(w) once (one bucketed join), drop hub-mediated wedges;
+        # the cap always reasons about RAW degree (wedge fan-out), even
+        # when the coefficient itself is weighted
+        rawdeg = (
+            hash_aggregate(edges_ds, ["src"], {"deg": (None, "count")})
+            if weighted else deg
+        )
+        degw = rawdeg.map_batches(
             lambda df: df.rename(columns={"src": "w", "deg": "deg_w"}),
             batch_format="pandas",
         )
@@ -125,12 +182,23 @@ def pairwise_similarity(
             lambda df: df.rename(columns={"src": "b", "dst": "w"})[["b", "w"]],
             batch_format="pandas",
         )
+    if weighted:
+        # carry w's weight through the wedge: attach once to the left side
+        left = joins.hash_join(
+            left, _endpoint_weights(vertex_weights, num_buckets),
+            on="w", num_buckets=num_buckets,
+        )
     wedge = joins.hash_join(left, right, on="w", num_buckets=num_buckets)
+    keep = ["a", "b", "__wt"] if weighted else ["a", "b"]
     pairs = wedge.map_batches(
-        lambda df: df.loc[df["a"] < df["b"], ["a", "b"]], batch_format="pandas"
+        lambda df, keep=keep: df.loc[df["a"] < df["b"], keep],
+        batch_format="pandas",
     )
-    common = hash_aggregate(pairs, ["a", "b"], {"common": (None, "count")})
-    return _attach_coeff(common, deg, kind, num_buckets)
+    common = hash_aggregate(
+        pairs, ["a", "b"],
+        {"common": ("__wt", "sum") if weighted else (None, "count")},
+    )
+    return _attach_coeff(common, deg, kind, num_buckets, weighted=weighted)
 
 
 def pair_similarity(
@@ -138,6 +206,7 @@ def pair_similarity(
     pairs_ds,
     kind: str = "jaccard",
     num_buckets: int = 64,
+    vertex_weights=None,
 ):
     """Similarity coefficients over caller-provided (a, b) pairs — the
     reference's primary API (``link_prediction/jaccard.py`` computes over
@@ -149,10 +218,18 @@ def pair_similarity(
     No quadratic expansion under any skew.  Pairs with no common neighbor
     are returned with common=0 / coeff=0.
     Returns (a, b, common, coeff).
+
+    ``vertex_weights``: optional (vertex, weight) Dataset → weighted
+    coefficients (``wjaccard.py`` jaccard_w over caller pairs); ``common``
+    becomes the weighted intersection volume (float64).
     """
     from raygraph.agg import hash_aggregate
 
-    deg = hash_aggregate(edges_ds, ["src"], {"deg": (None, "count")})
+    weighted = vertex_weights is not None
+    if weighted:
+        deg = _volumes(edges_ds, vertex_weights, num_buckets)
+    else:
+        deg = hash_aggregate(edges_ds, ["src"], {"deg": (None, "count")})
     ea = edges_ds.map_batches(
         lambda df: df.rename(columns={"src": "a", "dst": "w"})[["a", "w"]],
         batch_format="pandas",
@@ -163,18 +240,27 @@ def pair_similarity(
     )
     cand = joins.hash_join(pairs_ds, ea, on="a", num_buckets=num_buckets)
     hit = joins.hash_join(cand, eb, on=["b", "w"], num_buckets=num_buckets)
-    counted = hash_aggregate(hit, ["a", "b"], {"common": (None, "count")})
+    if weighted:
+        hit = joins.hash_join(
+            hit, _endpoint_weights(vertex_weights, num_buckets),
+            on="w", num_buckets=num_buckets,
+        )
+    counted = hash_aggregate(
+        hit, ["a", "b"],
+        {"common": ("__wt", "sum") if weighted else (None, "count")},
+    )
     # left-join back so zero-common pairs keep a row (reference contract)
+    cast = np.float64 if weighted else np.int64
     common = joins.hash_join(
         pairs_ds, counted, on=["a", "b"], how="left", num_buckets=num_buckets
     ).map_batches(
-        lambda df: pd.DataFrame(
+        lambda df, cast=cast: pd.DataFrame(
             {
                 "a": df["a"].to_numpy(np.int64),
                 "b": df["b"].to_numpy(np.int64),
-                "common": df["common"].fillna(0).to_numpy(np.int64),
+                "common": df["common"].fillna(0).to_numpy(cast),
             }
         ),
         batch_format="pandas",
     )
-    return _attach_coeff(common, deg, kind, num_buckets)
+    return _attach_coeff(common, deg, kind, num_buckets, weighted=weighted)

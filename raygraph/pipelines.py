@@ -324,9 +324,13 @@ def q_hypergraph_events(sf_dir: str):
     )
 
 
-def _user_similarity(sf_dir: str, kind: str):
+def _user_similarity(sf_dir: str, kind: str, weighted: bool = False):
     """Shared pipeline for the jaccard/sorensen/overlap user queries:
-    user–etype bipartite graph → pairwise coefficient over user pairs."""
+    user–etype bipartite graph → pairwise coefficient over user pairs.
+
+    ``weighted=True`` → reference ``wjaccard.py`` semantics with vertex
+    weight w(v) = deg(v) (popularity-weighted; integer-valued doubles so
+    every sum is exact and the coefficient is bit-reproducible in SQL)."""
     from raygraph.algos.similarity import pairwise_similarity
     from raygraph.graph import symmetrize
 
@@ -357,20 +361,35 @@ def _user_similarity(sf_dir: str, kind: str):
         ),
         dedup="min",
     ).map_batches(lambda df: df[["src", "dst"]], batch_format="pandas")
-    sim = pairwise_similarity(sym, kind=kind)
+    if weighted:
+        from raygraph.agg import hash_aggregate
+
+        wts = hash_aggregate(sym, ["src"], {"deg": (None, "count")}).map_batches(
+            lambda df: pd.DataFrame(
+                {"vertex": df["src"],
+                 "weight": df["deg"].to_numpy(np.float64)}
+            ),
+            batch_format="pandas",
+        )
+        sim = pairwise_similarity(sym, kind=kind, vertex_weights=wts)
+    else:
+        sim = pairwise_similarity(sym, kind=kind)
     out = sim.map_batches(
         lambda df: df.loc[
             df["a"].str.startswith("user::") & df["b"].str.startswith("user::")
         ],
         batch_format="pandas",
     )
+    ccol, kcol = ("wcommon", "w" + kind) if weighted else ("common", kind)
     return out.map_batches(
-        lambda df, kind=kind: pd.DataFrame(
+        lambda df, ccol=ccol, kcol=kcol, weighted=weighted: pd.DataFrame(
             {
                 "a": df["a"],
                 "b": df["b"],
-                "common": df["common"].astype(np.int64),
-                kind: df["coeff"].astype(np.float64),
+                ccol: df["common"].astype(
+                    np.float64 if weighted else np.int64
+                ),
+                kcol: df["coeff"].astype(np.float64),
             }
         ),
         batch_format="pandas",
@@ -392,6 +411,13 @@ def q_overlap_users(sf_dir: str):
     """Overlap coefficient (common / min(deg_a, deg_b)) over user pairs
     (``link_prediction/overlap.py`` semantics)."""
     return _user_similarity(sf_dir, "overlap")
+
+
+def q_wjaccard_users(sf_dir: str):
+    """Weighted Jaccard (``link_prediction/wjaccard.py`` jaccard_w) over
+    user pairs with vertex weight w(v) = deg(v): wjaccard =
+    vol(N(a)∩N(b)) / vol(N(a)∪N(b)) where vol(S) = Σ_{v∈S} deg(v)."""
+    return _user_similarity(sf_dir, "jaccard", weighted=True)
 
 
 # ---------------------------------------------------------------------------
@@ -1867,6 +1893,7 @@ QUERIES = {
     "jaccard_users": q_jaccard_users,
     "sorensen_users": q_sorensen_users,
     "overlap_users": q_overlap_users,
+    "wjaccard_users": q_wjaccard_users,
     "wcc": q_wcc,
     "triangles": q_triangles,
     "pagerank": q_pagerank,
@@ -2256,6 +2283,42 @@ cn AS (SELECT x.u AS a, y.u AS b, COUNT(*) AS common
 SELECT cn.a, cn.b, CAST(cn.common AS BIGINT) AS common,
        CAST(cn.common AS DOUBLE) / LEAST(da.d, db.d) AS overlap
 FROM cn JOIN deg da ON da.u = cn.a JOIN deg db ON db.u = cn.b
+""",
+    "wjaccard_users": """
+WITH ue AS (SELECT DISTINCT 'user::' || lpad(CAST(user_id AS VARCHAR), 6, '0') AS u,
+                            event_type AS t FROM events),
+tdeg AS (SELECT t, CAST(COUNT(*) AS DOUBLE) AS w FROM ue GROUP BY 1),
+vol AS (SELECT ue.u, SUM(td.w) AS vol
+        FROM ue JOIN tdeg td ON td.t = ue.t GROUP BY 1),
+cn AS (SELECT x.u AS a, y.u AS b, SUM(td.w) AS wcommon
+       FROM ue x JOIN ue y ON x.t = y.t AND x.u < y.u
+       JOIN tdeg td ON td.t = x.t GROUP BY 1, 2)
+SELECT cn.a, cn.b, cn.wcommon,
+       cn.wcommon / (va.vol + vb.vol - cn.wcommon) AS wjaccard
+FROM cn JOIN vol va ON va.u = cn.a JOIN vol vb ON vb.u = cn.b
+""",
+    # winnowing fingerprint: min over 16-byte windows of the polynomial
+    # rolling hash Σ byte[p+i]·1000003^(15-i) mod 2^64, top bit cleared
+    # (text.fingerprint kernel, bit-exact).  HUGEINT carries the sums;
+    # valid because the corpus is pure ASCII (byte == codepoint) with no
+    # doc under 16 bytes — both asserted by the kernel's contract.
+    "fingerprint": """
+WITH pos AS (
+  SELECT doc_id, text, unnest(range(1, length(text) - 14)) AS p
+  FROM documents
+),
+h AS (
+  SELECT doc_id, ("""
+    + " + ".join(
+        f"ord(substr(text, p+{i}, 1)) * CAST({pow(1000003, 15 - i, 2**64)} AS HUGEINT)"
+        for i in range(16)
+    )
+    + """) % CAST('18446744073709551616' AS HUGEINT) AS hv
+  FROM pos
+)
+SELECT doc_id,
+       CAST(MIN(hv) % CAST('9223372036854775808' AS HUGEINT) AS BIGINT) AS fp
+FROM h GROUP BY 1
 """,
     "ngram_jaccard": """
 WITH toks AS (

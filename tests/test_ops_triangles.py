@@ -310,6 +310,71 @@ def test_pairwise_similarity_wedge_cap():
     assert set(zip(capped["a"], capped["b"])) == want
 
 
+def test_weighted_pairwise_similarity_matches_bruteforce():
+    """vertex_weights → wjaccard.py semantics: vol(S)=Σ_{v∈S} w(v);
+    jaccard/sorensen/overlap all checked against a set brute force."""
+    from raygraph.algos.similarity import pairwise_similarity
+
+    df = fixtures.karate_df()
+    adj = _sym_sets(df)
+    w = {v: float(v % 5 + 1) for v in adj}
+    wts = rd.from_pandas(pd.DataFrame(
+        {"vertex": sorted(adj), "weight": [w[v] for v in sorted(adj)]}
+    ))
+
+    def vol(s):
+        return sum(w[v] for v in s)
+
+    for kind in ("jaccard", "sorensen", "overlap"):
+        got = (
+            pairwise_similarity(_sym_ds(df), kind=kind, vertex_weights=wts)
+            .to_pandas().sort_values(["a", "b"]).reset_index(drop=True)
+        )
+        assert len(got) > 0
+        for r in got.itertuples():
+            inter = vol(adj[r.a] & adj[r.b])
+            va, vb = vol(adj[r.a]), vol(adj[r.b])
+            assert abs(r.common - inter) < 1e-9
+            if kind == "jaccard":
+                want = inter / (va + vb - inter)
+            elif kind == "sorensen":
+                want = 2.0 * inter / (va + vb)
+            else:
+                want = inter / min(va, vb)
+            assert abs(r.coeff - want) < 1e-12
+        # exactly the common>0 pairs are present
+        verts = sorted(adj)
+        want_pairs = {
+            (a, b)
+            for i, a in enumerate(verts) for b in verts[i + 1:]
+            if adj[a] & adj[b]
+        }
+        assert set(zip(got["a"], got["b"])) == want_pairs
+
+
+def test_weighted_pair_similarity_matches_bruteforce():
+    from raygraph.algos.similarity import pair_similarity
+
+    df = fixtures.karate_df()
+    adj = _sym_sets(df)
+    w = {v: float((v * 7) % 3 + 1) for v in adj}
+    wts = rd.from_pandas(pd.DataFrame(
+        {"vertex": sorted(adj), "weight": [w[v] for v in sorted(adj)]}
+    ))
+    pairs = pd.DataFrame({"a": [0, 0, 2, 13, 15], "b": [33, 1, 3, 19, 20]})
+    got = (
+        pair_similarity(_sym_ds(df), rd.from_pandas(pairs), kind="jaccard",
+                        vertex_weights=wts)
+        .to_pandas().sort_values(["a", "b"]).reset_index(drop=True)
+    )
+    assert len(got) == len(pairs)  # zero-common pairs keep a row
+    for r in got.itertuples():
+        inter = sum(w[v] for v in adj[r.a] & adj[r.b])
+        union = sum(w[v] for v in adj[r.a] | adj[r.b])
+        assert abs(r.common - inter) < 1e-9
+        assert abs(r.coeff - (inter / union if union else 0.0)) < 1e-12
+
+
 def test_triangle_intersect_matches_wedge(karate_und):
     """Forced intersection path == wedge path == brute-force oracle."""
     a = (triangle_count(karate_und, method="wedge").to_pandas()
