@@ -2827,3 +2827,99 @@ SELECT user_id, MIN(us) AS session_start, MAX(us) AS session_end,
 FROM s GROUP BY user_id, sid
 """,
 }
+
+
+def _minhash_oracle_sql(threshold: float = 0.7, num_perm: int = 64,
+                        bands: int = 16, seed: int = 42) -> str:
+    """Generate the DuckDB replay of the FULL MinHash-LSH near-dedup
+    pipeline (``dedup.near_dedup_minhash``), bit-exact:
+
+    shingles (5-byte polynomial hash — < 2^41, exact in BIGINT; corpus is
+    pure ASCII with no doc under 5 bytes) → 64 permutation minima
+    ((a·x mod 2^64 + b) mod 2^64 mod 2^61-1 with the RandomState(seed)
+    constants baked in; HUGEINT carries the products, ``& mask`` replaces
+    the slow 128-bit ``% 2^64``) → per-band splitmix64 fold (the xor/shift
+    steps run on UBIGINT, the wraparound multiply via 32-bit split) →
+    bucket pairs with the MAX_BUCKET=64 adjacent-chain cap → exact shingle
+    Jaccard ≥ threshold → min-label connected components (recursive CTE).
+    """
+    import numpy as _np
+
+    P61 = 2305843009213693951
+    MASK = "CAST(18446744073709551615 AS HUGEINT)"
+    C1, C2, C3 = 0x9E3779B97F4A7C15, 0xBF58476D1CE4E5B9, 0x94D049BB133111EB
+    rng = _np.random.RandomState(seed)
+    A = rng.randint(1, 2 ** 61 - 1, size=num_perm).astype(_np.uint64)
+    B = rng.randint(0, 2 ** 61 - 1, size=num_perm).astype(_np.uint64)
+    rows_per_band = num_perm // bands
+
+    shingle = (
+        "SELECT DISTINCT doc_id, ("
+        + " + ".join(f"ord(substr(text, p+{i}, 1)) * {257 ** (4 - i)}"
+                     for i in range(5))
+        + ") AS shv FROM (SELECT doc_id, text, "
+          "unnest(range(1, length(text) - 3)) AS p FROM documents)"
+    )
+    sig_cols = ", ".join(
+        f"MIN(((((CAST(shv AS HUGEINT) * {int(A[j])}) & {MASK}) + {int(B[j])})"
+        f" & {MASK}) % {P61}) AS mh{j}"
+        for j in range(num_perm)
+    )
+    mhlist = ", ".join(f"mh{j}" for j in range(num_perm))
+    parts = [
+        f"sh AS MATERIALIZED ({shingle})",
+        f"sigs AS MATERIALIZED (SELECT doc_id, {sig_cols} FROM sh GROUP BY doc_id)",
+        f"sigl AS MATERIALIZED (SELECT doc_id, j, "
+        f"CAST(list_extract([{mhlist}], j + 1) AS UBIGINT) AS mh "
+        f"FROM sigs, range(0, {num_perm}) r(j))",
+        f"b0 AS (SELECT DISTINCT doc_id, CAST(j // {rows_per_band} AS BIGINT)"
+        f" AS band, CAST(0 AS UBIGINT) AS h FROM sigl)",
+    ]
+
+    def mulmod(t: str, c: int) -> str:
+        # (t * c) mod 2^64 without INT128 overflow: 32-bit split of t
+        return (f"(((({t}) & 4294967295) * {c} + "
+                f"(((({t}) >> 32) * {c}) & 4294967295) * 4294967296) & {MASK})")
+
+    prev = "b0"
+    for c in range(rows_per_band):
+        parts += [
+            f"x{c} AS (SELECT p.doc_id, p.band, xor(p.h, s.mh) AS z FROM {prev} p "
+            f"JOIN sigl s ON s.doc_id = p.doc_id AND s.j = p.band * {rows_per_band} + {c})",
+            f"z{c}a AS (SELECT doc_id, band, "
+            f"CAST((CAST(z AS HUGEINT) + {C1}) & {MASK} AS UBIGINT) AS z FROM x{c})",
+            f"z{c}b AS (SELECT doc_id, band, "
+            f"CAST({mulmod('CAST(xor(z, z >> 30) AS HUGEINT)', C2)} AS UBIGINT) AS z FROM z{c}a)",
+            f"z{c}c AS (SELECT doc_id, band, "
+            f"CAST({mulmod('CAST(xor(z, z >> 27) AS HUGEINT)', C3)} AS UBIGINT) AS z FROM z{c}b)",
+            f"b{c + 1} AS (SELECT doc_id, band, xor(z, z >> 31) AS h FROM z{c}c)",
+        ]
+        prev = f"b{c + 1}"
+    parts += [
+        f"grp AS MATERIALIZED (SELECT band, h, doc_id, "
+        f"COUNT(*) OVER (PARTITION BY band, h) AS n, "
+        f"LEAD(doc_id) OVER (PARTITION BY band, h ORDER BY doc_id) AS nxt FROM {prev})",
+        "candraw AS ("
+        "SELECT x.doc_id AS a, y.doc_id AS b FROM grp x "
+        "JOIN grp y ON x.band = y.band AND x.h = y.h "
+        "WHERE x.n <= 64 AND x.doc_id < y.doc_id "
+        "UNION ALL SELECT doc_id, nxt FROM grp WHERE n > 64 AND nxt IS NOT NULL)",
+        "cand AS (SELECT DISTINCT a, b FROM candraw)",
+        "scnt AS (SELECT doc_id, COUNT(*) AS c FROM sh GROUP BY 1)",
+        "inter AS (SELECT c.a, c.b, COUNT(*) AS i FROM cand c "
+        "JOIN sh sa ON sa.doc_id = c.a "
+        "JOIN sh sb ON sb.doc_id = c.b AND sb.shv = sa.shv GROUP BY 1, 2)",
+        f"ver AS (SELECT i.a, i.b FROM inter i "
+        f"JOIN scnt ca ON ca.doc_id = i.a JOIN scnt cb ON cb.doc_id = i.b "
+        f"WHERE CAST(i.i AS DOUBLE) / (ca.c + cb.c - i.i) >= {threshold})",
+        "symp AS (SELECT a AS s, b AS d FROM ver UNION SELECT b, a FROM ver)",
+        "reach(v, r) AS (SELECT s, s FROM symp UNION "
+        "SELECT sy.d, w.r FROM reach w JOIN symp sy ON sy.s = w.v)",
+    ]
+    return (
+        "WITH RECURSIVE " + ",\n".join(parts)
+        + "\nSELECT v AS doc_id, MIN(r) AS dup_group FROM reach GROUP BY 1"
+    )
+
+
+ORACLES["minhash_dedup"] = _minhash_oracle_sql()

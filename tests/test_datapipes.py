@@ -50,6 +50,31 @@ def test_minhash_near_dedup_plants_duplicates():
     assert out["dup_group"].nunique() == 1
 
 
+def test_minhash_oracle_sql_matches_pipeline(docs):
+    """The generated DuckDB replay (shingle hash → permutation minima →
+    splitmix64 band fold → capped bucket pairs → Jaccard verify →
+    components) is bit-exact vs near_dedup_minhash — guards the baked
+    constants against kernel changes."""
+    import duckdb
+
+    from raygraph.pipelines import _minhash_oracle_sql
+
+    got = (
+        dedup.near_dedup_minhash(docs, threshold=0.7)
+        .sort_values("doc_id").reset_index(drop=True).astype("int64")
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{SF}/documents.parquet')"
+    )
+    want = (
+        con.execute(_minhash_oracle_sql(threshold=0.7)).fetchdf()
+        .sort_values("doc_id").reset_index(drop=True).astype("int64")
+    )
+    assert len(got) > 0
+    assert got.equals(want)
+
+
 def test_minhash_scale_paths_match(docs):
     # the join-verify path (broadcast_limit=0) and the engine components
     # path (engine_pair_limit=0) must reproduce the default result exactly
