@@ -1647,6 +1647,40 @@ def q_random_walks(sf_dir: str):
     )
 
 
+def q_walks_int(sf_dir: str):
+    """Uniform random walks (max_length=4, seed=42) on the UNRENUMBERED
+    int-keyed ps graph — raw vertex ids make the walk CSR's sorted-by-dst
+    candidate order SQL-visible, so the whole (seed, walker, step)
+    splitmix64 draw chain is hash-checked against a step-unrolled DuckDB
+    replay (``_walks_oracle_sql``).  The renumbered/string-keyed walk
+    queries stay rows-only + pytest-pinned."""
+    from raygraph.algos.sampling import random_walks
+    from raygraph.graph import Graph
+
+    e = ps_edges(sf_dir)
+    g = Graph.from_edges(
+        e, src="src", dst="dst", weight="weight",
+        directed=False, renumber=False, num_partitions=8,
+        out_dir=_tmpdir("rwint"),
+    )
+    lows = e.map_batches(
+        lambda df: df[["src"]].drop_duplicates().nsmallest(6, "src"),
+        batch_format="pandas",
+    ).to_pandas()
+    starts = np.sort(lows["src"].unique())[:6]
+    walks = random_walks(g, starts, max_length=4, seed=42)
+    return walks.map_batches(
+        lambda df: pd.DataFrame(
+            {
+                "walker": df["walker"].to_numpy(np.int64),
+                "step": df["step"].to_numpy(np.int64),
+                "vertex": df["vertex"].to_numpy(np.int64),
+            }
+        ),
+        batch_format="pandas",
+    )
+
+
 def q_biased_walks(sf_dir: str):
     """Edge-weight-biased random walks from the 5 lowest part keys on the
     FULL weighted ps graph (weights = lineitem co-occurrence counts, so the
@@ -1950,6 +1984,7 @@ QUERIES = {
     "bfs_paths": q_bfs_paths,
     "eigenvector": q_eigenvector,
     "random_walks": q_random_walks,
+    "walks_int": q_walks_int,
     "biased_walks": q_biased_walks,
     "k_core": q_k_core,
     "egonet": q_egonet,
@@ -2923,3 +2958,71 @@ def _minhash_oracle_sql(threshold: float = 0.7, num_perm: int = 64,
 
 
 ORACLES["minhash_dedup"] = _minhash_oracle_sql()
+
+
+def _walks_oracle_sql(seed: int = 42, max_length: int = 4,
+                      n_starts: int = 6) -> str:
+    """DuckDB replay of uniform random walks on the int-keyed ps graph,
+    bit-exact vs the superstep walk kernel (``superstep.walk_step_scatter``
+    + ``sampling._seeded_uniform``): per step, u = splitmix64-counter
+    uniform of (seed, walker, step), pick = trunc(u·deg) % deg, next =
+    pick-th smallest out-neighbor (the CSR sorts rows by dst — with
+    renumber=False that order is plain int order, which ROW_NUMBER
+    reproduces).  Steps are unrolled as CTE chains; the splitmix64
+    wraparound arithmetic uses the same HUGEINT &-mask / 32-bit-split
+    tricks as ``_minhash_oracle_sql``."""
+    MASK = "CAST(18446744073709551615 AS HUGEINT)"
+    C1, C2, C3 = 0x9E3779B97F4A7C15, 0xBF58476D1CE4E5B9, 0x94D049BB133111EB
+
+    def mulmod(t: str, c: int) -> str:
+        return (f"(((({t}) & 4294967295) * {c} + "
+                f"(((({t}) >> 32) * {c}) & 4294967295) * 4294967296) & {MASK})")
+
+    parts = [
+        f"e AS (SELECT l_partkey AS src, l_suppkey + {SUPP_OFFSET} AS dst "
+        f"FROM lineitem GROUP BY 1, 2)",
+        "sym AS MATERIALIZED (SELECT DISTINCT src, dst FROM "
+        "(SELECT src, dst FROM e UNION ALL SELECT dst, src FROM e))",
+        "adj AS MATERIALIZED (SELECT src, dst, "
+        "ROW_NUMBER() OVER (PARTITION BY src ORDER BY dst) - 1 AS rk FROM sym)",
+        "degs AS (SELECT src, COUNT(*) AS deg FROM sym GROUP BY 1)",
+        f"st AS (SELECT vertex, ROW_NUMBER() OVER (ORDER BY vertex) - 1 AS walker "
+        f"FROM (SELECT DISTINCT l_partkey AS vertex FROM lineitem "
+        f"ORDER BY 1 LIMIT {n_starts}))",
+        "w0 AS (SELECT walker, vertex AS v FROM st)",
+    ]
+    for k in range(1, max_length):
+        K = (seed * 0x9E3779B97F4A7C15 + k * 0xD1B54A32D192ED03) % 2 ** 64
+        parts += [
+            f"a{k} AS (SELECT w.walker, w.v, d.deg FROM w{k - 1} w "
+            f"JOIN degs d ON d.src = w.v)",
+            f"s{k}0 AS (SELECT walker, v, deg, "
+            f"CAST((CAST(xor(CAST(walker AS UBIGINT), CAST('{K}' AS UBIGINT)) AS HUGEINT)"
+            f" + {C1}) & {MASK} AS UBIGINT) AS z FROM a{k})",
+            f"s{k}1 AS (SELECT walker, v, deg, "
+            f"CAST({mulmod('CAST(xor(z, z >> 30) AS HUGEINT)', C2)} AS UBIGINT) AS z FROM s{k}0)",
+            f"s{k}2 AS (SELECT walker, v, deg, "
+            f"CAST({mulmod('CAST(xor(z, z >> 27) AS HUGEINT)', C3)} AS UBIGINT) AS z FROM s{k}1)",
+            f"t{k}0 AS (SELECT walker, v, deg, "
+            f"CAST((CAST(xor(z, z >> 31) AS HUGEINT) + 1 + {C1}) & {MASK} AS UBIGINT)"
+            f" AS z FROM s{k}2)",
+            f"t{k}1 AS (SELECT walker, v, deg, "
+            f"CAST({mulmod('CAST(xor(z, z >> 30) AS HUGEINT)', C2)} AS UBIGINT) AS z FROM t{k}0)",
+            f"t{k}2 AS (SELECT walker, v, deg, "
+            f"CAST({mulmod('CAST(xor(z, z >> 27) AS HUGEINT)', C3)} AS UBIGINT) AS z FROM t{k}1)",
+            f"p{k} AS (SELECT walker, v, "
+            f"CAST(floor(CAST(xor(z, z >> 31) >> 11 AS DOUBLE) "
+            f"* (1.0 / 9007199254740992.0) * CAST(deg AS DOUBLE)) AS BIGINT) % deg"
+            f" AS pick FROM t{k}2)",
+            f"w{k} AS (SELECT p.walker, a.dst AS v FROM p{k} p "
+            f"JOIN adj a ON a.src = p.v AND a.rk = p.pick)",
+        ]
+    selects = ["SELECT walker, CAST(0 AS BIGINT) AS step, v AS vertex FROM w0"]
+    selects += [
+        f"SELECT walker, CAST({k} AS BIGINT), v FROM w{k}"
+        for k in range(1, max_length)
+    ]
+    return "WITH " + ",\n".join(parts) + "\n" + "\nUNION ALL ".join(selects)
+
+
+ORACLES["walks_int"] = _walks_oracle_sql()

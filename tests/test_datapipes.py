@@ -75,6 +75,30 @@ def test_minhash_oracle_sql_matches_pipeline(docs):
     assert got.equals(want)
 
 
+def test_walks_oracle_sql_matches_pipeline():
+    """The step-unrolled DuckDB replay of the splitmix64 walk-draw chain
+    is bit-exact vs the superstep walk kernel on the int-keyed graph —
+    guards the counter-RNG constants and the CSR candidate order."""
+    import duckdb
+
+    from raygraph.pipelines import QUERIES, _walks_oracle_sql
+
+    got = QUERIES["walks_int"](SF)
+    got = (got.to_pandas() if hasattr(got, "to_pandas") else got)
+    cols = ["walker", "step", "vertex"]
+    got = got[cols].sort_values(cols).reset_index(drop=True).astype("int64")
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW lineitem AS SELECT * FROM read_parquet('{SF}/lineitem.parquet')"
+    )
+    want = (
+        con.execute(_walks_oracle_sql()).fetchdf()[cols]
+        .sort_values(cols).reset_index(drop=True).astype("int64")
+    )
+    assert len(got) > 6  # walks actually advanced past step 0
+    assert got.equals(want)
+
+
 def test_minhash_scale_paths_match(docs):
     # the join-verify path (broadcast_limit=0) and the engine components
     # path (engine_pair_limit=0) must reproduce the default result exactly
