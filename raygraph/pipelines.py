@@ -1681,6 +1681,39 @@ def q_walks_int(sf_dir: str):
     )
 
 
+def q_neighbor_sample_int(sf_dir: str):
+    """Multi-hop uniform neighbor sampling (fanouts [3, 2], seed 42) on
+    the UNRENUMBERED int-keyed ps graph — per-edge seeded uniforms +
+    stable argsort become ROW_NUMBER ranks in SQL, so the sample is
+    hash-checked (``_neighbor_sample_oracle_sql``); the string-keyed
+    ``neighbor_sample`` stays rows-only + pytest-pinned."""
+    from raygraph.algos.sampling import uniform_neighbor_sample
+    from raygraph.graph import Graph
+
+    e = ps_edges(sf_dir)
+    g = Graph.from_edges(
+        e, src="src", dst="dst", weight="weight",
+        directed=False, renumber=False, num_partitions=8,
+        out_dir=_tmpdir("nsint"),
+    )
+    lows = e.map_batches(
+        lambda df: df[["src"]].drop_duplicates().nsmallest(6, "src"),
+        batch_format="pandas",
+    ).to_pandas()
+    starts = np.sort(lows["src"].unique())[:6]
+    samp = uniform_neighbor_sample(g, starts, fanouts=[3, 2], seed=42)
+    return samp.map_batches(
+        lambda df: pd.DataFrame(
+            {
+                "hop": df["hop"].to_numpy(np.int64),
+                "src": df["src"].to_numpy(np.int64),
+                "dst": df["dst"].to_numpy(np.int64),
+            }
+        ),
+        batch_format="pandas",
+    )
+
+
 def q_biased_walks(sf_dir: str):
     """Edge-weight-biased random walks from the 5 lowest part keys on the
     FULL weighted ps graph (weights = lineitem co-occurrence counts, so the
@@ -1985,6 +2018,7 @@ QUERIES = {
     "eigenvector": q_eigenvector,
     "random_walks": q_random_walks,
     "walks_int": q_walks_int,
+    "neighbor_sample_int": q_neighbor_sample_int,
     "biased_walks": q_biased_walks,
     "k_core": q_k_core,
     "egonet": q_egonet,
@@ -3026,3 +3060,60 @@ def _walks_oracle_sql(seed: int = 42, max_length: int = 4,
 
 
 ORACLES["walks_int"] = _walks_oracle_sql()
+
+
+def _neighbor_sample_oracle_sql(seed: int = 42, fanouts=(3, 2),
+                                n_starts: int = 6) -> str:
+    """DuckDB replay of ``uniform_neighbor_sample`` on the int-keyed ps
+    graph: per hop, each frontier edge draws u = splitmix64-counter
+    uniform of (seed, dst ^ 2·src, hop); the kernel keeps the fanout
+    lowest u (stable argsort over dst-sorted candidates = ORDER BY u,
+    dst), then the next frontier is the distinct sampled dst."""
+    MASK = "CAST(18446744073709551615 AS HUGEINT)"
+    C1, C2, C3 = 0x9E3779B97F4A7C15, 0xBF58476D1CE4E5B9, 0x94D049BB133111EB
+
+    def mulmod(t: str, c: int) -> str:
+        return (f"(((({t}) & 4294967295) * {c} + "
+                f"(((({t}) >> 32) * {c}) & 4294967295) * 4294967296) & {MASK})")
+
+    parts = [
+        f"e AS (SELECT l_partkey AS src, l_suppkey + {SUPP_OFFSET} AS dst "
+        f"FROM lineitem GROUP BY 1, 2)",
+        "sym AS MATERIALIZED (SELECT DISTINCT src, dst FROM "
+        "(SELECT src, dst FROM e UNION ALL SELECT dst, src FROM e))",
+        f"f0 AS (SELECT vertex AS v FROM (SELECT DISTINCT l_partkey AS vertex "
+        f"FROM lineitem ORDER BY 1 LIMIT {n_starts}))",
+    ]
+    for k, fanout in enumerate(fanouts):
+        K = (seed * 0x9E3779B97F4A7C15 + k * 0xD1B54A32D192ED03) % 2 ** 64
+        parts += [
+            f"c{k}0 AS (SELECT s.src, s.dst, "
+            f"CAST((CAST(xor(CAST(xor(s.dst, s.src * 2) AS UBIGINT), "
+            f"CAST('{K}' AS UBIGINT)) AS HUGEINT) + {C1}) & {MASK} AS UBIGINT)"
+            f" AS z FROM sym s JOIN f{k} f ON f.v = s.src)",
+            f"c{k}1 AS (SELECT src, dst, "
+            f"CAST({mulmod('CAST(xor(z, z >> 30) AS HUGEINT)', C2)} AS UBIGINT) AS z FROM c{k}0)",
+            f"c{k}2 AS (SELECT src, dst, "
+            f"CAST({mulmod('CAST(xor(z, z >> 27) AS HUGEINT)', C3)} AS UBIGINT) AS z FROM c{k}1)",
+            f"t{k}0 AS (SELECT src, dst, "
+            f"CAST((CAST(xor(z, z >> 31) AS HUGEINT) + 1 + {C1}) & {MASK} AS UBIGINT)"
+            f" AS z FROM c{k}2)",
+            f"t{k}1 AS (SELECT src, dst, "
+            f"CAST({mulmod('CAST(xor(z, z >> 30) AS HUGEINT)', C2)} AS UBIGINT) AS z FROM t{k}0)",
+            f"t{k}2 AS (SELECT src, dst, "
+            f"CAST({mulmod('CAST(xor(z, z >> 27) AS HUGEINT)', C3)} AS UBIGINT) AS z FROM t{k}1)",
+            f"samp{k} AS (SELECT src, dst FROM ("
+            f"SELECT src, dst, ROW_NUMBER() OVER (PARTITION BY src "
+            f"ORDER BY CAST(xor(z, z >> 31) >> 11 AS DOUBLE)"
+            f" * (1.0 / 9007199254740992.0), dst) AS rn FROM t{k}2)"
+            f" WHERE rn <= {fanout})",
+            f"f{k + 1} AS (SELECT DISTINCT dst AS v FROM samp{k})",
+        ]
+    selects = [
+        f"SELECT CAST({k} AS BIGINT) AS hop, src, dst FROM samp{k}"
+        for k in range(len(fanouts))
+    ]
+    return "WITH " + ",\n".join(parts) + "\n" + "\nUNION ALL ".join(selects)
+
+
+ORACLES["neighbor_sample_int"] = _neighbor_sample_oracle_sql()

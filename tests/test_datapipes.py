@@ -99,6 +99,29 @@ def test_walks_oracle_sql_matches_pipeline():
     assert got.equals(want)
 
 
+def test_neighbor_sample_oracle_sql_matches_pipeline():
+    """ROW_NUMBER over the per-edge splitmix64 uniforms reproduces the
+    stable-argsort fanout selection of uniform_neighbor_sample exactly."""
+    import duckdb
+
+    from raygraph.pipelines import QUERIES, _neighbor_sample_oracle_sql
+
+    got = QUERIES["neighbor_sample_int"](SF)
+    got = (got.to_pandas() if hasattr(got, "to_pandas") else got)
+    cols = ["hop", "src", "dst"]
+    got = got[cols].sort_values(cols).reset_index(drop=True).astype("int64")
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW lineitem AS SELECT * FROM read_parquet('{SF}/lineitem.parquet')"
+    )
+    want = (
+        con.execute(_neighbor_sample_oracle_sql()).fetchdf()[cols]
+        .sort_values(cols).reset_index(drop=True).astype("int64")
+    )
+    assert len(got) > 0
+    assert got.equals(want)
+
+
 def test_minhash_scale_paths_match(docs):
     # the join-verify path (broadcast_limit=0) and the engine components
     # path (engine_pair_limit=0) must reproduce the default result exactly
