@@ -1681,6 +1681,45 @@ def q_walks_int(sf_dir: str):
     )
 
 
+def q_bfs_paths_int(sf_dir: str):
+    """BFS path unwind (extract_bfs_paths) on the UNRENUMBERED int-keyed
+    ps graph: with raw ids the engine's min-internal-vid predecessor
+    tie-break equals MIN(neighbor id at distance d−1), which SQL states
+    directly — so the whole source→destination path set is hash-checked
+    (the string-keyed ``bfs_paths`` stays rows-only)."""
+    from raygraph.algos.traversal import bfs, extract_bfs_paths
+    from raygraph.graph import Graph
+
+    e = ps_edges(sf_dir)
+    g = Graph.from_edges(
+        e, src="src", dst="dst", weight="weight",
+        directed=False, renumber=False, num_partitions=8,
+        out_dir=_tmpdir("bfspint"),
+    )
+    src = int(
+        e.map_batches(
+            lambda df: df[["src"]].nsmallest(1, "src"), batch_format="pandas"
+        ).to_pandas()["src"].min()
+    )
+    res = bfs(g, src).materialize()
+    reached = res.map_batches(
+        lambda df: df.loc[df["distance"] >= 1, ["vertex"]].nlargest(5, "vertex"),
+        batch_format="pandas",
+    ).to_pandas()
+    dests = np.sort(reached["vertex"].unique())[-5:]
+    paths = extract_bfs_paths(g, res, dests)
+    return paths.map_batches(
+        lambda df: pd.DataFrame(
+            {
+                "dest": df["dest"].to_numpy(np.int64),
+                "pos": df["pos"].to_numpy(np.int64),
+                "vertex": df["vertex"].to_numpy(np.int64),
+            }
+        ),
+        batch_format="pandas",
+    )
+
+
 def q_neighbor_sample_int(sf_dir: str):
     """Multi-hop uniform neighbor sampling (fanouts [3, 2], seed 42) on
     the UNRENUMBERED int-keyed ps graph — per-edge seeded uniforms +
@@ -2019,6 +2058,7 @@ QUERIES = {
     "random_walks": q_random_walks,
     "walks_int": q_walks_int,
     "neighbor_sample_int": q_neighbor_sample_int,
+    "bfs_paths_int": q_bfs_paths_int,
     "biased_walks": q_biased_walks,
     "k_core": q_k_core,
     "egonet": q_egonet,
@@ -3117,3 +3157,38 @@ def _neighbor_sample_oracle_sql(seed: int = 42, fanouts=(3, 2),
 
 
 ORACLES["neighbor_sample_int"] = _neighbor_sample_oracle_sql()
+
+# BFS path unwind on the int ps graph: distances by recursive closure,
+# predecessor(v) = MIN(u at distance d−1) — the engine's lexsort
+# min-(dist, src) tie-break stated relationally — then the path set by
+# recursive predecessor descent from the 5 highest reached ids.
+ORACLES["bfs_paths_int"] = f"""
+WITH RECURSIVE
+e AS (SELECT l_partkey AS src, l_suppkey + {SUPP_OFFSET} AS dst
+      FROM lineitem GROUP BY 1, 2),
+sym AS MATERIALIZED (SELECT DISTINCT src, dst FROM
+      (SELECT src, dst FROM e UNION ALL SELECT dst, src FROM e)),
+s AS (SELECT MIN(l_partkey) AS sv FROM lineitem),
+walk(vertex, dist) AS (
+    SELECT sv, 0 FROM s
+    UNION
+    SELECT sy.dst, w.dist + 1 FROM walk w JOIN sym sy ON sy.src = w.vertex
+    WHERE w.dist < 64
+),
+md AS MATERIALIZED (SELECT vertex, MIN(dist) AS d FROM walk GROUP BY 1),
+pred AS MATERIALIZED (
+    SELECT m.vertex AS v, MIN(sy.src) AS p
+    FROM md m
+    JOIN sym sy ON sy.dst = m.vertex
+    JOIN md mu ON mu.vertex = sy.src AND mu.d = m.d - 1
+    WHERE m.d >= 1 GROUP BY 1
+),
+dests AS (SELECT vertex FROM md WHERE d >= 1 ORDER BY vertex DESC LIMIT 5),
+paths(dest, vtx) AS (
+    SELECT vertex, vertex FROM dests
+    UNION ALL
+    SELECT p.dest, pr.p FROM paths p JOIN pred pr ON pr.v = p.vtx
+)
+SELECT p.dest, md.d AS pos, p.vtx AS vertex
+FROM paths p JOIN md ON md.vertex = p.vtx
+"""
