@@ -33,26 +33,38 @@ def weakly_connected_components(
     checkpoint_every: int = 1,
     resume: bool = False,
     out_dir: Optional[str] = None,
+    engine: Optional[SuperstepEngine] = None,
 ):
     """Min-label propagation; requires a symmetrized (undirected) graph.
 
     Weak connectivity is defined on the underlying undirected graph; build
     with ``directed=False`` (the reference symmetrizes on construction,
     ``simpleGraph.py:215-229``).
+
+    ``engine=``: reuse a caller-held engine over the same graph (one
+    actor-pool spin-up for several algorithms); the caller owns shutdown.
     """
     if graph.directed:
         raise ValueError(
             "weakly_connected_components requires a symmetrized graph; "
             "build with directed=False"
         )
-    engine = SuperstepEngine(
-        graph, num_workers=num_workers,
-        checkpoint_dir=checkpoint_dir, checkpoint_every=checkpoint_every,
-    )
+    own_engine = engine is None
+    if own_engine:
+        engine = SuperstepEngine(
+            graph, num_workers=num_workers,
+            checkpoint_dir=checkpoint_dir, checkpoint_every=checkpoint_every,
+        )
+    else:
+        if engine.graph is not graph and engine.graph.base_dir != graph.base_dir:
+            raise ValueError("engine= was built over a different graph")
+        engine._keep_alive = True  # result is a lazy handle; caller shuts down
+        engine.reset()
     try:
         return _run(engine, max_iter, checkpoint_dir, resume, out_dir)
     finally:
-        engine.shutdown()
+        if own_engine:
+            engine.shutdown()
 
 
 def strongly_connected_components(

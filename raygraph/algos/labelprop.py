@@ -39,19 +39,29 @@ def label_propagation(
     checkpoint_every: int = 1,
     resume: bool = False,
     out_dir: Optional[str] = None,
+    engine: Optional[SuperstepEngine] = None,
 ):
     if graph.directed:
         raise ValueError(
             "label_propagation requires a symmetrized graph; build with directed=False"
         )
-    engine = SuperstepEngine(
-        graph, num_workers=num_workers,
-        checkpoint_dir=checkpoint_dir, checkpoint_every=checkpoint_every,
-    )
+    own_engine = engine is None
+    if own_engine:
+        engine = SuperstepEngine(
+            graph, num_workers=num_workers,
+            checkpoint_dir=checkpoint_dir, checkpoint_every=checkpoint_every,
+        )
+    else:
+        # engine reuse: same-graph check + state reset (caller owns shutdown)
+        if engine.graph is not graph and engine.graph.base_dir != graph.base_dir:
+            raise ValueError("engine= was built over a different graph")
+        engine._keep_alive = True  # result is a lazy handle; caller shuts down
+        engine.reset()
     try:
         return _run(engine, max_iter, checkpoint_dir, resume, out_dir)
     finally:
-        engine.shutdown()
+        if own_engine:
+            engine.shutdown()
 
 
 def _run(engine, max_iter, checkpoint_dir, resume, out_dir):

@@ -46,6 +46,7 @@ def pagerank(
     resume: bool = False,
     out_dir: Optional[str] = None,
     fail_on_nonconvergence: bool = True,
+    engine: Optional[SuperstepEngine] = None,
 ):
     """Run PageRank on a built Graph; returns Dataset (vertex, pagerank).
 
@@ -58,10 +59,19 @@ def pagerank(
     instead of raising — with ``tol=0`` this runs exactly ``max_iter``
     power iterations (used by the SQL-checkable fixed-iteration query).
     """
-    engine = SuperstepEngine(
-        graph, num_workers=num_workers,
-        checkpoint_dir=checkpoint_dir, checkpoint_every=checkpoint_every,
-    )
+    # ``engine=``: reuse a caller-held engine over the same graph (one
+    # actor-pool spin-up for several algorithms); the caller owns shutdown.
+    own_engine = engine is None
+    if own_engine:
+        engine = SuperstepEngine(
+            graph, num_workers=num_workers,
+            checkpoint_dir=checkpoint_dir, checkpoint_every=checkpoint_every,
+        )
+    else:
+        if engine.graph is not graph and engine.graph.base_dir != graph.base_dir:
+            raise ValueError("engine= was built over a different graph")
+        engine._keep_alive = True  # result is a lazy handle; caller shuts down
+        engine.reset()
     V = graph.num_vertices
 
     def _pair(d):
@@ -82,7 +92,8 @@ def pagerank(
                     _pair(personalization), personalization is not None,
                     checkpoint_dir, resume, out_dir, fail_on_nonconvergence)
     finally:
-        engine.shutdown()
+        if own_engine:
+            engine.shutdown()
 
 
 def _run(engine, graph, alpha, tol, max_iter, nstart, personalization,

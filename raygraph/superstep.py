@@ -203,6 +203,49 @@ class PartitionWorker:
         our tuple."""
         return m[self.wid] if isinstance(m, list) else m
 
+    # -- dense-iteration scatter layout ------------------------------------
+    # Edges stable-sorted by PACKED destination position, built lazily on
+    # the first pagerank/spmv scatter (frontier kernels never pay for it).
+    # Per superstep the reduction becomes one multiply into a reused buffer
+    # plus a bincount whose scatter writes are sequential in the packed
+    # output — no per-iteration ``partial[route_order]`` gather — and the
+    # source-gather index is int32 when the extended state vector fits,
+    # halving the per-edge index bytes the loop streams.  The stable sort
+    # preserves within-destination edge order, so partials stay
+    # BIT-IDENTICAL to ``bincount(dst_inverse, …)[route_order]``.
+    # Cost: one argsort + ~20 B/edge of per-worker arrays, paid once
+    # (measured 1.4× at the W=32 shape, 1.56× at W=8 — BASELINE.md).
+    def _packed_layout(self):
+        lay = getattr(self, "_sp_lay", None)
+        if lay is None:
+            U = len(self.dst_unique)
+            ppos = np.empty(U, np.int64)
+            ppos[self.route_order] = np.arange(U)
+            epos = ppos[self.dst_inverse]
+            order = np.argsort(epos, kind="stable")
+            idt = (np.int32 if self.n_owned + self.n_mirror < 2 ** 31
+                   else np.int64)
+            lay = {
+                "order": order,
+                "src_local": self.src_local[order].astype(idt),
+                "epos": epos[order],
+                "buf": np.empty(len(order)),
+                "coef": {},
+            }
+            self._sp_lay = lay
+        return lay
+
+    def _packed_partials(self, src_vals, coef_name, coef_arr):
+        """Per-destination partials already in packed (route_order) order."""
+        lay = self._packed_layout()
+        coef = lay["coef"].get(coef_name)
+        if coef is None:
+            coef = coef_arr[lay["order"]]
+            lay["coef"][coef_name] = coef
+        np.multiply(src_vals[lay["src_local"]], coef, out=lay["buf"])
+        return np.bincount(lay["epos"], weights=lay["buf"],
+                           minlength=len(self.dst_unique))
+
     # -- sliced (per-receiver) exchange variants --------------------------
     # One plasma object PER (sender, receiver) pair instead of one per
     # sender: O(W²) objects per round, but a receiver fetches only its own
@@ -223,12 +266,10 @@ class PartitionWorker:
         positions and the exchange ships half the bytes."""
         pr = self.state["pr"]
         pr_ext = self._src_vec("pr")
-        contrib = pr_ext[self.src_local] * self._pr_edge_coef
-        partial = np.bincount(self.dst_inverse, weights=contrib,
-                              minlength=len(self.dst_unique))
+        pp = self._packed_partials(pr_ext, "pr", self._pr_edge_coef)
         dangling_sum = float(pr[self.state["dangling"]].sum())
         offs = self.route_offsets
-        pv, pp = self.packed_vids, partial[self.route_order]
+        pv = self.packed_vids
         out = tuple(
             (pv[offs[q]:offs[q + 1]] if ship_vids else None,
              pp[offs[q]:offs[q + 1]], dangling_sum)
@@ -241,11 +282,9 @@ class PartitionWorker:
         """Per-receiver spmv messages (num_returns=W+1): W (vids | None,
         partials) tuples followed by the stats dict."""
         x = self.state[name]
-        contrib = self._src_vec(name)[self.src_local] * self.w
-        partial = np.bincount(self.dst_inverse, weights=contrib,
-                              minlength=len(self.dst_unique))
+        pp = self._packed_partials(self._src_vec(name), "w", self.w)
         offs = self.route_offsets
-        pv, pp = self.packed_vids, partial[self.route_order]
+        pv = self.packed_vids
         msgs = tuple(
             (pv[offs[q]:offs[q + 1]] if ship_vids else None,
              pp[offs[q]:offs[q + 1]])
@@ -334,6 +373,20 @@ class PartitionWorker:
             out[n] = self.state[n]
         return pd.DataFrame(out)
 
+    def reset_state(self):
+        """Drop all per-algorithm state so the worker can serve another
+        algorithm on the same graph (engine reuse).  Static structures —
+        CSR arrays, routing tables, receive-position caches, the packed
+        scatter layout — survive; only vertex/edge state and fetched
+        property caches go."""
+        self.state.clear()
+        self._mirror_vals.clear()
+        self._dst_vals = {}
+        for attr in ("_ows_ext",):
+            if hasattr(self, attr):
+                delattr(self, attr)
+        return True
+
     def write_state(self, out_dir: str, names, file_tag: Optional[str] = None):
         """Write owned vertex state, one parquet file per graph partition."""
         os.makedirs(out_dir, exist_ok=True)
@@ -394,6 +447,8 @@ class PartitionWorker:
             self._pr_edge_coef = np.where(
                 denom > 0, self.w / np.where(denom > 0, denom, 1.0), 0.0
             )
+        if getattr(self, "_sp_lay", None) is not None:
+            self._sp_lay["coef"].pop("pr", None)  # coef changed: drop cache
         self._pagerank_state_init(nstart, personalization)
         return float(self.state["pr"].sum())
 
@@ -458,6 +513,8 @@ class PartitionWorker:
             self._pr_edge_coef = np.where(
                 denom > 0, self.w / np.where(denom > 0, denom, 1.0), 0.0
             )
+        if getattr(self, "_sp_lay", None) is not None:
+            self._sp_lay["coef"].pop("pr", None)  # coef changed: drop cache
         return float(self.state["pr"].sum())
 
     def pagerank_scatter(self, ship_vids: bool = True):
@@ -474,12 +531,10 @@ class PartitionWorker:
         steady-state exchange bytes (offsets are O(W), kept for slicing)."""
         pr = self.state["pr"]
         pr_ext = self._src_vec("pr")
-        contrib = pr_ext[self.src_local] * self._pr_edge_coef
-        partial = np.bincount(self.dst_inverse, weights=contrib,
-                              minlength=len(self.dst_unique))
+        pp = self._packed_partials(pr_ext, "pr", self._pr_edge_coef)
         dangling_sum = float(pr[self.state["dangling"]].sum())
         return (self.packed_vids if ship_vids else None,
-                partial[self.route_order], self.route_offsets, dangling_sum)
+                pp, self.route_offsets, dangling_sum)
 
     def pagerank_update(self, alpha: float, has_pers: bool, msg_refs):
         """Gather + state update; computes unvarying locally from the
@@ -532,11 +587,9 @@ class PartitionWorker:
         """num_returns=2: (packed msgs, stats); packed = (vids | None,
         partials, offs) — vid-free after round 0, same as pagerank_scatter."""
         x = self.state[name]
-        contrib = self._src_vec(name)[self.src_local] * self.w
-        partial = np.bincount(self.dst_inverse, weights=contrib,
-                              minlength=len(self.dst_unique))
+        pp = self._packed_partials(self._src_vec(name), "w", self.w)
         packed = (self.packed_vids if ship_vids else None,
-                  partial[self.route_order], self.route_offsets)
+                  pp, self.route_offsets)
         bytes_out = packed[1].nbytes + (
             self.packed_vids.nbytes if ship_vids else 0)
         return packed, {"rows_out": len(self.packed_vids),
@@ -1924,6 +1977,9 @@ class SuperstepEngine:
         # round is vid-ful (receivers cache positions), every later one
         # ships float partials only — half the steady-state exchange bytes.
         self._static_vids_shipped = False
+        # engine reuse: when True, result_dataset leaves the pool alive
+        # (caller owns shutdown; see result_dataset docstring)
+        self._keep_alive = False
         # wide-id kernels: auto past 2^32 vertices; forceable for the
         # forced-path equality tests ($RAYGRAPH_WIDE_KEYS=1 or the arg).
         if wide_keys is None:
@@ -1936,9 +1992,23 @@ class SuperstepEngine:
         _t0 = _time.perf_counter()
         self.part2worker = self._balanced_assignment(graph, P, self.W)
         _t1 = _time.perf_counter()
+        # Per-worker CPU reservation: default 1, but never reserve the WHOLE
+        # cluster — ray.data constructs every Dataset (read_parquet included)
+        # through small metadata/sampling remote tasks, and a full
+        # reservation deadlocks them.  Leave one CPU of headroom when the
+        # pool would otherwise cover every core ($RAYGRAPH_WORKER_CPUS
+        # overrides both the default and the shave).
+        env_cpu = os.environ.get("RAYGRAPH_WORKER_CPUS")
+        if env_cpu is not None:
+            worker_cpus = float(env_cpu)
+        else:
+            total = float(ray.cluster_resources().get("CPU", self.W))
+            worker_cpus = 1.0
+            if self.W >= total:
+                worker_cpus = max(total - 1.0, 0.0) / self.W
         self.workers = [
             PartitionWorker.options(
-                num_cpus=float(os.environ.get("RAYGRAPH_WORKER_CPUS", "1"))
+                num_cpus=worker_cpus
             ).remote(
                 graph.base_dir, wid, self.W, P, graph.num_vertices,
                 part2worker=self.part2worker, wide_keys=wide_keys,
@@ -2178,6 +2248,16 @@ class SuperstepEngine:
         stats = ray.get([o[1] for o in outs])
         return [msg_refs] * W, stats
 
+    def reset(self):
+        """Clear per-algorithm worker state for engine reuse: one engine
+        (actor pool + resident CSR + routing layout) can run several
+        algorithms over the same graph back-to-back — pagerank → wcc → lpa
+        pays one spin-up instead of three.  Static caches (receive
+        positions, packed scatter layout, mirror wiring) stay valid because
+        the routing is a property of the graph, not the algorithm."""
+        ray.get([w.reset_state.remote() for w in self.workers])
+        return self
+
     def shutdown(self):
         """Release worker actors (and their CPU reservations).
 
@@ -2193,7 +2273,11 @@ class SuperstepEngine:
         """Final vertex state as a Dataset (per-partition parquet on disk).
 
         Writes through the workers, then releases them so downstream Dataset
-        stages can schedule.
+        stages can schedule.  With ``_keep_alive`` set (engine reuse across
+        algorithms) the pool survives and the returned Dataset is a LAZY
+        read handle — on a cluster whose CPUs are fully reserved by the
+        pool, consume it only after ``shutdown()`` (Dataset tasks cannot
+        schedule against a full reservation).
         """
         import tempfile
         import uuid
@@ -2205,7 +2289,8 @@ class SuperstepEngine:
                 tempfile.gettempdir(), "raygraph", f"result-{uuid.uuid4().hex[:12]}"
             )
         ray.get([w.write_state.remote(out_dir, names) for w in self.workers])
-        self.shutdown()
+        if not getattr(self, "_keep_alive", False):
+            self.shutdown()
         return rd.read_parquet(out_dir)
 
     def edge_result_dataset(self, names, out_dir: Optional[str] = None):
@@ -2220,5 +2305,6 @@ class SuperstepEngine:
                 tempfile.gettempdir(), "raygraph", f"eresult-{uuid.uuid4().hex[:12]}"
             )
         ray.get([w.write_edge_state.remote(out_dir, names) for w in self.workers])
-        self.shutdown()
+        if not getattr(self, "_keep_alive", False):
+            self.shutdown()
         return rd.read_parquet(out_dir)

@@ -593,3 +593,53 @@ def test_pipelined_pagerank_matches_sync(tmp_path, monkeypatch):
     p20 = pr_vec(pagerank(g, tol=0.0, max_iter=20, num_workers=4,
                           fail_on_nonconvergence=False), fixtures.KARATE_V)
     assert np.array_equal(s20, p20)
+
+
+def test_engine_reuse_matches_standalone(tmp_path):
+    # one engine serving pagerank -> wcc -> lpa -> pagerank (reset between
+    # algorithms) must give exactly the results of per-algorithm engines:
+    # routing/CSR are graph properties, state is per-algorithm
+    from raygraph.superstep import SuperstepEngine
+
+    g = build(fixtures.karate_df(), False, tmp_path, "reuse")
+    pr_solo = pr_vec(pagerank(g, tol=1e-10, max_iter=500, num_workers=4),
+                     fixtures.KARATE_V)
+    cc_solo = weakly_connected_components(g, num_workers=4).to_pandas()
+    cc_solo = cc_solo.sort_values("vertex").reset_index(drop=True)
+    lpa_solo = label_propagation(g, max_iter=10, num_workers=4).to_pandas()
+    lpa_solo = lpa_solo.sort_values("vertex").reset_index(drop=True)
+
+    eng = SuperstepEngine(g, num_workers=4)
+    try:
+        # results from a kept-alive engine are LAZY handles — the pool
+        # reserves CPUs, so consume them only after shutdown
+        ds_a = pagerank(g, tol=1e-10, max_iter=500, engine=eng)
+        ds_b = weakly_connected_components(g, engine=eng)
+        ds_c = label_propagation(g, max_iter=10, engine=eng)
+        # a second pagerank on the reused engine (coef cache invalidation)
+        ds_d = pagerank(g, tol=1e-10, max_iter=500, engine=eng)
+        assert len(eng.workers) == 4  # engine survived all runs
+    finally:
+        eng.shutdown()
+    pr_a = pr_vec(ds_a, fixtures.KARATE_V)
+    pr_d = pr_vec(ds_d, fixtures.KARATE_V)
+    cc_b = ds_b.to_pandas().sort_values("vertex").reset_index(drop=True)
+    lpa_c = ds_c.to_pandas().sort_values("vertex").reset_index(drop=True)
+
+    assert np.array_equal(pr_solo, pr_a)
+    assert np.array_equal(pr_solo, pr_d)
+    pd.testing.assert_frame_equal(cc_solo, cc_b)
+    pd.testing.assert_frame_equal(lpa_solo, lpa_c)
+
+
+def test_engine_reuse_rejects_other_graph(tmp_path):
+    from raygraph.superstep import SuperstepEngine
+
+    g1 = build(fixtures.karate_df(), False, tmp_path, "g1")
+    g2 = build(fixtures.two_components_df(), False, tmp_path, "g2")
+    eng = SuperstepEngine(g1, num_workers=2)
+    try:
+        with pytest.raises(ValueError, match="different graph"):
+            pagerank(g2, engine=eng)
+    finally:
+        eng.shutdown()
