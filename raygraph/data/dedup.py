@@ -496,10 +496,14 @@ class SimHasher:
     """64-bit SimHash over word tokens (Charikar 2002).
 
     Batch-vectorized kernel: tokens of the whole batch are hashed through a
-    per-actor vocab cache (crc32 → splitmix64 on cache misses only — no
-    per-word md5), bit votes are one (tokens × 64) matrix, and per-doc sums
-    are a single segmented ``reduceat``.  The token hash is deterministic
-    across runs/processes (crc32+splitmix64, never builtin ``hash``)."""
+    per-actor vocab cache (hashed on cache misses only — no per-word md5),
+    bit votes are one (tokens × 64) matrix, and per-doc sums are a single
+    segmented ``reduceat``.  The token hash is deterministic across
+    runs/processes (never builtin ``hash``) and SQL-replayable: a base-257
+    polynomial over the token's utf-8 bytes mod 2^64 (the minhash shingle
+    scheme, generalized to variable length), xor'd with ``len << 32`` and
+    finalized by splitmix64 — ``pipelines._simhash_oracle_sql`` replays it
+    bit-exactly in DuckDB."""
 
     def __init__(self, text_col="text", id_col="doc_id"):
         import re
@@ -510,16 +514,26 @@ class SimHasher:
         self._vocab: dict[str, int] = {}  # token → uint64 hash (per actor)
 
     def _token_hashes(self, uniq: np.ndarray) -> np.ndarray:
-        from raygraph.hashing import hash_str_array, splitmix64
+        from raygraph.hashing import splitmix64
 
         out = np.empty(len(uniq), dtype=np.uint64)
         miss_idx = [i for i, t in enumerate(uniq) if t not in self._vocab]
         if miss_idx:
             miss = uniq[miss_idx]
-            # 64-bit token hash: vectorized siphash mixed with the length, finalized
-            h = hash_str_array(miss).astype(np.uint64)
-            lens = np.fromiter((len(t) for t in miss), np.uint64, count=len(miss))
-            hv = splitmix64(h ^ (lens << np.uint64(32)))
+            bts = [t.encode("utf-8", "ignore") for t in miss]
+            lens = np.fromiter((len(b) for b in bts), np.int64, count=len(bts))
+            L = int(lens.max()) if len(lens) else 0
+            # column-wise polynomial fold over a padded byte matrix: each
+            # column is one vectorized h = h*257 + byte step on the rows
+            # still inside their token (token length is bounded — words)
+            mat = np.zeros((len(bts), L), dtype=np.uint64)
+            for i, b in enumerate(bts):
+                mat[i, : len(b)] = np.frombuffer(b, dtype=np.uint8)
+            h = np.zeros(len(bts), dtype=np.uint64)
+            for c in range(L):
+                active = lens > c
+                h[active] = h[active] * np.uint64(257) + mat[active, c]
+            hv = splitmix64(h ^ (lens.astype(np.uint64) << np.uint64(32)))
             for t, v in zip(miss, hv):
                 self._vocab[t] = int(v)
         for i, t in enumerate(uniq):

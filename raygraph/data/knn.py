@@ -77,11 +77,15 @@ def knn_bruteforce(ds, queries: np.ndarray, query_ids, k: int = 10,
 def train_ivf_centroids(ds, num_centroids: int = 16, emb_col: str = "embedding",
                         sample_rows: int = 10_000, iters: int = 10, seed: int = 42,
                         id_col: str = "vec_id"):
-    """K-means on a deterministic hash-stride sample (Lloyd's).
+    """Spherical k-means on a deterministic hash-stride sample (Lloyd's).
 
     The sample keeps rows with ``splitmix64(id) % stride == 0`` — unbiased
     w.r.t. storage order (``ds.limit`` would train on the FIRST rows, which
-    is skewed on sorted inputs), deterministic across runs/parallelism."""
+    is skewed on sorted inputs), deterministic across runs/parallelism.
+    Init = the vectors of the ``num_centroids`` smallest sampled ids
+    (fully deterministic and SQL-replayable —
+    ``pipelines._ivf_knn_oracle_sql`` replays the whole training loop;
+    ``seed`` is kept for API compatibility and no longer consumed)."""
     from raygraph.hashing import hash_int64
 
     n = ds.count()
@@ -92,9 +96,9 @@ def train_ivf_centroids(ds, num_centroids: int = 16, emb_col: str = "embedding",
         return df[h % np.uint64(stride) == 0]
 
     sample = ds.map_batches(take, batch_format="pandas").to_pandas()
+    sample = sample.sort_values(id_col).reset_index(drop=True)
     X = _norm_rows(_emb_matrix(sample, emb_col))
-    rng = np.random.RandomState(seed)
-    C = X[rng.choice(len(X), size=min(num_centroids, len(X)), replace=False)]
+    C = X[: min(num_centroids, len(X))].copy()
     for _ in range(iters):
         assign = np.argmax(X @ C.T, axis=1)
         for c in range(len(C)):
@@ -201,7 +205,9 @@ def knn_ivf(ds, queries: np.ndarray, query_ids, k: int = 10, nprobe: int = 4,
     if centroids is None:
         centroids = train_ivf_centroids(ds, num_centroids, emb_col, id_col=id_col)
     qm = _norm_rows(np.asarray(queries, dtype=np.float64))
-    probe = np.argsort(-(qm @ centroids.T), axis=1)[:, :nprobe]
+    # stable sort: centroid-similarity ties resolve to the lowest list id
+    # (deterministic, and what the SQL oracle's ROW_NUMBER tie-break does)
+    probe = np.argsort(-(qm @ centroids.T), axis=1, kind="stable")[:, :nprobe]
     probed_lists = np.unique(probe)
     assigned = ivf_assign(ds, centroids, emb_col, id_col)
     probed = assigned.map_batches(

@@ -640,6 +640,11 @@ def q_lang_id(sf_dir: str):
 
 
 def q_ivf_knn(sf_dir: str):
+    """IVF ANN top-10 of the 3 lowest vec_ids (8 centroids, nprobe=4).
+    Driver hash-checked vs a full DuckDB replay of the training loop
+    (hash-stride sample → k-smallest-id init → 10 spherical-Lloyd
+    iterations), list assignment, probe pruning and the exact rank-by-
+    rounded-cosine top-k (``_ivf_knn_oracle_sql``)."""
     import pyarrow.parquet as pq
 
     from raygraph.data import knn
@@ -650,7 +655,8 @@ def q_ivf_knn(sf_dir: str):
     Q = np.stack([np.asarray(v, np.float64) for v in emb["embedding"]])
     qids = emb["vec_id"].to_numpy(np.int64)
     ds = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
-    return knn.knn_ivf(ds, Q, qids, k=10, nprobe=4, num_centroids=8)
+    top = knn.knn_ivf(ds, Q, qids, k=10, nprobe=4, num_centroids=8)
+    return top[["query_id", "neighbor_id", "rank"]]
 
 
 def q_embed_dedup(sf_dir: str):
@@ -1474,17 +1480,22 @@ def q_k_truss(sf_dir: str):
 
 
 def q_betweenness(sf_dir: str):
-    """Sampled Brandes betweenness (k=16 seeded sources) on the weight≥3
-    subgraph (rows-only; exact-vs-Brandes-oracle pinned by pytest)."""
+    """Sampled Brandes betweenness on the weight≥3 subgraph from the 16
+    lexicographically-smallest vertex keys (an explicit, SQL-expressible
+    source set — the seeded-hash sampler stays pinned by pytest).  Driver
+    hash-checked vs a level-unrolled Brandes replay in DuckDB
+    (``_betweenness_oracle_sql``); both sides round to 6 decimals."""
     from raygraph.algos.centrality import betweenness_centrality
 
     g = _w3_subgraph(sf_dir, "bc")
-    res = betweenness_centrality(g, k=16, normalized=True, seed=42)
+    res = betweenness_centrality(g, sources=_min_key_vids(g, 16),
+                                 normalized=True)
     return g.unrenumber(res, "vertex").map_batches(
         lambda df: pd.DataFrame(
             {
                 "vertex_key": df["vertex"],
-                "betweenness_centrality": df["betweenness_centrality"],
+                "betweenness_centrality":
+                    df["betweenness_centrality"].round(6),
             }
         ),
         batch_format="pandas",
@@ -1846,12 +1857,16 @@ def q_ms_bfs(sf_dir: str):
 
 
 def q_edge_betweenness(sf_dir: str):
-    """Sampled edge betweenness (k=16 seeded sources) on the weight≥3
-    subgraph (rows-only; exact edge-Brandes oracle pinned by pytest)."""
+    """Sampled edge betweenness on the weight≥3 subgraph from the 16
+    smallest vertex keys (explicit SQL-expressible sources — the seeded
+    sampler stays pinned by pytest).  Driver hash-checked vs the
+    level-unrolled Brandes replay (``_betweenness_oracle_sql(edges=True)``);
+    both sides round to 6 decimals."""
     from raygraph.algos.centrality import edge_betweenness_centrality
 
     g = _w3_subgraph(sf_dir, "ebc")
-    res = edge_betweenness_centrality(g, k=16, normalized=True)
+    res = edge_betweenness_centrality(g, sources=_min_key_vids(g, 16),
+                                      normalized=True)
     res = g.unrenumber(res, "src")
     res = g.unrenumber(res, "dst")
     return res.map_batches(
@@ -1859,7 +1874,7 @@ def q_edge_betweenness(sf_dir: str):
             {
                 "src_key": df["src"],
                 "dst_key": df["dst"],
-                "betweenness_centrality": df["betweenness_centrality"].round(9),
+                "betweenness_centrality": df["betweenness_centrality"].round(6),
             }
         ),
         batch_format="pandas",
@@ -3032,6 +3047,251 @@ def _minhash_oracle_sql(threshold: float = 0.7, num_perm: int = 64,
 
 
 ORACLES["minhash_dedup"] = _minhash_oracle_sql()
+
+
+def _simhash_oracle_sql() -> str:
+    """DuckDB replay of ``dedup.simhash_signatures`` (Charikar SimHash),
+    bit-exact: tokens = ``\\w+`` over lowercased text (corpus is pure
+    ASCII, so RE2 ``[a-z0-9_]+`` equals Python's ``\\w+`` after
+    ``lower()``); token hash = base-257 polynomial over the token's bytes
+    mod 2^64 (recursive CTE fold — HUGEINT carries ``h*257 + byte``,
+    ``& mask`` replaces ``% 2^64``), xor ``len << 32``, splitmix64
+    finalizer (same wraparound tricks as ``_minhash_oracle_sql``); bit
+    votes weighted by occurrence count; bit j set iff the vote sum is
+    strictly positive; the packed uint64 maps to the kernel's int64 view
+    via two's complement.  Tokenless docs get signature 0."""
+    MASK = "CAST(18446744073709551615 AS HUGEINT)"
+    C1, C2, C3 = 0x9E3779B97F4A7C15, 0xBF58476D1CE4E5B9, 0x94D049BB133111EB
+
+    def mulmod(t: str, c: int) -> str:
+        return (f"(((({t}) & 4294967295) * {c} + "
+                f"(((({t}) >> 32) * {c}) & 4294967295) * 4294967296) & {MASK})")
+
+    return f"""
+WITH RECURSIVE
+toksraw AS (SELECT doc_id,
+        unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS tok
+        FROM documents),
+toks AS MATERIALIZED (SELECT doc_id, tok, COUNT(*) AS cnt
+        FROM toksraw GROUP BY 1, 2),
+ut AS MATERIALIZED (SELECT DISTINCT tok FROM toks),
+poly(tok, pos, h) AS (
+    SELECT tok, 1, CAST(0 AS HUGEINT) FROM ut
+    UNION ALL
+    SELECT tok, pos + 1, ((h * 257) + ord(substr(tok, pos, 1))) & {MASK}
+    FROM poly WHERE pos <= length(tok)),
+ph AS (SELECT tok, CAST(xor(CAST(h AS UBIGINT),
+        CAST(length(tok) AS UBIGINT) << 32) AS HUGEINT) AS z
+        FROM poly WHERE pos = length(tok) + 1),
+s1 AS (SELECT tok, CAST((z + {C1}) & {MASK} AS UBIGINT) AS z FROM ph),
+s2 AS (SELECT tok,
+        CAST({mulmod('CAST(xor(z, z >> 30) AS HUGEINT)', C2)} AS UBIGINT) AS z
+        FROM s1),
+s3 AS (SELECT tok,
+        CAST({mulmod('CAST(xor(z, z >> 27) AS HUGEINT)', C3)} AS UBIGINT) AS z
+        FROM s2),
+th AS MATERIALIZED (SELECT tok, xor(z, z >> 31) AS thash FROM s3),
+votes AS (SELECT t.doc_id, r.j,
+        SUM(CASE WHEN (th.thash >> r.j) & 1 = 1 THEN t.cnt ELSE -t.cnt END)
+            AS v
+        FROM toks t JOIN th USING (tok), range(0, 64) r(j) GROUP BY 1, 2),
+bits AS (SELECT doc_id,
+        SUM(CASE WHEN v > 0
+            THEN CAST(CAST(1 AS UBIGINT) << j AS HUGEINT)
+            ELSE CAST(0 AS HUGEINT) END) AS u
+        FROM votes GROUP BY 1)
+SELECT d.doc_id,
+       CAST(CASE WHEN COALESCE(b.u, 0) >= CAST(9223372036854775808 AS HUGEINT)
+            THEN COALESCE(b.u, 0) - CAST(18446744073709551616 AS HUGEINT)
+            ELSE COALESCE(b.u, 0) END AS BIGINT) AS simhash
+FROM documents d LEFT JOIN bits b USING (doc_id)
+"""
+
+
+ORACLES["simhash"] = _simhash_oracle_sql()
+
+
+def _betweenness_oracle_sql(edges: bool = False, num_sources: int = 16,
+                            max_depth: int = 48) -> str:
+    """DuckDB replay of Brandes betweenness on the weight≥3 subgraph from
+    the ``num_sources`` smallest vertex keys (matching
+    ``q_betweenness``/``q_edge_betweenness``):
+
+    - forward: level-synchronous BFS unrolled to ``max_depth`` CTE levels
+      (measured eccentricity from these sources is 22 at sf0.01), carrying
+      σ(s,v) = Σ σ over level-(t−1) in-neighbors;
+    - backward: δ levels unrolled descending — δ(v) = Σ over DAG edges
+      (v@L → w@L+1) of σ(v)/σ(w)·(1+δ(w));
+    - vertex mode folds δ into bc (source excluded) and applies the
+      reference rescale 1/((V−1)(V−2)) · V/|S|; edge mode re-derives each
+      DAG edge's contribution from the final δ table, accumulates per
+      stored directed edge, and divides by V(V−1) (no sample
+      extrapolation for edges, matching the reference's NetworkX note).
+    Both sides round to 6 decimals."""
+    D = max_depth
+    parts = [f"""WITH
+e AS (SELECT 'part::' || l_partkey AS src, 'supp::' || l_suppkey AS dst
+      FROM lineitem GROUP BY 1, 2 HAVING COUNT(*) >= 3),
+sym AS MATERIALIZED (SELECT src, dst FROM e UNION SELECT dst, src FROM e),
+v AS MATERIALIZED (SELECT src AS vertex FROM sym GROUP BY 1),
+nv AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM v),
+srcs AS (SELECT vertex AS s FROM v ORDER BY vertex LIMIT {num_sources}),
+ns AS (SELECT CAST(COUNT(*) AS DOUBLE) AS k FROM srcs),
+f0 AS (SELECT s, s AS vx, CAST(1 AS DOUBLE) AS sigma FROM srcs),
+vis0 AS (SELECT s, vx, 0 AS dist, sigma FROM f0)"""]
+    for t in range(1, D + 1):
+        parts.append(f""",
+f{t} AS MATERIALIZED (SELECT f.s, sy.dst AS vx, SUM(f.sigma) AS sigma
+        FROM f{t - 1} f JOIN sym sy ON sy.src = f.vx
+        LEFT JOIN vis{t - 1} vi ON vi.s = f.s AND vi.vx = sy.dst
+        WHERE vi.vx IS NULL GROUP BY 1, 2),
+vis{t} AS MATERIALIZED (SELECT * FROM vis{t - 1}
+        UNION ALL SELECT s, vx, {t}, sigma FROM f{t})""")
+    parts.append(f""",
+vis AS MATERIALIZED (SELECT * FROM vis{D}),
+dl{D} AS MATERIALIZED (SELECT s, vx, CAST(0 AS DOUBLE) AS delta
+        FROM vis WHERE dist = {D})""")
+    for L in range(D - 1, -1, -1):
+        parts.append(f""",
+dl{L} AS MATERIALIZED (SELECT a.s, a.vx,
+        COALESCE(SUM(a.sigma / b.sigma * (1 + d.delta)), 0) AS delta
+        FROM (SELECT * FROM vis WHERE dist = {L}) a
+        LEFT JOIN sym sy ON sy.src = a.vx
+        LEFT JOIN (SELECT * FROM vis WHERE dist = {L + 1}) b
+            ON b.s = a.s AND b.vx = sy.dst
+        LEFT JOIN dl{L + 1} d ON d.s = b.s AND d.vx = b.vx
+        GROUP BY 1, 2)""")
+    alld = " UNION ALL ".join(f"SELECT * FROM dl{L}" for L in range(D + 1))
+    parts.append(f""",
+alld AS MATERIALIZED ({alld})""")
+    if not edges:
+        parts.append("""
+, bcs AS (SELECT vx AS vertex,
+        SUM(CASE WHEN vx = s THEN 0 ELSE delta END) AS raw
+        FROM alld GROUP BY 1)
+SELECT v.vertex AS vertex_key,
+       ROUND(COALESCE(b.raw, 0) * (SELECT n FROM nv)
+             / ((SELECT k FROM ns) * ((SELECT n FROM nv) - 1)
+                * ((SELECT n FROM nv) - 2)), 6) AS betweenness_centrality
+FROM v LEFT JOIN bcs b ON b.vertex = v.vertex""")
+    else:
+        parts.append("""
+, contrib AS (SELECT a.s, a.vx AS esrc, b.vx AS edst,
+        a.sigma / b.sigma * (1 + d.delta) AS c
+        FROM vis a JOIN sym sy ON sy.src = a.vx
+        JOIN vis b ON b.s = a.s AND b.vx = sy.dst AND b.dist = a.dist + 1
+        JOIN alld d ON d.s = b.s AND d.vx = b.vx),
+ebc AS (SELECT esrc, edst, SUM(c) AS raw FROM contrib GROUP BY 1, 2)
+SELECT sym.src AS src_key, sym.dst AS dst_key,
+       ROUND(COALESCE(b.raw, 0)
+             / ((SELECT n FROM nv) * ((SELECT n FROM nv) - 1)), 6)
+           AS betweenness_centrality
+FROM sym LEFT JOIN ebc b ON b.esrc = sym.src AND b.edst = sym.dst""")
+    return "".join(parts)
+
+
+ORACLES["betweenness"] = _betweenness_oracle_sql()
+ORACLES["edge_betweenness"] = _betweenness_oracle_sql(edges=True)
+
+
+def _ivf_knn_oracle_sql(k: int = 10, nprobe: int = 4, num_centroids: int = 8,
+                        iters: int = 10, dim: int = 64,
+                        sample_rows: int = 10_000) -> str:
+    """DuckDB replay of ``knn.knn_ivf`` end-to-end (mirrors
+    ``q_ivf_knn``): hash-stride training sample (``splitmix64(vec_id) %
+    stride == 0`` — the same wraparound replay as ``_minhash_oracle_sql``),
+    init = the ``num_centroids`` smallest sampled ids' normalized vectors,
+    ``iters`` spherical-Lloyd iterations (cosine argmax with ties to the
+    lowest cid; empty/zero-norm clusters keep their previous centroid),
+    full-table list assignment, per-query top-``nprobe`` probed lists
+    (ties to the lowest cid — the kernel's stable argsort), then the exact
+    brute-force rank over probed candidates by (round(cosine, 6) DESC,
+    neighbor_id).  Output is integer ranks — no float columns."""
+    MASK = "CAST(18446744073709551615 AS HUGEINT)"
+    C1, C2, C3 = 0x9E3779B97F4A7C15, 0xBF58476D1CE4E5B9, 0x94D049BB133111EB
+
+    def mulmod(t: str, c: int) -> str:
+        return (f"(((({t}) & 4294967295) * {c} + "
+                f"(((({t}) >> 32) * {c}) & 4294967295) * 4294967296) & {MASK})")
+
+    parts = [f"""WITH dim AS (SELECT i FROM range(1, {dim + 1}) t(i)),
+ev AS MATERIALIZED (SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS x
+        FROM embeddings, dim),
+nrm AS (SELECT vec_id, sqrt(SUM(x * x)) AS nn FROM ev GROUP BY 1),
+evn AS MATERIALIZED (SELECT e.vec_id, e.i,
+        CASE WHEN n.nn = 0 THEN e.x ELSE e.x / n.nn END AS x
+        FROM ev e JOIN nrm n USING (vec_id)),
+strd AS (SELECT CAST(GREATEST(1, COUNT(*) // {sample_rows}) AS UBIGINT) AS st
+        FROM embeddings),
+h0 AS (SELECT vec_id,
+        CAST((CAST(vec_id AS HUGEINT) + {C1}) & {MASK} AS UBIGINT) AS z
+        FROM embeddings),
+h1 AS (SELECT vec_id,
+        CAST({mulmod('CAST(xor(z, z >> 30) AS HUGEINT)', C2)} AS UBIGINT) AS z
+        FROM h0),
+h2 AS (SELECT vec_id,
+        CAST({mulmod('CAST(xor(z, z >> 27) AS HUGEINT)', C3)} AS UBIGINT) AS z
+        FROM h1),
+smp AS MATERIALIZED (SELECT vec_id FROM
+        (SELECT vec_id, xor(z, z >> 31) AS h FROM h2)
+        WHERE h % (SELECT st FROM strd) = 0),
+init AS (SELECT vec_id, ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cid
+        FROM (SELECT vec_id FROM smp ORDER BY vec_id LIMIT {num_centroids})),
+c0 AS MATERIALIZED (SELECT i.cid, e.i, e.x FROM init i JOIN evn e USING (vec_id))"""]
+    for t in range(iters):
+        parts.append(f""",
+s{t} AS (SELECT e.vec_id, c.cid, SUM(e.x * c.x) AS sim
+        FROM evn e JOIN c{t} c USING (i)
+        WHERE e.vec_id IN (SELECT vec_id FROM smp) GROUP BY 1, 2),
+a{t} AS MATERIALIZED (SELECT vec_id, cid FROM (
+        SELECT vec_id, cid,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY sim DESC, cid) rn
+        FROM s{t}) WHERE rn = 1),
+m{t} AS (SELECT a.cid, e.i, AVG(e.x) AS v FROM a{t} a
+        JOIN evn e USING (vec_id) GROUP BY 1, 2),
+mn{t} AS MATERIALIZED (SELECT cid, sqrt(SUM(v * v)) AS nn FROM m{t} GROUP BY 1),
+c{t + 1} AS MATERIALIZED (
+        SELECT m.cid, m.i, m.v / n.nn AS x FROM m{t} m
+        JOIN mn{t} n USING (cid) WHERE n.nn > 0
+        UNION ALL
+        SELECT c.cid, c.i, c.x FROM c{t} c
+        WHERE c.cid NOT IN (SELECT cid FROM mn{t} WHERE nn > 0))""")
+    C = f"c{iters}"
+    parts.append(f""",
+sall AS (SELECT e.vec_id, c.cid, SUM(e.x * c.x) AS sim
+        FROM evn e JOIN {C} c USING (i) GROUP BY 1, 2),
+asg AS MATERIALIZED (SELECT vec_id, cid FROM (
+        SELECT vec_id, cid,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY sim DESC, cid) rn
+        FROM sall) WHERE rn = 1),
+q AS (SELECT vec_id AS query_id FROM embeddings ORDER BY vec_id LIMIT 3),
+qsim AS (SELECT q.query_id, c.cid, SUM(e.x * c.x) AS sim
+        FROM q JOIN evn e ON e.vec_id = q.query_id
+        JOIN {C} c USING (i) GROUP BY 1, 2),
+probe AS (SELECT DISTINCT cid FROM (
+        SELECT query_id, cid,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY sim DESC, cid) rn
+        FROM qsim) WHERE rn <= {nprobe}),
+cand AS MATERIALIZED (SELECT vec_id FROM asg
+        WHERE cid IN (SELECT cid FROM probe)),
+sims AS (SELECT q.query_id, e.vec_id AS neighbor_id, SUM(qe.x * e.x) AS sim
+        FROM q JOIN evn qe ON qe.vec_id = q.query_id
+        JOIN evn e ON e.i = qe.i
+        WHERE e.vec_id IN (SELECT vec_id FROM cand)
+          AND e.vec_id <> q.query_id GROUP BY 1, 2),
+ranked AS (SELECT query_id, neighbor_id,
+        ROW_NUMBER() OVER (PARTITION BY query_id
+                           ORDER BY ROUND(sim, 6) DESC, neighbor_id) AS rank
+        FROM sims)
+SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= {k}""")
+    return "".join(parts)
+
+
+ORACLES["ivf_knn"] = _ivf_knn_oracle_sql()
 
 
 def _walks_oracle_sql(seed: int = 42, max_length: int = 4,
