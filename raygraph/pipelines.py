@@ -1431,12 +1431,39 @@ def q_core_number(sf_dir: str):
     )
 
 
+def q_mst_int(sf_dir: str):
+    """Minimum spanning forest of the UNRENUMBERED int-keyed ps graph —
+    raw vertex ids make the strict (weight, a, b) tie-break SQL-visible,
+    so the unique forest is hash-checked against a round-unrolled Borůvka
+    replay in DuckDB (``_mst_oracle_sql``: per-component min crossing
+    edge + min-label closure per round).  The string-keyed ``mst`` stays
+    rows-only (its tie order rides on the SipHash renumbering)."""
+    from raygraph.algos.mst import minimum_spanning_tree
+    from raygraph.graph import Graph
+
+    g = Graph.from_edges(
+        ps_edges(sf_dir), src="src", dst="dst", weight="weight",
+        directed=False, renumber=False, num_partitions=8,
+        out_dir=_tmpdir("mstint"),
+    )
+    e = minimum_spanning_tree(g)
+    return e.map_batches(
+        lambda df: pd.DataFrame(
+            {"src": df["src"].to_numpy(np.int64),
+             "dst": df["dst"].to_numpy(np.int64),
+             "weight": df["weight"].to_numpy(np.float64)}
+        ),
+        batch_format="pandas",
+    )
+
+
 def q_mst(sf_dir: str):
     """Minimum spanning forest of the weight≥3 ps subgraph (rows-only;
     ties broken by the strict (weight, internal-vid) total order, which
     makes the forest unique — pinned exactly vs a Kruskal union-find
-    oracle under the same order in ``tests/test_mst.py``.  MST is not
-    SQL-expressible, so no DuckDB oracle)."""
+    oracle under the same order in ``tests/test_mst.py``; the SipHash
+    renumbering hides that order from SQL, so the int-keyed sibling
+    ``mst_int`` carries the exact DuckDB oracle)."""
     from raygraph.algos.mst import minimum_spanning_tree
 
     g = _w3_subgraph(sf_dir, "mst")
@@ -2067,6 +2094,7 @@ QUERIES = {
     "betweenness": q_betweenness,
     "k_truss": q_k_truss,
     "mst": q_mst,
+    "mst_int": q_mst_int,
     "node2vec": q_node2vec,
     "bfs_paths": q_bfs_paths,
     "eigenvector": q_eigenvector,
@@ -3292,6 +3320,62 @@ FROM ranked WHERE rank <= {k}""")
 
 
 ORACLES["ivf_knn"] = _ivf_knn_oracle_sql()
+
+
+def _mst_oracle_sql(rounds: int = 12, doublings: int = 14) -> str:
+    """DuckDB replay of the minimum spanning forest on the int-keyed ps
+    graph (``q_mst_int``): Borůvka rounds unrolled as CTE chains — per
+    round every component picks its minimum crossing edge under the
+    strict total order (w, a, b) (the same order
+    ``algos.mst.minimum_spanning_tree`` uses, which makes the forest
+    unique — any correct MSF algorithm under that order returns the same
+    edge set).  Components merge by the algorithm's own mechanism:
+    2-cycle break (the round's pointer graph only has mutual-pair cycles
+    under a strict order; the smaller comp id becomes the self-pointing
+    root) followed by ``doublings`` unrolled pointer-doubling steps
+    (p ← p[p], covering chains up to 2^doublings).  Everything is
+    non-recursive materialized CTEs — a recursive closure inside this
+    chain made DuckDB's planner spill unboundedly.  ``rounds`` ≥
+    ⌈log₂ V⌉ guarantees convergence (components at least halve per
+    round); empty late rounds are no-ops."""
+    parts = [f"""WITH
+e0 AS MATERIALIZED (SELECT l_partkey AS a, l_suppkey + {SUPP_OFFSET} AS b,
+        CAST(COUNT(*) AS DOUBLE) AS w FROM lineitem GROUP BY 1, 2),
+vtx AS (SELECT a AS v FROM e0 UNION SELECT b FROM e0),
+c0 AS MATERIALIZED (SELECT v, v AS comp FROM vtx)"""]
+    for r in range(rounds):
+        parts.append(f""",
+x{r} AS MATERIALIZED (SELECT e.a, e.b, e.w, ca.comp AS ca, cb.comp AS cb
+        FROM e0 e JOIN c{r} ca ON ca.v = e.a JOIN c{r} cb ON cb.v = e.b
+        WHERE ca.comp <> cb.comp),
+psel{r} AS MATERIALIZED (SELECT comp, a, b, w, ca, cb FROM (
+        SELECT comp, a, b, w, ca, cb,
+               ROW_NUMBER() OVER (PARTITION BY comp ORDER BY w, a, b) rn
+        FROM (SELECT ca AS comp, a, b, w, ca, cb FROM x{r}
+              UNION ALL SELECT cb, a, b, w, ca, cb FROM x{r})
+        ) WHERE rn = 1),
+ptr{r} AS MATERIALIZED (SELECT comp,
+        CASE WHEN comp = ca THEN cb ELSE ca END AS other FROM psel{r}),
+p{r}_0 AS MATERIALIZED (SELECT t.comp,
+        CASE WHEN t2.other = t.comp AND t.comp < t.other
+             THEN t.comp ELSE t.other END AS p
+        FROM ptr{r} t JOIN ptr{r} t2 ON t2.comp = t.other)""")
+        for k in range(1, doublings + 1):
+            parts.append(f""",
+p{r}_{k} AS MATERIALIZED (SELECT a.comp, b.p
+        FROM p{r}_{k - 1} a JOIN p{r}_{k - 1} b ON b.comp = a.p)""")
+        parts.append(f""",
+c{r + 1} AS MATERIALIZED (SELECT c.v, COALESCE(rt.p, c.comp) AS comp
+        FROM c{r} c LEFT JOIN p{r}_{doublings} rt ON rt.comp = c.comp)""")
+    allsel = " UNION ALL ".join(
+        f"SELECT a, b, w FROM psel{r}" for r in range(rounds)
+    )
+    parts.append(f"""
+SELECT DISTINCT a AS src, b AS dst, w AS weight FROM ({allsel})""")
+    return "".join(parts)
+
+
+ORACLES["mst_int"] = _mst_oracle_sql()
 
 
 def _walks_oracle_sql(seed: int = 42, max_length: int = 4,
