@@ -1818,6 +1818,42 @@ def q_biased_walks(sf_dir: str):
     )
 
 
+def q_biased_walks_int(sf_dir: str):
+    """Edge-weight-biased random walks (max_length=4, seed=42) on the
+    UNRENUMBERED int-keyed weighted ps graph.  Weights are lineitem
+    co-occurrence counts — exact integers — so the engine's row-local
+    inverse-CDF draw (first dst-sorted neighbor whose running weight sum
+    exceeds u·total, ``superstep.walk_step_scatter``) is exact float64
+    arithmetic end-to-end and hash-checked against the step-unrolled
+    DuckDB replay ``_biased_walks_oracle_sql``.  The renumbered
+    string-keyed ``biased_walks`` stays rows-only + pytest-pinned."""
+    from raygraph.algos.sampling import biased_random_walks
+    from raygraph.graph import Graph
+
+    e = ps_edges(sf_dir)
+    g = Graph.from_edges(
+        e, src="src", dst="dst", weight="weight",
+        directed=False, renumber=False, num_partitions=8,
+        out_dir=_tmpdir("bwint"),
+    )
+    lows = e.map_batches(
+        lambda df: df[["src"]].drop_duplicates().nsmallest(6, "src"),
+        batch_format="pandas",
+    ).to_pandas()
+    starts = np.sort(lows["src"].unique())[:6]
+    walks = biased_random_walks(g, starts, max_length=4, seed=42)
+    return walks.map_batches(
+        lambda df: pd.DataFrame(
+            {
+                "walker": df["walker"].to_numpy(np.int64),
+                "step": df["step"].to_numpy(np.int64),
+                "vertex": df["vertex"].to_numpy(np.int64),
+            }
+        ),
+        batch_format="pandas",
+    )
+
+
 def q_k_core(sf_dir: str):
     """Edges of the 2-core of the weight≥3 subgraph (rows-only; exact
     peeling pinned by pytest)."""
@@ -2103,6 +2139,7 @@ QUERIES = {
     "neighbor_sample_int": q_neighbor_sample_int,
     "bfs_paths_int": q_bfs_paths_int,
     "biased_walks": q_biased_walks,
+    "biased_walks_int": q_biased_walks_int,
     "k_core": q_k_core,
     "egonet": q_egonet,
     "degree_centrality": q_degree_centrality,
@@ -3444,6 +3481,73 @@ def _walks_oracle_sql(seed: int = 42, max_length: int = 4,
 
 
 ORACLES["walks_int"] = _walks_oracle_sql()
+
+
+def _biased_walks_oracle_sql(seed: int = 42, max_length: int = 4,
+                             n_starts: int = 6) -> str:
+    """DuckDB replay of edge-weight-biased walks on the int-keyed ps
+    graph, bit-exact vs ``superstep.walk_step_scatter``'s row-local
+    inverse-CDF draw: per step, u = splitmix64-counter uniform of
+    (seed, walker, step); next = the smallest dst whose running weight
+    sum (dst-sorted within the row) strictly exceeds u·total.  Weights
+    are lineitem co-occurrence COUNTs — exact integers — so both sides
+    compute the identical IEEE double comparison (the single rounded
+    multiply u·total; every cumsum/total operand exact)."""
+    MASK = "CAST(18446744073709551615 AS HUGEINT)"
+    C1, C2, C3 = 0x9E3779B97F4A7C15, 0xBF58476D1CE4E5B9, 0x94D049BB133111EB
+
+    def mulmod(t: str, c: int) -> str:
+        return (f"(((({t}) & 4294967295) * {c} + "
+                f"(((({t}) >> 32) * {c}) & 4294967295) * 4294967296) & {MASK})")
+
+    parts = [
+        f"e AS (SELECT l_partkey AS src, l_suppkey + {SUPP_OFFSET} AS dst, "
+        f"COUNT(*) AS w FROM lineitem GROUP BY 1, 2)",
+        "sym AS MATERIALIZED (SELECT src, dst, w FROM e "
+        "UNION ALL SELECT dst, src, w FROM e)",
+        "adj AS MATERIALIZED (SELECT src, dst, "
+        "SUM(w) OVER (PARTITION BY src ORDER BY dst) AS cumw FROM sym)",
+        "degs AS (SELECT src, SUM(w) AS total FROM sym GROUP BY 1)",
+        f"st AS (SELECT vertex, ROW_NUMBER() OVER (ORDER BY vertex) - 1 AS walker "
+        f"FROM (SELECT DISTINCT l_partkey AS vertex FROM lineitem "
+        f"ORDER BY 1 LIMIT {n_starts}))",
+        "w0 AS (SELECT walker, vertex AS v FROM st)",
+    ]
+    for k in range(1, max_length):
+        K = (seed * 0x9E3779B97F4A7C15 + k * 0xD1B54A32D192ED03) % 2 ** 64
+        parts += [
+            f"a{k} AS (SELECT w.walker, w.v, d.total FROM w{k - 1} w "
+            f"JOIN degs d ON d.src = w.v)",
+            f"s{k}0 AS (SELECT walker, v, total, "
+            f"CAST((CAST(xor(CAST(walker AS UBIGINT), CAST('{K}' AS UBIGINT)) AS HUGEINT)"
+            f" + {C1}) & {MASK} AS UBIGINT) AS z FROM a{k})",
+            f"s{k}1 AS (SELECT walker, v, total, "
+            f"CAST({mulmod('CAST(xor(z, z >> 30) AS HUGEINT)', C2)} AS UBIGINT) AS z FROM s{k}0)",
+            f"s{k}2 AS (SELECT walker, v, total, "
+            f"CAST({mulmod('CAST(xor(z, z >> 27) AS HUGEINT)', C3)} AS UBIGINT) AS z FROM s{k}1)",
+            f"t{k}0 AS (SELECT walker, v, total, "
+            f"CAST((CAST(xor(z, z >> 31) AS HUGEINT) + 1 + {C1}) & {MASK} AS UBIGINT)"
+            f" AS z FROM s{k}2)",
+            f"t{k}1 AS (SELECT walker, v, total, "
+            f"CAST({mulmod('CAST(xor(z, z >> 30) AS HUGEINT)', C2)} AS UBIGINT) AS z FROM t{k}0)",
+            f"t{k}2 AS (SELECT walker, v, total, "
+            f"CAST({mulmod('CAST(xor(z, z >> 27) AS HUGEINT)', C3)} AS UBIGINT) AS z FROM t{k}1)",
+            f"p{k} AS (SELECT walker, v, "
+            f"CAST(xor(z, z >> 31) >> 11 AS DOUBLE) * (1.0 / 9007199254740992.0) "
+            f"* CAST(total AS DOUBLE) AS tgt FROM t{k}2)",
+            f"w{k} AS (SELECT p.walker, MIN(a.dst) AS v FROM p{k} p "
+            f"JOIN adj a ON a.src = p.v AND CAST(a.cumw AS DOUBLE) > p.tgt "
+            f"GROUP BY p.walker)",
+        ]
+    selects = ["SELECT walker, CAST(0 AS BIGINT) AS step, v AS vertex FROM w0"]
+    selects += [
+        f"SELECT walker, CAST({k} AS BIGINT), v FROM w{k}"
+        for k in range(1, max_length)
+    ]
+    return "WITH " + ",\n".join(parts) + "\n" + "\nUNION ALL ".join(selects)
+
+
+ORACLES["biased_walks_int"] = _biased_walks_oracle_sql()
 
 
 def _neighbor_sample_oracle_sql(seed: int = 42, fanouts=(3, 2),

@@ -1759,9 +1759,27 @@ class PartitionWorker:
         if len(ids):
             u = _seeded_uniform(self._walk_seed, ids, step)[:, 0]
             if self._walk_biased:
-                gpick = np.searchsorted(cum, base + u * total, side="right")
-                gpick = np.minimum(gpick, start + deg - 1)
-                nxt = self._walk_dst[gpick]
+                # Row-local inverse-CDF: first in-row index with
+                # (cum[i] - base) > u*total, via a vectorized binary
+                # search.  Stated row-locally (rather than
+                # searchsorted(cum, base + u*total)) so the comparison
+                # never rounds through the worker-global offset `base`:
+                # for exactly-summable (integer-valued) weights every
+                # operand is exact, making the draw bit-identical at any
+                # worker count / placement — and SQL-replayable
+                # (pipelines._biased_walks_oracle_sql).
+                target = u * total
+                lo = start - 1                    # cond(lo) is False
+                hi = start + deg - 1              # cond(hi) is True
+                while True:
+                    upd = (hi - lo) > 1
+                    if not upd.any():
+                        break
+                    mid = np.where(upd, (lo + hi) >> 1, hi)
+                    c = (cum[mid] - base) > target
+                    hi = np.where(upd & c, mid, hi)
+                    lo = np.where(upd & ~c, mid, lo)
+                nxt = self._walk_dst[hi]
             else:
                 pick = (u * deg).astype(np.int64) % deg
                 nxt = self._walk_dst[start + pick]

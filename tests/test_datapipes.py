@@ -99,6 +99,31 @@ def test_walks_oracle_sql_matches_pipeline():
     assert got.equals(want)
 
 
+def test_biased_walks_oracle_sql_matches_pipeline():
+    """The weight-proportional draw (first dst-sorted neighbor whose
+    running integer weight sum exceeds u·total) replayed in SQL is
+    bit-exact vs the engine's row-local binary-search inverse-CDF —
+    guards the exact-float contract of walk_step_scatter's biased path."""
+    import duckdb
+
+    from raygraph.pipelines import QUERIES, _biased_walks_oracle_sql
+
+    got = QUERIES["biased_walks_int"](SF)
+    got = (got.to_pandas() if hasattr(got, "to_pandas") else got)
+    cols = ["walker", "step", "vertex"]
+    got = got[cols].sort_values(cols).reset_index(drop=True).astype("int64")
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW lineitem AS SELECT * FROM read_parquet('{SF}/lineitem.parquet')"
+    )
+    want = (
+        con.execute(_biased_walks_oracle_sql()).fetchdf()[cols]
+        .sort_values(cols).reset_index(drop=True).astype("int64")
+    )
+    assert len(got) > 6
+    assert got.equals(want)
+
+
 def test_neighbor_sample_oracle_sql_matches_pipeline():
     """ROW_NUMBER over the per-edge splitmix64 uniforms reproduces the
     stable-argsort fanout selection of uniform_neighbor_sample exactly."""
