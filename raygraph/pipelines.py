@@ -1854,6 +1854,42 @@ def q_biased_walks_int(sf_dir: str):
     )
 
 
+def q_node2vec_int(sf_dir: str):
+    """node2vec walks (p=2, q=0.5, max_length=4, seed=42) on the
+    UNRENUMBERED int-keyed weighted ps graph.  1/p and 1/q are powers of
+    two and weights are co-occurrence counts, so every w·α term is an
+    exact dyadic float64 — the engine's vectorized segmented draw
+    (``superstep.n2v_move_scatter``) is exact arithmetic end-to-end and
+    hash-checked against the step-unrolled DuckDB replay
+    ``_node2vec_oracle_sql`` (the renumbered ``node2vec`` stays
+    rows-only + pytest-pinned)."""
+    from raygraph.algos.sampling import node2vec_walks
+    from raygraph.graph import Graph
+
+    e = ps_edges(sf_dir)
+    g = Graph.from_edges(
+        e, src="src", dst="dst", weight="weight",
+        directed=False, renumber=False, num_partitions=8,
+        out_dir=_tmpdir("n2vint"),
+    )
+    lows = e.map_batches(
+        lambda df: df[["src"]].drop_duplicates().nsmallest(6, "src"),
+        batch_format="pandas",
+    ).to_pandas()
+    starts = np.sort(lows["src"].unique())[:6]
+    walks = node2vec_walks(g, starts, max_length=4, p=2.0, q=0.5, seed=42)
+    return walks.map_batches(
+        lambda df: pd.DataFrame(
+            {
+                "walker": df["walker"].to_numpy(np.int64),
+                "step": df["step"].to_numpy(np.int64),
+                "vertex": df["vertex"].to_numpy(np.int64),
+            }
+        ),
+        batch_format="pandas",
+    )
+
+
 def q_k_core(sf_dir: str):
     """Edges of the 2-core of the weight≥3 subgraph (rows-only; exact
     peeling pinned by pytest)."""
@@ -2140,6 +2176,7 @@ QUERIES = {
     "bfs_paths_int": q_bfs_paths_int,
     "biased_walks": q_biased_walks,
     "biased_walks_int": q_biased_walks_int,
+    "node2vec_int": q_node2vec_int,
     "k_core": q_k_core,
     "egonet": q_egonet,
     "degree_centrality": q_degree_centrality,
@@ -3548,6 +3585,80 @@ def _biased_walks_oracle_sql(seed: int = 42, max_length: int = 4,
 
 
 ORACLES["biased_walks_int"] = _biased_walks_oracle_sql()
+
+
+def _node2vec_oracle_sql(seed: int = 42, max_length: int = 4,
+                         n_starts: int = 6) -> str:
+    """DuckDB replay of node2vec walks (p=2, q=0.5) on the int-keyed ps
+    graph, bit-exact vs ``superstep.n2v_move_scatter``: per step, each
+    candidate edge (v→d, weight w) gets α = 1/p if d is the previous
+    vertex, 1 if edge(prev, d) exists, else 1/q (Grover & Leskovec 2016);
+    next = the smallest d whose running w·α sum (dst-sorted) strictly
+    exceeds u·total.  Integer counts × power-of-two α keep every cumsum
+    operand an exact dyadic double, so SQL and numpy compute the identical
+    IEEE comparison (single rounded multiply u·total on both sides).
+    Step 1 has no prev: α = 1/q uniformly, mirroring the engine's
+    flags-stay-False first step."""
+    MASK = "CAST(18446744073709551615 AS HUGEINT)"
+    C1, C2, C3 = 0x9E3779B97F4A7C15, 0xBF58476D1CE4E5B9, 0x94D049BB133111EB
+    INV_P, INV_Q = "0.5", "2.0"
+
+    def mulmod(t: str, c: int) -> str:
+        return (f"(((({t}) & 4294967295) * {c} + "
+                f"(((({t}) >> 32) * {c}) & 4294967295) * 4294967296) & {MASK})")
+
+    parts = [
+        f"e AS (SELECT l_partkey AS src, l_suppkey + {SUPP_OFFSET} AS dst, "
+        f"COUNT(*) AS w FROM lineitem GROUP BY 1, 2)",
+        "sym AS MATERIALIZED (SELECT src, dst, w FROM e "
+        "UNION ALL SELECT dst, src, w FROM e)",
+        f"st AS (SELECT vertex, ROW_NUMBER() OVER (ORDER BY vertex) - 1 AS walker "
+        f"FROM (SELECT DISTINCT l_partkey AS vertex FROM lineitem "
+        f"ORDER BY 1 LIMIT {n_starts}))",
+        "w0 AS (SELECT walker, CAST(-1 AS BIGINT) AS prev, vertex AS v FROM st)",
+    ]
+    for k in range(1, max_length):
+        K = (seed * 0x9E3779B97F4A7C15 + k * 0xD1B54A32D192ED03) % 2 ** 64
+        parts += [
+            f"a{k} AS (SELECT pw.walker, pw.v, adj.dst, adj.w, "
+            f"CASE WHEN adj.dst = pw.prev THEN {INV_P} "
+            f"WHEN chk.src IS NOT NULL THEN 1.0 "
+            f"ELSE {INV_Q} END AS alpha "
+            f"FROM w{k - 1} pw JOIN sym adj ON adj.src = pw.v "
+            f"LEFT JOIN sym chk ON chk.src = pw.prev AND chk.dst = adj.dst)",
+            f"c{k} AS (SELECT walker, v, dst, "
+            f"SUM(w * alpha) OVER (PARTITION BY walker ORDER BY dst) AS cumw, "
+            f"SUM(w * alpha) OVER (PARTITION BY walker) AS total FROM a{k})",
+            f"s{k}0 AS (SELECT walker, "
+            f"CAST((CAST(xor(CAST(walker AS UBIGINT), CAST('{K}' AS UBIGINT)) AS HUGEINT)"
+            f" + {C1}) & {MASK} AS UBIGINT) AS z FROM w{k - 1})",
+            f"s{k}1 AS (SELECT walker, "
+            f"CAST({mulmod('CAST(xor(z, z >> 30) AS HUGEINT)', C2)} AS UBIGINT) AS z FROM s{k}0)",
+            f"s{k}2 AS (SELECT walker, "
+            f"CAST({mulmod('CAST(xor(z, z >> 27) AS HUGEINT)', C3)} AS UBIGINT) AS z FROM s{k}1)",
+            f"t{k}0 AS (SELECT walker, "
+            f"CAST((CAST(xor(z, z >> 31) AS HUGEINT) + 1 + {C1}) & {MASK} AS UBIGINT)"
+            f" AS z FROM s{k}2)",
+            f"t{k}1 AS (SELECT walker, "
+            f"CAST({mulmod('CAST(xor(z, z >> 30) AS HUGEINT)', C2)} AS UBIGINT) AS z FROM t{k}0)",
+            f"t{k}2 AS (SELECT walker, "
+            f"CAST({mulmod('CAST(xor(z, z >> 27) AS HUGEINT)', C3)} AS UBIGINT) AS z FROM t{k}1)",
+            f"p{k} AS (SELECT walker, "
+            f"CAST(xor(z, z >> 31) >> 11 AS DOUBLE) * (1.0 / 9007199254740992.0)"
+            f" AS u FROM t{k}2)",
+            f"w{k} AS (SELECT c.walker, c.v AS prev, MIN(c.dst) AS v "
+            f"FROM c{k} c JOIN p{k} p ON p.walker = c.walker "
+            f"AND c.cumw > p.u * c.total GROUP BY 1, 2)",
+        ]
+    selects = ["SELECT walker, CAST(0 AS BIGINT) AS step, v AS vertex FROM w0"]
+    selects += [
+        f"SELECT walker, CAST({k} AS BIGINT), v FROM w{k}"
+        for k in range(1, max_length)
+    ]
+    return "WITH " + ",\n".join(parts) + "\n" + "\nUNION ALL ".join(selects)
+
+
+ORACLES["node2vec_int"] = _node2vec_oracle_sql()
 
 
 def _neighbor_sample_oracle_sql(seed: int = 42, fanouts=(3, 2),

@@ -1863,19 +1863,26 @@ class PartitionWorker:
             degs = deg_c[lo:hi]
             cands = cands_c[clo:chi]
             flags = np.zeros(len(cands), dtype=bool)
-            if len(ids):
+            if len(ids) and len(cands):
+                # vectorized membership: one binary search per candidate
+                # against its prev's resident sorted row window — no
+                # per-walker Python loop
                 loc = np.searchsorted(self.owned, prevs)
-                rs = self._walk_indptr[loc]
-                re = self._walk_indptr[loc + 1]
-                offs = np.zeros(len(ids) + 1, dtype=np.int64)
-                np.cumsum(degs, out=offs[1:])
-                for j in range(len(ids)):
-                    row = self._walk_dst[rs[j]:re[j]]
-                    c = cands[offs[j]:offs[j + 1]]
-                    if len(row):
-                        pos = np.searchsorted(row, c)
-                        pos = np.clip(pos, 0, len(row) - 1)
-                        flags[offs[j]:offs[j + 1]] = row[pos] == c
+                rs_rep = np.repeat(self._walk_indptr[loc], degs)
+                re_rep = np.repeat(self._walk_indptr[loc + 1], degs)
+                dst = self._walk_dst
+                lo = rs_rep - 1          # cond(lo) False sentinel
+                hi = re_rep              # cond(hi) True sentinel
+                while True:
+                    upd = (hi - lo) > 1
+                    if not upd.any():
+                        break
+                    mid = np.where(upd, (lo + hi) >> 1, 0)
+                    c = dst[mid] >= cands
+                    hi = np.where(upd & c, mid, hi)
+                    lo = np.where(upd & ~c, mid, lo)
+                fi = np.flatnonzero(hi < re_rep)
+                flags[fi] = dst[hi[fi]] == cands[fi]
             self._n2v_replies.append((ids, flags))
             rows_in += len(cands)
         return {"rows_in": rows_in}
@@ -1894,17 +1901,24 @@ class PartitionWorker:
     def n2v_flag_update(self, msg_refs):
         """Install returned flags into each pending walker's segment."""
         all_msgs = self._walk_get(msg_refs)
-        pos_of = {int(w): i for i, w in enumerate(self._n2v_ids)}
         for i_c, fl_c, w_offs, f_offs in all_msgs:
             ids = i_c[w_offs[self.wid]:w_offs[self.wid + 1]]
             flags = fl_c[f_offs[self.wid]:f_offs[self.wid + 1]]
-            c = 0
-            for w in ids:
-                i = pos_of[int(w)]
-                d = int(self._n2v_deg[i])
-                self._n2v_flags[self._n2v_offs[i]:self._n2v_offs[i] + d] = \
-                    flags[c:c + d]
-                c += d
+            if not len(ids):
+                continue
+            # _n2v_ids is sorted (walk_step_update argsorts walker ids), so
+            # each reply segment scatters via one searchsorted + repeat —
+            # no per-walker dict loop
+            idx = np.searchsorted(self._n2v_ids, ids)
+            degs = self._n2v_deg[idx]
+            seg0 = np.zeros(len(idx), dtype=np.int64)
+            np.cumsum(degs[:-1], out=seg0[1:])
+            total = int(degs.sum())
+            dest = (
+                np.repeat(self._n2v_offs[idx], degs)
+                + (np.arange(total, dtype=np.int64) - np.repeat(seg0, degs))
+            )
+            self._n2v_flags[dest] = flags
         return True
 
     def n2v_move_scatter(self, step: int):
@@ -1919,18 +1933,38 @@ class PartitionWorker:
             u = _seeded_uniform(self._walk_seed, self._n2v_ids, step)[:, 0]
             inv_p = 1.0 / self._walk_p
             inv_q = 1.0 / self._walk_q
-            for i in range(n):
-                s, d = self._n2v_start[i], self._n2v_deg[i]
-                cands = self._walk_dst[s:s + d]
-                w = self._walk_w[s:s + d]
-                fl = self._n2v_flags[self._n2v_offs[i]:self._n2v_offs[i] + d]
-                alpha = np.where(
-                    cands == self._n2v_prev[i], inv_p,
-                    np.where(fl, 1.0, inv_q),
-                )
-                cum = np.cumsum(w * alpha)
-                j = int(np.searchsorted(cum, u[i] * cum[-1], side="right"))
-                nxt[i] = cands[min(j, d - 1)]
+            deg, offs = self._n2v_deg, self._n2v_offs
+            seg0 = offs[:-1]
+            total_c = int(offs[-1])
+            gather = (
+                np.repeat(self._n2v_start, deg)
+                + (np.arange(total_c, dtype=np.int64) - np.repeat(seg0, deg))
+            )
+            cands = self._walk_dst[gather]
+            alpha = np.where(
+                cands == np.repeat(self._n2v_prev, deg), inv_p,
+                np.where(self._n2v_flags, 1.0, inv_q),
+            )
+            cum = np.cumsum(self._walk_w[gather] * alpha)
+            base = np.where(seg0 > 0, cum[seg0 - 1], 0.0)
+            total = cum[offs[1:] - 1] - base
+            # first in-segment index with (cum[i] - base) > u*total — the
+            # same row-local exact binary search as the biased walk draw
+            # (bit-exact vs the per-walker cumsum whenever w·α is exactly
+            # summable: integer weights × power-of-two 1/p, 1/q), fully
+            # vectorized across the worker's pending walkers
+            target = u * total
+            lo = seg0 - 1
+            hi = offs[1:] - 1
+            while True:
+                upd = (hi - lo) > 1
+                if not upd.any():
+                    break
+                mid = np.where(upd, (lo + hi) >> 1, hi)
+                c = (cum[mid] - base) > target
+                hi = np.where(upd & c, mid, hi)
+                lo = np.where(upd & ~c, mid, lo)
+            nxt = cands[hi]
             self._wk_out.append(
                 (self._n2v_ids, np.full(n, step, dtype=np.int32), nxt)
             )

@@ -124,6 +124,31 @@ def test_biased_walks_oracle_sql_matches_pipeline():
     assert got.equals(want)
 
 
+def test_node2vec_oracle_sql_matches_pipeline():
+    """The node2vec α-weighted draw (1/p return, 1 adjacent, 1/q explore;
+    p=2, q=0.5 → power-of-two α, exact dyadic cumsums) replayed in SQL is
+    bit-exact vs the engine's vectorized segmented draw — guards the
+    3-exchange n2v kernel (membership flags + draw) end-to-end."""
+    import duckdb
+
+    from raygraph.pipelines import QUERIES, _node2vec_oracle_sql
+
+    got = QUERIES["node2vec_int"](SF)
+    got = (got.to_pandas() if hasattr(got, "to_pandas") else got)
+    cols = ["walker", "step", "vertex"]
+    got = got[cols].sort_values(cols).reset_index(drop=True).astype("int64")
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW lineitem AS SELECT * FROM read_parquet('{SF}/lineitem.parquet')"
+    )
+    want = (
+        con.execute(_node2vec_oracle_sql()).fetchdf()[cols]
+        .sort_values(cols).reset_index(drop=True).astype("int64")
+    )
+    assert len(got) > 6
+    assert got.equals(want)
+
+
 def test_neighbor_sample_oracle_sql_matches_pipeline():
     """ROW_NUMBER over the per-edge splitmix64 uniforms reproduces the
     stable-argsort fanout selection of uniform_neighbor_sample exactly."""
