@@ -347,33 +347,75 @@ def verify_jaccard_pairs(ds, pairs_ds, text_col="text", id_col="doc_id",
 
     # 2 distinct docs per pair is the upper bound — cheap dispatch test
     if 2 * n_pairs <= broadcast_limit:
-        pairs = pairs_ds.to_pandas()
+        pairs = pairs_ds.materialize()
         needed = np.unique(
-            np.concatenate([pairs["a"].to_numpy(), pairs["b"].to_numpy()])
+            np.concatenate(
+                [
+                    b["a"].to_numpy()
+                    for b in pairs.iter_batches(batch_format="pandas")
+                ]
+                + [
+                    b["b"].to_numpy()
+                    for b in pairs.iter_batches(batch_format="pandas")
+                ]
+            )
         )
         nref = ray.put(np.sort(needed))
 
+        # shingling runs in the workers; only each involved doc's
+        # sorted-unique shingle array comes back, packed into three flat
+        # numpy arrays the workers then read zero-copy from plasma
         def collect(df: pd.DataFrame) -> pd.DataFrame:
             ns = ray.get(nref)
             m = df[np.isin(df[id_col].to_numpy(), ns)]
-            return m[[id_col, text_col]]
+            return pd.DataFrame(
+                {
+                    id_col: m[id_col].to_numpy(np.int64),
+                    "__sh": [
+                        np.unique(_shingles(str(t), shingle_k))
+                        for t in m[text_col]
+                    ],
+                }
+            )
 
         docs = ds.map_batches(collect, batch_format="pandas").to_pandas()
-        sh = {
-            int(r[id_col]): set(_shingles(str(r[text_col]), shingle_k).tolist())
-            for _, r in docs.iterrows()
-        }
-        jac = []
-        for a, b in zip(pairs["a"], pairs["b"]):
-            sa, sb = sh.get(int(a), set()), sh.get(int(b), set())
-            inter = len(sa & sb)
-            union = len(sa | sb)
-            jac.append(inter / union if union else 0.0)
-        pairs = pairs.copy()
-        pairs["jaccard"] = jac
-        return rd.from_pandas(
-            pairs[pairs["jaccard"] >= threshold].reset_index(drop=True)
+        order = np.argsort(docs[id_col].to_numpy(np.int64), kind="stable")
+        sh_ids = docs[id_col].to_numpy(np.int64)[order]
+        sh_list = [docs["__sh"].iloc[i] for i in order]
+        sh_offs = np.zeros(len(sh_list) + 1, dtype=np.int64)
+        np.cumsum([len(s) for s in sh_list], out=sh_offs[1:])
+        sh_vals = (
+            np.concatenate(sh_list) if sh_list else np.empty(0, np.uint64)
         )
+        shref = ray.put((sh_ids, sh_offs, sh_vals))
+
+        # per-pair exact Jaccard distributed over the pairs Dataset — the
+        # driver never loops over pairs
+        def jac_batch(df: pd.DataFrame) -> pd.DataFrame:
+            ids, offs, vals = ray.get(shref)
+            a = df["a"].to_numpy(np.int64)
+            b = df["b"].to_numpy(np.int64)
+            jac = np.empty(len(df), dtype=np.float64)
+            for i in range(len(df)):
+                pa_ = np.searchsorted(ids, a[i])
+                pb_ = np.searchsorted(ids, b[i])
+                sa = (
+                    vals[offs[pa_]:offs[pa_ + 1]]
+                    if pa_ < len(ids) and ids[pa_] == a[i]
+                    else vals[:0]
+                )
+                sb = (
+                    vals[offs[pb_]:offs[pb_ + 1]]
+                    if pb_ < len(ids) and ids[pb_] == b[i]
+                    else vals[:0]
+                )
+                inter = len(np.intersect1d(sa, sb, assume_unique=True))
+                union = len(sa) + len(sb) - inter
+                jac[i] = inter / union if union else 0.0
+            out = pd.DataFrame({"a": a, "b": b, "jaccard": jac})
+            return out[out["jaccard"] >= threshold]
+
+        return pairs.map_batches(jac_batch, batch_format="pandas")
 
     # scale path: pairs ⋈ docs on a, then on b — texts move through two
     # bucketed shuffles, the driver never sees a pair
