@@ -832,8 +832,12 @@ class PartitionWorker:
         fetched dst properties (the HITS hub step)."""
         self._require_unsplit("hits")
         dv = self._dst_vals[dst_name]
-        acc = np.zeros(self.n_owned)
-        np.add.at(acc, self.src_local, self.w * dv[self.dst_inverse])
+        # bincount == add.at bit-exactly (same per-bin accumulation order),
+        # measurably faster on the per-iteration path
+        acc = np.bincount(
+            self.src_local, weights=self.w * dv[self.dst_inverse],
+            minlength=self.n_owned,
+        )
         old = self.state.get(name_out)
         l1 = float(np.abs(acc - old).sum()) if old is not None else float("inf")
         self.state[name_out] = acc
@@ -1339,7 +1343,8 @@ class PartitionWorker:
             )
             if edge_acc:
                 self.state["ebc"][e_ok] += contrib
-            np.add.at(delta, sl[e_ok], contrib)
+            delta += np.bincount(sl[e_ok], weights=contrib,
+                                 minlength=len(delta))
         return True
 
     def ebc_init(self):
