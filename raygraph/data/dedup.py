@@ -326,11 +326,13 @@ def verify_jaccard_pairs(ds, pairs_ds, text_col="text", id_col="doc_id",
     """Exact shingle-Jaccard for candidate pairs → Dataset (a, b, jaccard).
 
     Small candidate sets (≤ ``broadcast_limit`` distinct docs) use the
-    broadcast path: involved docs are collected once and their shingle sets
-    compared on the driver.  Larger sets use the scale path: two bucketed
-    hash joins ship each pair's two texts into the same task and the
-    Jaccard is computed per pair inside ``map_batches`` — nothing
-    pair-shaped ever lands on the driver.
+    broadcast path: involved docs are shingled in the workers, the packed
+    sorted-shingle arrays broadcast once via ``ray.put``, and the per-pair
+    Jaccard runs distributed over the pairs Dataset (the driver never
+    loops over pairs).  Larger sets use the scale path: two bucketed hash
+    joins ship each pair's two texts into the same task and the Jaccard
+    is computed per pair inside ``map_batches`` — nothing pair-shaped
+    ever lands on the driver.
     """
     import ray
     import ray.data as rd
