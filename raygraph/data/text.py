@@ -10,6 +10,7 @@ import re
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 
 _WS = re.compile(r"\s+")
 _PUNCT = re.compile(r"[.!?,;:]")
@@ -195,3 +196,121 @@ def tfidf_top_terms(ds, text_col="text", id_col="doc_id", k: int = 3,
     scored = joined.map_batches(score, batch_format="pandas")
     return grouped_topk(scored, [id_col], ["tfidf", "term"], k=k,
                         ascending=[False, True], num_buckets=num_buckets)
+
+
+def bigram_pmi(ds, text_col="text", min_count: int = 5,
+               num_buckets: int = 64, broadcast_limit: int = 20_000_000):
+    """Corpus-wide bigram collocation scores (pointwise mutual
+    information), the phrase-detection statistic of Mikolov et al. 2013:
+    ``pmi = ln( (c12/B) / ((c1/N)·(c2/N)) )`` over consecutive token
+    pairs, N = total tokens, B = total bigram occurrences.
+
+    Stages, all bounded: map-side per-batch bigram/unigram count combine
+    (only distinct-per-batch rows cross the wire), one bucketed aggregate
+    each, two scalar sums, the vocab-sized unigram table broadcast once
+    via ``ray.put`` (guarded by ``broadcast_limit``), and a vectorized
+    per-batch PMI map.  Tokenization is whitespace-split on ``' '`` with
+    empty tokens dropped — stated identically in the DuckDB oracle
+    (``pipelines._bigram_pmi_oracle_sql``), whose float expression
+    mirrors this one operation for operation.  PMI is rounded to 6
+    decimals on emit.  Returns Dataset (w1, w2, c12:int64, pmi:float64)
+    filtered to ``c12 >= min_count``.
+    """
+    import ray
+
+    from raygraph.agg import hash_aggregate
+    from raygraph.joins import broadcast_map_ref, lookup_broadcast
+
+    def counts(df: pd.DataFrame) -> pd.DataFrame:
+        w1s, w2s, us = [], [], []
+        for t in df[text_col].astype(str):
+            toks = [w for w in t.split(" ") if w]
+            us.append(np.asarray(toks, dtype=object))
+            if len(toks) > 1:
+                w1s.append(np.asarray(toks[:-1], dtype=object))
+                w2s.append(np.asarray(toks[1:], dtype=object))
+        uni = pd.Series(
+            np.concatenate(us) if us else np.empty(0, object)
+        ).value_counts()
+        if w1s:
+            big = (
+                pd.DataFrame(
+                    {"w1": np.concatenate(w1s), "w2": np.concatenate(w2s)}
+                )
+                .groupby(["w1", "w2"], sort=False)
+                .size()
+                .reset_index(name="n")
+            )
+        else:
+            big = pd.DataFrame(
+                {"w1": pd.Series(dtype=object), "w2": pd.Series(dtype=object),
+                 "n": pd.Series(dtype=np.int64)}
+            )
+        # one frame per batch: unigram rows carry w2 = "" (never a token)
+        return pd.concat(
+            [
+                big,
+                pd.DataFrame(
+                    {"w1": uni.index.to_numpy(object),
+                     "w2": np.full(len(uni), "", dtype=object),
+                     "n": uni.to_numpy(np.int64)}
+                ),
+            ],
+            ignore_index=True,
+        )
+
+    agg = hash_aggregate(
+        ds.map_batches(counts, batch_format="pandas"),
+        ["w1", "w2"], {"n": ("n", "sum")}, num_buckets=num_buckets,
+    ).materialize()
+
+    import pyarrow.compute as pc
+
+    uni_ds = agg.map_batches(
+        lambda t: t.filter(pc.equal(t.column("w2"), "")).select(["w1", "n"]),
+        batch_format="pyarrow",
+    )
+    big_ds = agg.map_batches(
+        lambda t: t.filter(pc.not_equal(t.column("w2"), "")),
+        batch_format="pyarrow",
+    )
+    n_tok = int(uni_ds.sum("n"))
+    n_big = int(big_ds.sum("n"))
+    n_vocab = uni_ds.count()
+    if n_vocab > broadcast_limit:
+        raise NotImplementedError(
+            "bigram_pmi broadcast unigram table exceeds broadcast_limit "
+            f"({n_vocab} > {broadcast_limit}); the join fallback is the "
+            "documented path (two joins.hash_join passes, as in tfidf)"
+        )
+    upd = uni_ds.to_pandas()  # vocab-sized by contract
+    kv = broadcast_map_ref(upd.rename(columns={"w1": "k", "n": "v"}), "k", "v")
+
+    def pmi_rows(df: pd.DataFrame) -> pa.Table:
+        # Arrow out: explicit schema keeps empty blocks typed (no Ray
+        # size-estimation noise on object columns)
+        df = df[df["n"].to_numpy(np.int64) >= min_count]
+        if not len(df):
+            return pa.table(
+                {"w1": pa.array([], pa.string()),
+                 "w2": pa.array([], pa.string()),
+                 "c12": pa.array([], pa.int64()),
+                 "pmi": pa.array([], pa.float64())}
+            )
+        m = ray.get(kv)
+        c1 = lookup_broadcast(df["w1"].to_numpy(object), m).astype(np.float64)
+        c2 = lookup_broadcast(df["w2"].to_numpy(object), m).astype(np.float64)
+        c12 = df["n"].to_numpy(np.int64)
+        # float expression mirrored verbatim in the SQL oracle
+        pmi = np.log(
+            (c12.astype(np.float64) / float(n_big))
+            / ((c1 / float(n_tok)) * (c2 / float(n_tok)))
+        )
+        return pa.table(
+            {"w1": pa.array(df["w1"], pa.string()),
+             "w2": pa.array(df["w2"], pa.string()),
+             "c12": pa.array(c12, pa.int64()),
+             "pmi": pa.array(np.round(pmi, 6), pa.float64())}
+        )
+
+    return big_ds.map_batches(pmi_rows, batch_format="pandas")

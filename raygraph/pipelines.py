@@ -1890,6 +1890,16 @@ def q_node2vec_int(sf_dir: str):
     )
 
 
+def q_bigram_pmi(sf_dir: str):
+    """Corpus-wide bigram collocation (PMI) over documents, c12 ≥ 5 —
+    exact vs a DuckDB replay whose float expression mirrors the Ray
+    kernel operation for operation (``_bigram_pmi_oracle_sql``)."""
+    from raygraph.data.text import bigram_pmi
+
+    docs = _rd().read_parquet(os.path.join(sf_dir, "documents.parquet"))
+    return bigram_pmi(docs, min_count=5)
+
+
 def q_k_core(sf_dir: str):
     """Edges of the 2-core of the weight≥3 subgraph (rows-only; exact
     peeling pinned by pytest)."""
@@ -2177,6 +2187,7 @@ QUERIES = {
     "biased_walks": q_biased_walks,
     "biased_walks_int": q_biased_walks_int,
     "node2vec_int": q_node2vec_int,
+    "bigram_pmi": q_bigram_pmi,
     "k_core": q_k_core,
     "egonet": q_egonet,
     "degree_centrality": q_degree_centrality,
@@ -3659,6 +3670,33 @@ def _node2vec_oracle_sql(seed: int = 42, max_length: int = 4,
 
 
 ORACLES["node2vec_int"] = _node2vec_oracle_sql()
+
+# bigram PMI: tokenization (split on ' ', empties dropped, re-ranked
+# positions), counts, scalar totals and the PMI float expression all
+# stated exactly as data.text.bigram_pmi computes them
+ORACLES["bigram_pmi"] = """
+WITH docs AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+toks0 AS (SELECT doc_id, unnest(l) AS w, generate_subscripts(l, 1) AS i
+          FROM docs),
+toks AS (SELECT doc_id, w,
+                ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY i) AS j
+         FROM toks0 WHERE w <> ''),
+big AS (SELECT a.w AS w1, b.w AS w2 FROM toks a
+        JOIN toks b ON b.doc_id = a.doc_id AND b.j = a.j + 1),
+uni AS (SELECT w, COUNT(*) AS c FROM toks GROUP BY 1),
+bc AS (SELECT w1, w2, COUNT(*) AS c12 FROM big GROUP BY 1, 2),
+tot AS (SELECT (SELECT SUM(c) FROM uni) AS n_tok,
+               (SELECT SUM(c12) FROM bc) AS n_big)
+SELECT bc.w1, bc.w2, bc.c12,
+       ROUND(LN((CAST(bc.c12 AS DOUBLE) / CAST(tot.n_big AS DOUBLE))
+             / ((CAST(u1.c AS DOUBLE) / CAST(tot.n_tok AS DOUBLE))
+              * (CAST(u2.c AS DOUBLE) / CAST(tot.n_tok AS DOUBLE)))), 6)
+       AS pmi
+FROM bc CROSS JOIN tot
+JOIN uni u1 ON u1.w = bc.w1
+JOIN uni u2 ON u2.w = bc.w2
+WHERE bc.c12 >= 5
+"""
 
 
 def _neighbor_sample_oracle_sql(seed: int = 42, fanouts=(3, 2),

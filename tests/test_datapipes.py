@@ -124,6 +124,31 @@ def test_biased_walks_oracle_sql_matches_pipeline():
     assert got.equals(want)
 
 
+def test_bigram_pmi_matches_oracle():
+    """Corpus-wide bigram PMI: tokenization, counts, scalar totals and
+    the PMI float expression all match the DuckDB replay exactly."""
+    import duckdb
+
+    from raygraph.pipelines import ORACLES, QUERIES
+
+    got = QUERIES["bigram_pmi"](SF)
+    got = (got.to_pandas() if hasattr(got, "to_pandas") else got)
+    cols = ["w1", "w2", "c12", "pmi"]
+    got = got[cols].sort_values(cols).reset_index(drop=True)
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{SF}/documents.parquet')"
+    )
+    want = (
+        con.execute(ORACLES["bigram_pmi"]).fetchdf()[cols]
+        .sort_values(cols).reset_index(drop=True)
+    )
+    assert len(got) > 0
+    assert got["c12"].astype("int64").equals(want["c12"].astype("int64"))
+    assert got[["w1", "w2"]].equals(want[["w1", "w2"]])
+    assert np.allclose(got["pmi"], want["pmi"], atol=1e-9)
+
+
 def test_node2vec_oracle_sql_matches_pipeline():
     """The node2vec α-weighted draw (1/p return, 1 adjacent, 1/q explore;
     p=2, q=0.5 → power-of-two α, exact dyadic cumsums) replayed in SQL is
