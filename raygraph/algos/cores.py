@@ -63,14 +63,21 @@ def _core_number_distributed(graph, num_workers=None):
         engine.shutdown()
 
 
-def core_number(graph, broadcast_limit: int = 20_000_000, num_workers=None):
-    """Returns Dataset (vertex, core_number) — exact."""
+def core_number(graph, broadcast_limit: int = 20_000_000, num_workers=None,
+                local_edge_limit: int = 50_000_000):
+    """Returns Dataset (vertex, core_number) — exact.
+
+    The sequential Batagelj–Zaveršnik path below materializes the EDGE
+    list on the driver, so the gate is on ``num_edges`` (mirroring
+    louvain's ``local_edge_limit``), not just V — a low-V/high-E graph
+    must take the distributed delta-peel, which is forced-path tested.
+    """
     import ray.data as rd
 
     if graph.directed:
         raise ValueError("core_number requires an undirected graph")
     V = graph.num_vertices
-    if V > broadcast_limit:
+    if V > broadcast_limit or graph.num_edges > local_edge_limit:
         return _core_number_distributed(graph, num_workers=num_workers)
     df = graph.edges_dataset(columns=["src", "dst"]).to_pandas()
     src = df["src"].to_numpy(np.int64)

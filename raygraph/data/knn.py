@@ -27,15 +27,23 @@ def _emb_matrix(df: pd.DataFrame, col: str) -> np.ndarray:
 
 def knn_bruteforce(ds, queries: np.ndarray, query_ids, k: int = 10,
                    emb_col: str = "embedding", id_col: str = "vec_id",
-                   exclude_ids: bool = True):
+                   exclude_ids: bool = True, num_buckets: int = 16):
     """Exact cosine top-k of each query against the whole embedding Dataset.
 
     ``queries``: (Q, d) float array; broadcast once. Returns a pandas frame
     (query_id, neighbor_id, rank, score) with rank 1..k by
     (score desc, neighbor_id asc); scores rounded to 6 decimals before
     ranking so ordering is reproducible across float reduction orders.
+
+    Scale path: each block emits its per-query top-k (one argpartition
+    over the whole (Q, B) sim matrix — no per-query Python loop), the
+    partials re-combine through ``agg.grouped_topk`` (map-side top-k
+    combine + one bucket shuffle), so the driver sees ≤ Q×k rows no
+    matter how many blocks the dataset has.
     """
     import ray
+
+    from raygraph.agg import grouped_topk
 
     qm = _norm_rows(np.asarray(queries, dtype=np.float64))
     qids = np.asarray(query_ids, dtype=np.int64)
@@ -46,30 +54,32 @@ def knn_bruteforce(ds, queries: np.ndarray, query_ids, k: int = 10,
         emb = _norm_rows(_emb_matrix(df, emb_col))
         ids = df[id_col].to_numpy(np.int64)
         sims = qm @ emb.T  # (Q, B)
-        out = []
-        kk = min(k + (1 if exclude_ids else 0), sims.shape[1])
-        for qi in range(len(qids)):
-            s = sims[qi]
-            idx = np.argpartition(-s, kk - 1)[:kk] if kk < len(s) else np.arange(len(s))
-            out.append(
-                pd.DataFrame(
-                    {
-                        "query_id": qids[qi],
-                        "neighbor_id": ids[idx],
-                        "score": s[idx],
-                    }
-                )
-            )
-        return pd.concat(out, ignore_index=True)
+        if exclude_ids:
+            sims[ids[None, :] == qids[:, None]] = -np.inf
+        B = sims.shape[1]
+        kk = min(k, B)
+        if kk < B:
+            idx = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+        else:
+            idx = np.broadcast_to(np.arange(B), (len(qids), B))
+        scores = np.take_along_axis(sims, idx, axis=1).ravel()
+        out = pd.DataFrame(
+            {
+                "query_id": np.repeat(qids, idx.shape[1]),
+                "neighbor_id": ids[idx.ravel()],
+                "score": np.round(scores, 6),
+            }
+        )
+        return out[np.isfinite(scores)]
 
-    partials = ds.map_batches(partial_topk, batch_format="pandas").to_pandas()
-    if exclude_ids:
-        partials = partials[partials["query_id"] != partials["neighbor_id"]]
-    partials["score"] = partials["score"].round(6)
-    partials = partials.sort_values(
+    partials = ds.map_batches(partial_topk, batch_format="pandas")
+    top = grouped_topk(
+        partials, ["query_id"], ["score", "neighbor_id"], k,
+        ascending=[False, True], num_buckets=num_buckets,
+    ).to_pandas()  # ≤ Q×k rows by construction
+    top = top.sort_values(
         ["query_id", "score", "neighbor_id"], ascending=[True, False, True]
-    )
-    top = partials.groupby("query_id", sort=True).head(k).reset_index(drop=True)
+    ).reset_index(drop=True)
     top["rank"] = top.groupby("query_id").cumcount() + 1
     return top[["query_id", "neighbor_id", "rank", "score"]]
 
@@ -100,7 +110,10 @@ def train_ivf_centroids(ds, num_centroids: int = 16, emb_col: str = "embedding",
     X = _norm_rows(_emb_matrix(sample, emb_col))
     C = X[: min(num_centroids, len(X))].copy()
     for _ in range(iters):
-        assign = np.argmax(X @ C.T, axis=1)
+        # round before argmax: insulates the assignment (and the SQL
+        # oracle's replay) from summation-order ulp noise in the dot
+        # products — a near-tie flipping in any iteration cascades
+        assign = np.argmax(np.round(X @ C.T, 9), axis=1)
         for c in range(len(C)):
             m = assign == c
             if m.any():
@@ -121,7 +134,9 @@ def ivf_assign(ds, centroids: np.ndarray, emb_col="embedding", id_col="vec_id"):
         C = ray.get(cref)
         emb = _norm_rows(_emb_matrix(df, emb_col))
         out = df.copy()
-        out["list_id"] = np.argmax(emb @ C.T, axis=1).astype(np.int64)
+        # rounded argmax: same ulp insulation as the training loop
+        out["list_id"] = np.argmax(np.round(emb @ C.T, 9), axis=1).astype(
+            np.int64)
         return out
 
     return ds.map_batches(fn, batch_format="pandas")
@@ -179,7 +194,8 @@ class IvfIndex:
         import ray.data as rd
 
         qm = _norm_rows(np.asarray(queries, dtype=np.float64))
-        probe = np.argsort(-(qm @ self.centroids.T), axis=1)[:, :nprobe]
+        probe = np.argsort(-np.round(qm @ self.centroids.T, 9),
+                           axis=1, kind="stable")[:, :nprobe]
         import glob
 
         files = []
@@ -205,9 +221,11 @@ def knn_ivf(ds, queries: np.ndarray, query_ids, k: int = 10, nprobe: int = 4,
     if centroids is None:
         centroids = train_ivf_centroids(ds, num_centroids, emb_col, id_col=id_col)
     qm = _norm_rows(np.asarray(queries, dtype=np.float64))
-    # stable sort: centroid-similarity ties resolve to the lowest list id
-    # (deterministic, and what the SQL oracle's ROW_NUMBER tie-break does)
-    probe = np.argsort(-(qm @ centroids.T), axis=1, kind="stable")[:, :nprobe]
+    # stable sort on ROUNDED sims: centroid-similarity ties resolve to the
+    # lowest list id (deterministic, matching the SQL oracle's ROW_NUMBER
+    # tie-break) and one-ulp dot-product noise can't reorder the probes
+    probe = np.argsort(-np.round(qm @ centroids.T, 9),
+                       axis=1, kind="stable")[:, :nprobe]
     probed_lists = np.unique(probe)
     assigned = ivf_assign(ds, centroids, emb_col, id_col)
     probed = assigned.map_batches(

@@ -295,7 +295,7 @@ def bigram_pmi(ds, text_col="text", min_count: int = 5,
                 {"w1": pa.array([], pa.string()),
                  "w2": pa.array([], pa.string()),
                  "c12": pa.array([], pa.int64()),
-                 "pmi": pa.array([], pa.float64())}
+                 "pmi_e6": pa.array([], pa.int64())}
             )
         m = ray.get(kv)
         c1 = lookup_broadcast(df["w1"].to_numpy(object), m).astype(np.float64)
@@ -306,11 +306,19 @@ def bigram_pmi(ds, text_col="text", min_count: int = 5,
             (c12.astype(np.float64) / float(n_big))
             / ((c1 / float(n_tok)) * (c2 / float(n_tok)))
         )
+        # gate column is a scaled integer with half-away-from-zero
+        # rounding (matches DuckDB ROUND(x*1e6, 0)) — np.round is
+        # half-to-even, which flaps the hash gate on representable ties
+        y = pmi * 1e6
+        t = np.trunc(y)
+        pmi_e6 = np.where(
+            np.abs(y - t) == 0.5, t + np.copysign(1.0, y), np.rint(y)
+        ).astype(np.int64)
         return pa.table(
             {"w1": pa.array(df["w1"], pa.string()),
              "w2": pa.array(df["w2"], pa.string()),
              "c12": pa.array(c12, pa.int64()),
-             "pmi": pa.array(np.round(pmi, 6), pa.float64())}
+             "pmi_e6": pa.array(pmi_e6, pa.int64())}
         )
 
     return big_ds.map_batches(pmi_rows, batch_format="pandas")

@@ -33,6 +33,20 @@ def _rd():
     return rd
 
 
+def _scale_e6(x: np.ndarray) -> np.ndarray:
+    """Scaled-integer gate column: round(x*1e6) half-away-from-zero, as
+    DuckDB's ``ROUND(x*1e6, 0)`` does.  np.round is half-to-even on the
+    binary value, which flaps the driver's bit-exact hash gate when a
+    value lands on a representable 6th-decimal tie (ADVICE r3)."""
+    y = np.asarray(x, dtype=np.float64) * 1e6
+    t = np.trunc(y)
+    # rint is half-to-even == half-away everywhere except exact .5 ties;
+    # patch the ties (never add 0.5 in float — that itself rounds)
+    return np.where(
+        np.abs(y - t) == 0.5, t + np.copysign(1.0, y), np.rint(y)
+    ).astype(np.int64)
+
+
 def _tmpdir(tag: str) -> str:
     d = os.path.join(tempfile.gettempdir(), "raygraph", f"{tag}-{uuid.uuid4().hex[:10]}")
     os.makedirs(d, exist_ok=True)
@@ -1511,7 +1525,10 @@ def q_betweenness(sf_dir: str):
     lexicographically-smallest vertex keys (an explicit, SQL-expressible
     source set — the seeded-hash sampler stays pinned by pytest).  Driver
     hash-checked vs a level-unrolled Brandes replay in DuckDB
-    (``_betweenness_oracle_sql``); both sides round to 6 decimals."""
+    (``_betweenness_oracle_sql``); the gate column is a scaled integer
+    (half-away-from-zero ×1e6 on both sides — np.round's half-to-even
+    vs DuckDB ROUND's half-away flapped the hash on representable
+    ties)."""
     from raygraph.algos.centrality import betweenness_centrality
 
     g = _w3_subgraph(sf_dir, "bc")
@@ -1521,8 +1538,8 @@ def q_betweenness(sf_dir: str):
         lambda df: pd.DataFrame(
             {
                 "vertex_key": df["vertex"],
-                "betweenness_centrality":
-                    df["betweenness_centrality"].round(6),
+                "betweenness_e6": _scale_e6(
+                    df["betweenness_centrality"].to_numpy(np.float64)),
             }
         ),
         batch_format="pandas",
@@ -1970,7 +1987,7 @@ def q_edge_betweenness(sf_dir: str):
     smallest vertex keys (explicit SQL-expressible sources — the seeded
     sampler stays pinned by pytest).  Driver hash-checked vs the
     level-unrolled Brandes replay (``_betweenness_oracle_sql(edges=True)``);
-    both sides round to 6 decimals."""
+    scaled-int gate column (half-away ×1e6, see ``q_betweenness``)."""
     from raygraph.algos.centrality import edge_betweenness_centrality
 
     g = _w3_subgraph(sf_dir, "ebc")
@@ -1983,7 +2000,8 @@ def q_edge_betweenness(sf_dir: str):
             {
                 "src_key": df["src"],
                 "dst_key": df["dst"],
-                "betweenness_centrality": df["betweenness_centrality"].round(6),
+                "betweenness_e6": _scale_e6(
+                    df["betweenness_centrality"].to_numpy(np.float64)),
             }
         ),
         batch_format="pandas",
@@ -2111,28 +2129,44 @@ def q_neighbor_sample(sf_dir: str):
 # ---------------------------------------------------------------------------
 # catalog
 
+# Ordering contract: the driver's correctness harness hash-checks the
+# FIRST 50 entries against their DuckDB oracles; entries past that window
+# are covered by the identical local replay (tools/check_queries.py) and
+# pytest.  So the window holds 50 oracle-backed queries spanning every
+# operator family (graph build / algorithms / LLM-data ops); oracle-backed
+# siblings (sorensen vs jaccard, hopping vs tumbling, the *_int RNG
+# replays, …) and the 12 rows-only queries follow after it.
 QUERIES = {
+    # -- graph build / structure (all SQL-oracled) --
     "edge_table": q_edge_table,
     "symmetrize": q_symmetrize,
     "degrees": q_degrees,
     "distinct_vertices": q_distinct_vertices,
-    "two_hop": q_two_hop,
     "induced_subgraph": q_induced_subgraph,
+    "egonet": q_egonet,
     "coarsen_brand": q_coarsen_brand,
     "hypergraph_events": q_hypergraph_events,
+    "property_extract": q_property_extract,
     "jaccard_users": q_jaccard_users,
-    "sorensen_users": q_sorensen_users,
-    "overlap_users": q_overlap_users,
-    "wjaccard_users": q_wjaccard_users,
+    # -- graph algorithms (all SQL-oracled) --
     "wcc": q_wcc,
     "triangles": q_triangles,
     "pagerank": q_pagerank,
     "lpa": q_lpa,
-    "corpus_pagerank": q_corpus_pagerank,
+    "bfs": q_bfs,
+    "sssp": q_sssp,
+    "scc": q_scc,
+    "katz": q_katz,
+    "hits": q_hits,
+    "k_truss": q_k_truss,
+    "mst_int": q_mst_int,
+    "core_number": q_core_number,
+    "assignment": q_assignment,
+    "ms_bfs": q_ms_bfs,
+    # -- LLM-data ops (all SQL-oracled) --
     "ingest_sha256": q_ingest_sha256,
     "exact_dedup": q_exact_dedup,
     "ngram_jaccard": q_ngram_jaccard,
-    "token_count": q_token_count,
     "text_quality": q_text_quality,
     "knn": q_knn,
     "minhash_dedup": q_minhash_dedup,
@@ -2141,10 +2175,8 @@ QUERIES = {
     "ivf_knn": q_ivf_knn,
     "embed_dedup": q_embed_dedup,
     "tumbling": q_tumbling,
-    "hopping": q_hopping,
     "topk_events": q_topk_events,
     "hash_sample": q_hash_sample,
-    "hash_split": q_hash_split,
     "tfidf": q_tfidf,
     "hll_registers": q_hll_registers,
     "repetition": q_repetition,
@@ -2152,48 +2184,47 @@ QUERIES = {
     "decontam": q_decontam,
     "seq_pack": q_seq_pack,
     "cms": q_cms,
-    "bloom_bits": q_bloom_bits,
     "bloom_semijoin": q_bloom_semijoin,
     "sessionize": q_sessionize,
     "interval_join": q_interval_join,
+    "clustering_metrics": q_clustering_metrics,
+    "bigram_pmi": q_bigram_pmi,
+    "kmeans": q_kmeans,
+    # ---- end of the driver's 50-entry hash window ----
+    # oracle-backed siblings / variants (local gate + pytest)
+    "two_hop": q_two_hop,
+    "sorensen_users": q_sorensen_users,
+    "overlap_users": q_overlap_users,
+    "wjaccard_users": q_wjaccard_users,
+    "token_count": q_token_count,
+    "hopping": q_hopping,
+    "hash_split": q_hash_split,
+    "bloom_bits": q_bloom_bits,
+    "fingerprint": q_fingerprint,
+    "asof_join": q_asof_join,
+    "eigenvector": q_eigenvector,
+    "degree_centrality": q_degree_centrality,
+    "k_core": q_k_core,
+    "betweenness": q_betweenness,
+    "edge_betweenness": q_edge_betweenness,
+    "walks_int": q_walks_int,
+    "neighbor_sample_int": q_neighbor_sample_int,
+    "bfs_paths_int": q_bfs_paths_int,
+    "biased_walks_int": q_biased_walks_int,
+    "node2vec_int": q_node2vec_int,
+    # rows-only queries (no SQL equivalent; pytest numeric oracles)
+    "corpus_pagerank": q_corpus_pagerank,
     "louvain": q_louvain,
     "ecg": q_ecg,
     "leiden": q_leiden,
     "spectral_cut": q_spectral_cut,
-    "clustering_metrics": q_clustering_metrics,
     "force_atlas2": q_force_atlas2,
-    "assignment": q_assignment,
-    "katz": q_katz,
-    "hits": q_hits,
-    "bfs": q_bfs,
-    "sssp": q_sssp,
-    "fingerprint": q_fingerprint,
-    "kmeans": q_kmeans,
-    "asof_join": q_asof_join,
-    "core_number": q_core_number,
     "neighbor_sample": q_neighbor_sample,
-    "scc": q_scc,
-    "betweenness": q_betweenness,
-    "k_truss": q_k_truss,
     "mst": q_mst,
-    "mst_int": q_mst_int,
     "node2vec": q_node2vec,
     "bfs_paths": q_bfs_paths,
-    "eigenvector": q_eigenvector,
     "random_walks": q_random_walks,
-    "walks_int": q_walks_int,
-    "neighbor_sample_int": q_neighbor_sample_int,
-    "bfs_paths_int": q_bfs_paths_int,
     "biased_walks": q_biased_walks,
-    "biased_walks_int": q_biased_walks_int,
-    "node2vec_int": q_node2vec_int,
-    "bigram_pmi": q_bigram_pmi,
-    "k_core": q_k_core,
-    "egonet": q_egonet,
-    "degree_centrality": q_degree_centrality,
-    "edge_betweenness": q_edge_betweenness,
-    "ms_bfs": q_ms_bfs,
-    "property_extract": q_property_extract,
 }
 
 # Coreness as a recursive fixpoint: iterate h_{i+1}(v) = H-operator over
@@ -3283,9 +3314,10 @@ alld AS MATERIALIZED ({alld})""")
         SUM(CASE WHEN vx = s THEN 0 ELSE delta END) AS raw
         FROM alld GROUP BY 1)
 SELECT v.vertex AS vertex_key,
-       ROUND(COALESCE(b.raw, 0) * (SELECT n FROM nv)
+       CAST(ROUND(COALESCE(b.raw, 0) * (SELECT n FROM nv)
              / ((SELECT k FROM ns) * ((SELECT n FROM nv) - 1)
-                * ((SELECT n FROM nv) - 2)), 6) AS betweenness_centrality
+                * ((SELECT n FROM nv) - 2)) * 1e6, 0) AS BIGINT)
+           AS betweenness_e6
 FROM v LEFT JOIN bcs b ON b.vertex = v.vertex""")
     else:
         parts.append("""
@@ -3296,9 +3328,10 @@ FROM v LEFT JOIN bcs b ON b.vertex = v.vertex""")
         JOIN alld d ON d.s = b.s AND d.vx = b.vx),
 ebc AS (SELECT esrc, edst, SUM(c) AS raw FROM contrib GROUP BY 1, 2)
 SELECT sym.src AS src_key, sym.dst AS dst_key,
-       ROUND(COALESCE(b.raw, 0)
-             / ((SELECT n FROM nv) * ((SELECT n FROM nv) - 1)), 6)
-           AS betweenness_centrality
+       CAST(ROUND(COALESCE(b.raw, 0)
+             / ((SELECT n FROM nv) * ((SELECT n FROM nv) - 1)) * 1e6, 0)
+            AS BIGINT)
+           AS betweenness_e6
 FROM sym LEFT JOIN ebc b ON b.esrc = sym.src AND b.edst = sym.dst""")
     return "".join(parts)
 
@@ -3359,7 +3392,7 @@ s{t} AS (SELECT e.vec_id, c.cid, SUM(e.x * c.x) AS sim
 a{t} AS MATERIALIZED (SELECT vec_id, cid FROM (
         SELECT vec_id, cid,
                ROW_NUMBER() OVER (PARTITION BY vec_id
-                                  ORDER BY sim DESC, cid) rn
+                                  ORDER BY ROUND(sim, 9) DESC, cid) rn
         FROM s{t}) WHERE rn = 1),
 m{t} AS (SELECT a.cid, e.i, AVG(e.x) AS v FROM a{t} a
         JOIN evn e USING (vec_id) GROUP BY 1, 2),
@@ -3377,7 +3410,7 @@ sall AS (SELECT e.vec_id, c.cid, SUM(e.x * c.x) AS sim
 asg AS MATERIALIZED (SELECT vec_id, cid FROM (
         SELECT vec_id, cid,
                ROW_NUMBER() OVER (PARTITION BY vec_id
-                                  ORDER BY sim DESC, cid) rn
+                                  ORDER BY ROUND(sim, 9) DESC, cid) rn
         FROM sall) WHERE rn = 1),
 q AS (SELECT vec_id AS query_id FROM embeddings ORDER BY vec_id LIMIT 3),
 qsim AS (SELECT q.query_id, c.cid, SUM(e.x * c.x) AS sim
@@ -3386,7 +3419,7 @@ qsim AS (SELECT q.query_id, c.cid, SUM(e.x * c.x) AS sim
 probe AS (SELECT DISTINCT cid FROM (
         SELECT query_id, cid,
                ROW_NUMBER() OVER (PARTITION BY query_id
-                                  ORDER BY sim DESC, cid) rn
+                                  ORDER BY ROUND(sim, 9) DESC, cid) rn
         FROM qsim) WHERE rn <= {nprobe}),
 cand AS MATERIALIZED (SELECT vec_id FROM asg
         WHERE cid IN (SELECT cid FROM probe)),
@@ -3688,10 +3721,11 @@ bc AS (SELECT w1, w2, COUNT(*) AS c12 FROM big GROUP BY 1, 2),
 tot AS (SELECT (SELECT SUM(c) FROM uni) AS n_tok,
                (SELECT SUM(c12) FROM bc) AS n_big)
 SELECT bc.w1, bc.w2, bc.c12,
-       ROUND(LN((CAST(bc.c12 AS DOUBLE) / CAST(tot.n_big AS DOUBLE))
+       CAST(ROUND(LN((CAST(bc.c12 AS DOUBLE) / CAST(tot.n_big AS DOUBLE))
              / ((CAST(u1.c AS DOUBLE) / CAST(tot.n_tok AS DOUBLE))
-              * (CAST(u2.c AS DOUBLE) / CAST(tot.n_tok AS DOUBLE)))), 6)
-       AS pmi
+              * (CAST(u2.c AS DOUBLE) / CAST(tot.n_tok AS DOUBLE))))
+            * 1e6, 0) AS BIGINT)
+       AS pmi_e6
 FROM bc CROSS JOIN tot
 JOIN uni u1 ON u1.w = bc.w1
 JOIN uni u2 ON u2.w = bc.w2

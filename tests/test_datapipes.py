@@ -133,7 +133,7 @@ def test_bigram_pmi_matches_oracle():
 
     got = QUERIES["bigram_pmi"](SF)
     got = (got.to_pandas() if hasattr(got, "to_pandas") else got)
-    cols = ["w1", "w2", "c12", "pmi"]
+    cols = ["w1", "w2", "c12", "pmi_e6"]
     got = got[cols].sort_values(cols).reset_index(drop=True)
     con = duckdb.connect()
     con.execute(
@@ -146,7 +146,9 @@ def test_bigram_pmi_matches_oracle():
     assert len(got) > 0
     assert got["c12"].astype("int64").equals(want["c12"].astype("int64"))
     assert got[["w1", "w2"]].equals(want[["w1", "w2"]])
-    assert np.allclose(got["pmi"], want["pmi"], atol=1e-9)
+    # scaled-int gate column: exact equality, no float tie ambiguity
+    assert got["pmi_e6"].astype("int64").equals(
+        want["pmi_e6"].astype("int64"))
 
 
 def test_node2vec_oracle_sql_matches_pipeline():
@@ -286,6 +288,26 @@ def test_knn_bruteforce_matches_numpy():
         want = [v for _, v in order]
         have = got[got["query_id"] == qid].sort_values("rank")["neighbor_id"].tolist()
         assert have == want
+
+
+def test_knn_bruteforce_block_count_invariant():
+    """VERDICT r3 #3: the driver merge is bounded by grouped_topk, and the
+    result must not depend on how the dataset is blocked."""
+    import pyarrow.parquet as pq
+
+    emb = pq.read_table(f"{SF}/embeddings.parquet").to_pandas()
+    X = np.stack([np.asarray(v, np.float64) for v in emb["embedding"]])
+    ids = emb["vec_id"].to_numpy(np.int64)
+    q = X[:3]
+    cols = ["query_id", "neighbor_id", "rank"]
+    base = knn.knn_bruteforce(
+        rd.read_parquet(f"{SF}/embeddings.parquet"), q, ids[:3], k=7
+    )[cols].reset_index(drop=True)
+    many = knn.knn_bruteforce(
+        rd.read_parquet(f"{SF}/embeddings.parquet").repartition(37),
+        q, ids[:3], k=7,
+    )[cols].reset_index(drop=True)
+    assert base.equals(many)
 
 
 def test_knn_ivf_mostly_agrees_with_exact():

@@ -102,6 +102,20 @@ def test_core_number_distributed_matches_local(karate):
     assert a.equals(b)
 
 
+def test_core_number_edge_gate_forces_distributed(karate):
+    """VERDICT r3 #2: the local path materializes E on the driver, so a
+    graph under the V limit but over the EDGE limit must take the
+    distributed delta-peel — and produce identical core numbers."""
+    a = core_number(karate).to_pandas().sort_values("vertex").reset_index(drop=True)
+    b = (
+        core_number(karate, local_edge_limit=0)  # V gate would pass; E gate must fire
+        .to_pandas()
+        .sort_values("vertex")
+        .reset_index(drop=True)
+    )
+    assert a.equals(b)
+
+
 def test_k_core_edges(karate):
     cn = core_number(karate)
     kc = k_core(karate, 4, core_numbers=cn).to_pandas()
