@@ -64,6 +64,33 @@ def ref_list(refs, n: int):
     return [refs] if n == 1 else refs
 
 
+def segmented_cumsum(w: np.ndarray, offs: np.ndarray) -> np.ndarray:
+    """Per-segment prefix sums of ``w`` (segment i is
+    ``w[offs[i]:offs[i+1]]``), bit-identical to running ``np.cumsum`` on
+    each segment alone.
+
+    A worker-global ``np.cumsum`` with base subtraction
+    (``cum[i] - cum[seg0-1]``) only cancels the prefix exactly when every
+    addend is exactly summable (integer weights, running sum < 2^53); for
+    general float weights the draw's rounding would depend on which
+    segments are co-resident in the worker — breaking the
+    parallelism-independent-sampling contract (ADVICE r3).  Vectorized by
+    bucketing segments on length and cumsum-ing each ``(m, d)`` reshape
+    along axis=1 — the same sequential per-row add chain as a per-segment
+    loop, without the Python-per-segment cost.
+    """
+    out = np.empty(len(w), dtype=np.float64)
+    deg = np.diff(offs)
+    seg0 = offs[:-1]
+    for d in np.unique(deg):
+        if d == 0:
+            continue
+        rows = seg0[deg == d]
+        pos = rows[:, None] + np.arange(int(d), dtype=np.int64)[None, :]
+        out[pos.reshape(-1)] = np.cumsum(w[pos], axis=1).reshape(-1)
+    return out
+
+
 @ray.remote
 class PartitionWorker:
     """Holds a set of graph partitions (CSR blocks) + the vertex state they own.
@@ -1683,10 +1710,13 @@ class PartitionWorker:
                 raise ValueError(
                     "biased_random_walks requires non-negative edge weights"
                 )
-            # global cumsum: the CDF of row v is the window
-            # (_walk_wcum[indptr[v]-1], _walk_wcum[indptr[v+1]-1]] — one
-            # vectorized searchsorted serves every resident walker at once
-            self._walk_wcum = np.cumsum(self._walk_w)
+            # ROW-LOCAL cumsum (prefix resets at each CSR row): the CDF of
+            # row v is _walk_wcum[indptr[v]:indptr[v+1]] with base 0, so
+            # the draw never rounds through a worker-global float offset —
+            # bit-identical at any worker count for ANY weights, not just
+            # exactly-summable ones (segmented_cumsum docstring)
+            self._walk_wcum = segmented_cumsum(
+                self._walk_w, self._walk_indptr)
         return True
 
     def walk_init(self, walker_ids, starts, seed: int,
@@ -1753,26 +1783,23 @@ class PartitionWorker:
         ids = self._wk_id[alive]
         start, deg = start[alive], deg[alive]
         if self._walk_biased and len(ids):
-            # weight-proportional draw: inverse-CDF within the row's window
-            # of the global weight cumsum.  Zero-total rows are sinks.
+            # weight-proportional draw: inverse-CDF within the row's
+            # ROW-LOCAL weight cumsum.  Zero-total rows are sinks.
             cum = self._walk_wcum
-            base = np.where(start > 0, cum[start - 1], 0.0)
-            total = cum[start + deg - 1] - base
+            total = cum[start + deg - 1]
             live = total > 0
             ids, start, deg = ids[live], start[live], deg[live]
-            base, total = base[live], total[live]
+            total = total[live]
         if len(ids):
             u = _seeded_uniform(self._walk_seed, ids, step)[:, 0]
             if self._walk_biased:
                 # Row-local inverse-CDF: first in-row index with
-                # (cum[i] - base) > u*total, via a vectorized binary
-                # search.  Stated row-locally (rather than
-                # searchsorted(cum, base + u*total)) so the comparison
-                # never rounds through the worker-global offset `base`:
-                # for exactly-summable (integer-valued) weights every
-                # operand is exact, making the draw bit-identical at any
-                # worker count / placement — and SQL-replayable
-                # (pipelines._biased_walks_oracle_sql).
+                # cum[i] > u*total, via a vectorized binary search over
+                # the ROW-LOCAL prefix sums (segmented_cumsum) — every
+                # operand is the same float the per-walker sequential
+                # cumsum would produce, so the draw is bit-identical at
+                # any worker count / placement for any weights, and
+                # SQL-replayable (pipelines._biased_walks_oracle_sql).
                 target = u * total
                 lo = start - 1                    # cond(lo) is False
                 hi = start + deg - 1              # cond(hi) is True
@@ -1781,7 +1808,7 @@ class PartitionWorker:
                     if not upd.any():
                         break
                     mid = np.where(upd, (lo + hi) >> 1, hi)
-                    c = (cum[mid] - base) > target
+                    c = cum[mid] > target
                     hi = np.where(upd & c, mid, hi)
                     lo = np.where(upd & ~c, mid, lo)
                 nxt = self._walk_dst[hi]
@@ -1950,14 +1977,15 @@ class PartitionWorker:
                 cands == np.repeat(self._n2v_prev, deg), inv_p,
                 np.where(self._n2v_flags, 1.0, inv_q),
             )
-            cum = np.cumsum(self._walk_w[gather] * alpha)
-            base = np.where(seg0 > 0, cum[seg0 - 1], 0.0)
-            total = cum[offs[1:] - 1] - base
-            # first in-segment index with (cum[i] - base) > u*total — the
-            # same row-local exact binary search as the biased walk draw
-            # (bit-exact vs the per-walker cumsum whenever w·α is exactly
-            # summable: integer weights × power-of-two 1/p, 1/q), fully
-            # vectorized across the worker's pending walkers
+            # SEGMENTED cumsum (prefix resets per walker): bit-exact vs
+            # the per-walker sequential cumsum for ANY float w·α — a
+            # worker-global cumsum with base subtraction made the draw
+            # depend on which walkers were co-resident (ADVICE r3)
+            cum = segmented_cumsum(self._walk_w[gather] * alpha, offs)
+            total = cum[offs[1:] - 1]
+            # first in-segment index with cum[i] > u*total — the same
+            # row-local exact binary search as the biased walk draw,
+            # fully vectorized across the worker's pending walkers
             target = u * total
             lo = seg0 - 1
             hi = offs[1:] - 1
@@ -1966,7 +1994,7 @@ class PartitionWorker:
                 if not upd.any():
                     break
                 mid = np.where(upd, (lo + hi) >> 1, hi)
-                c = (cum[mid] - base) > target
+                c = cum[mid] > target
                 hi = np.where(upd & c, mid, hi)
                 lo = np.where(upd & ~c, mid, lo)
             nxt = cands[hi]

@@ -232,6 +232,39 @@ def test_walks_worker_count_invariant(karate):
     )
 
 
+def test_float_weight_walks_worker_count_invariant(tmp_path):
+    """ADVICE r3: with NON-exactly-summable float weights, a worker-global
+    cumsum with base subtraction makes the biased/node2vec draws depend on
+    which walkers/rows are co-resident.  The segmented (row-local) cumsum
+    must give bit-identical walks at any worker count."""
+    from raygraph.algos.sampling import biased_random_walks, node2vec_walks
+
+    kdf = fixtures.karate_df()
+    # deterministic irrational-ish weights: not exactly summable in binary
+    kdf["weight"] = 1.0 + np.sqrt(
+        (kdf["src"].to_numpy() * 7 + kdf["dst"].to_numpy() * 13) % 11 + 2
+    ) / 3.0
+    g = Graph.from_edges(
+        rd.from_pandas(kdf), src="src", dst="dst", weight="weight",
+        directed=False, renumber=False, num_partitions=4,
+        out_dir=str(tmp_path / "fwkarate"),
+    )
+    key = ["walker", "step"]
+    starts = [0, 5, 9, 33]
+    a = biased_random_walks(g, starts, 6, seed=13, num_workers=1).to_pandas()
+    b = biased_random_walks(g, starts, 6, seed=13, num_workers=4).to_pandas()
+    assert a.sort_values(key).reset_index(drop=True).equals(
+        b.sort_values(key).reset_index(drop=True)
+    )
+    a = node2vec_walks(g, starts, 6, p=1.7, q=0.3, seed=13,
+                       num_workers=1).to_pandas()
+    b = node2vec_walks(g, starts, 6, p=1.7, q=0.3, seed=13,
+                       num_workers=4).to_pandas()
+    assert a.sort_values(key).reset_index(drop=True).equals(
+        b.sort_values(key).reset_index(drop=True)
+    )
+
+
 # ------------------------------------------------------------ biased walks
 
 
