@@ -195,6 +195,39 @@ def _shingles(text: str, k: int) -> np.ndarray:
     return np.unique(out)
 
 
+def _pair_intersect_counts(vals, offs, ia, ib):
+    """Per-pair ``|A ∩ B|`` over packed sorted-unique segments, vectorized.
+
+    Segment ``j`` is ``vals[offs[j]:offs[j+1]]`` (sorted, unique).  For
+    each pair ``(ia[k], ib[k])`` returns ``(inter, la, lb)`` — intersection
+    size and the two segment lengths — via one gather + one lexsort over
+    the concatenated ``(pair, value)`` rows and an adjacent-duplicate
+    count.  No Python loop over pairs: the whole batch is one
+    O(N log N) C-level sort where N = sum of pair segment lengths.
+    """
+    npair = len(ia)
+    la = (offs[ia + 1] - offs[ia]).astype(np.int64)
+    lb = (offs[ib + 1] - offs[ib]).astype(np.int64)
+    if npair == 0:
+        return np.zeros(0, np.int64), la, lb
+    starts = np.empty(2 * npair, dtype=np.int64)
+    lens = np.empty(2 * npair, dtype=np.int64)
+    starts[0::2], lens[0::2] = offs[ia], la
+    starts[1::2], lens[1::2] = offs[ib], lb
+    total = int(lens.sum())
+    if total == 0:
+        return np.zeros(npair, np.int64), la, lb
+    ends = np.cumsum(lens)
+    within = np.arange(total, dtype=np.int64) - np.repeat(ends - lens, lens)
+    vc = vals[np.repeat(starts, lens) + within]
+    grp = np.repeat(np.arange(npair, dtype=np.int64).repeat(2), lens)
+    order = np.lexsort((vc, grp))
+    vs, gs = vc[order], grp[order]
+    dup = (gs[1:] == gs[:-1]) & (vs[1:] == vs[:-1])
+    inter = np.bincount(gs[1:][dup], minlength=npair).astype(np.int64)
+    return inter, la, lb
+
+
 class MinHasher:
     """Actor-pool stage: text → minhash signature columns.
 
@@ -397,23 +430,24 @@ def verify_jaccard_pairs(ds, pairs_ds, text_col="text", id_col="doc_id",
             ids, offs, vals = ray.get(shref)
             a = df["a"].to_numpy(np.int64)
             b = df["b"].to_numpy(np.int64)
-            jac = np.empty(len(df), dtype=np.float64)
-            for i in range(len(df)):
-                pa_ = np.searchsorted(ids, a[i])
-                pb_ = np.searchsorted(ids, b[i])
-                sa = (
-                    vals[offs[pa_]:offs[pa_ + 1]]
-                    if pa_ < len(ids) and ids[pa_] == a[i]
-                    else vals[:0]
+            pa_ = np.searchsorted(ids, a)
+            pb_ = np.searchsorted(ids, b)
+            last = max(len(ids) - 1, 0)
+            ok = (
+                (pa_ < len(ids)) & (pb_ < len(ids))
+                & (len(ids) > 0)
+                & (ids[np.minimum(pa_, last)] == a)
+                & (ids[np.minimum(pb_, last)] == b)
+            )
+            jac = np.zeros(len(df), dtype=np.float64)
+            if ok.any():
+                inter, la, lb = _pair_intersect_counts(
+                    vals, offs, pa_[ok], pb_[ok]
                 )
-                sb = (
-                    vals[offs[pb_]:offs[pb_ + 1]]
-                    if pb_ < len(ids) and ids[pb_] == b[i]
-                    else vals[:0]
+                union = la + lb - inter
+                jac[ok] = np.where(
+                    union > 0, inter / np.maximum(union, 1), 0.0
                 )
-                inter = len(np.intersect1d(sa, sb, assume_unique=True))
-                union = len(sa) + len(sb) - inter
-                jac[i] = inter / union if union else 0.0
             out = pd.DataFrame({"a": a, "b": b, "jaccard": jac})
             return out[out["jaccard"] >= threshold]
 
@@ -437,12 +471,20 @@ def verify_jaccard_pairs(ds, pairs_ds, text_col="text", id_col="doc_id",
     p2 = joins.hash_join(p1, docs_b, on="b")
 
     def jaccard_rows(df: pd.DataFrame) -> pd.DataFrame:
-        jac = np.empty(len(df), dtype=np.float64)
-        for i, (ta, tb) in enumerate(zip(df["__text_a"], df["__text_b"])):
-            sa = set(_shingles(str(ta), shingle_k).tolist())
-            sb = set(_shingles(str(tb), shingle_k).tolist())
-            union = len(sa | sb)
-            jac[i] = len(sa & sb) / union if union else 0.0
+        # shingling is inherently per-document text parsing; the pair math
+        # (intersection/union) is one vectorized packed-segment pass
+        segs = []
+        for ta, tb in zip(df["__text_a"], df["__text_b"]):
+            segs.append(np.unique(_shingles(str(ta), shingle_k)))
+            segs.append(np.unique(_shingles(str(tb), shingle_k)))
+        offs = np.zeros(len(segs) + 1, dtype=np.int64)
+        if segs:
+            np.cumsum([len(s) for s in segs], out=offs[1:])
+        vals = np.concatenate(segs) if segs else np.empty(0, np.uint64)
+        ia = np.arange(len(df), dtype=np.int64) * 2
+        inter, la, lb = _pair_intersect_counts(vals, offs, ia, ia + 1)
+        union = la + lb - inter
+        jac = np.where(union > 0, inter / np.maximum(union, 1), 0.0)
         out = pd.DataFrame(
             {"a": df["a"].to_numpy(np.int64), "b": df["b"].to_numpy(np.int64),
              "jaccard": jac}
@@ -566,17 +608,29 @@ class SimHasher:
             miss = uniq[miss_idx]
             bts = [t.encode("utf-8", "ignore") for t in miss]
             lens = np.fromiter((len(b) for b in bts), np.int64, count=len(bts))
-            L = int(lens.max()) if len(lens) else 0
-            # column-wise polynomial fold over a padded byte matrix: each
-            # column is one vectorized h = h*257 + byte step on the rows
-            # still inside their token (token length is bounded — words)
-            mat = np.zeros((len(bts), L), dtype=np.uint64)
-            for i, b in enumerate(bts):
-                mat[i, : len(b)] = np.frombuffer(b, dtype=np.uint8)
             h = np.zeros(len(bts), dtype=np.uint64)
-            for c in range(L):
-                active = lens > c
-                h[active] = h[active] * np.uint64(257) + mat[active, c]
+            # bucket tokens by byte length: per bucket the base-257
+            # polynomial is one vectorized (m, d)·powers dot under uint64
+            # wraparound (h = Σ byte_i · 257^(d-1-i) mod 2^64 ≡ the Horner
+            # fold), so memory/time stay O(total token bytes) even when one
+            # pathological separator-free token is huge — the previous
+            # dense (n_tokens × longest) pad was O(n·L)
+            if len(lens) and lens.max() > 0:
+                pw = np.ones(int(lens.max()), dtype=np.uint64)
+                if len(pw) > 1:
+                    pw[1:] = np.uint64(257)
+                    np.multiply.accumulate(pw, out=pw)
+                idx = np.arange(len(bts), dtype=np.int64)
+                for d in np.unique(lens):
+                    if d == 0:
+                        continue
+                    sel = idx[lens == d]
+                    mat = np.frombuffer(
+                        b"".join(bts[i] for i in sel), dtype=np.uint8
+                    ).reshape(len(sel), int(d)).astype(np.uint64)
+                    h[sel] = (mat * pw[int(d) - 1 :: -1][None, :]).sum(
+                        axis=1, dtype=np.uint64
+                    )
             hv = splitmix64(h ^ (lens.astype(np.uint64) << np.uint64(32)))
             for t, v in zip(miss, hv):
                 self._vocab[t] = int(v)
