@@ -217,6 +217,126 @@ def build_vertex_map(edges_ds, src_col="src_key", dst_col="dst_key",
     return vmap, total
 
 
+def build_vertex_map_by_degree(edges_ds, src_col="src_key", dst_col="dst_key",
+                               key_is_str=True, num_buckets: int = 64):
+    """Distinct(src ∪ dst) → (vertex_key, vid) with vids assigned in
+    DESCENDING total-degree order.
+
+    Mirrors the reference's degree-descending vertex ordering
+    (``renumber_edgelist_impl.cuh:384-392``) without a global sort:
+    per-batch (key, count) partials → one bucketed hash aggregate gives
+    (vertex_key, degree); the ONE shuffle groups by hash bucket; each
+    bucket task sorts (degree desc, key asc) and emits per-(degree,
+    bucket) local ranks; the driver sees only per-(degree, bucket) GROUP
+    SIZES — O(distinct degrees × B) rows (power-law graphs have
+    O(√E) distinct degrees) — orders them by (-degree, bucket) into
+    exclusive offsets, and vid = group_offset + local_rank.  So
+    degree(vid i) ≥ degree(vid j) whenever i < j, deterministic for a
+    given edge multiset at any parallelism (degree ties order by hash
+    bucket then key).  Degree = occurrence count in the input edge list
+    (pre-dedup), matching the reference.
+
+    Returns (vmap_dataset, num_vertices).
+    """
+    import ray
+
+    from raygraph.agg import hash_aggregate
+
+    def key_counts(df: pd.DataFrame) -> pd.DataFrame:
+        k = pd.concat([df[src_col], df[dst_col]], ignore_index=True)
+        vc = k.value_counts(sort=False)
+        return pd.DataFrame(
+            {
+                "vertex_key": vc.index.to_numpy(),
+                "__cnt": vc.to_numpy().astype(np.int64),
+            }
+        )
+
+    partials = edges_ds.map_batches(key_counts, batch_format="pandas")
+    deg = hash_aggregate(
+        partials, ["vertex_key"], {"degree": ("__cnt", "sum")},
+        num_buckets=num_buckets,
+    )
+
+    def bucketize(df: pd.DataFrame) -> pd.DataFrame:
+        k = df["vertex_key"].to_numpy()
+        if key_is_str:
+            h = hash_str_array(k)
+        else:
+            h = hash_int64(np.asarray(k, dtype=np.int64))
+        return pd.DataFrame(
+            {
+                "vertex_key": df["vertex_key"].to_numpy(),
+                "degree": df["degree"].to_numpy(np.int64),
+                "__bucket": (h % np.uint64(num_buckets)).astype(np.int32),
+            }
+        )
+
+    keyed = deg.map_batches(bucketize, batch_format="pandas")
+
+    def rank_within(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(
+            ["degree", "vertex_key"], ascending=[False, True],
+            kind="stable",
+        )
+        d = g["degree"].to_numpy(np.int64)
+        # local rank within each degree segment of this bucket
+        seg0 = np.flatnonzero(np.r_[True, d[1:] != d[:-1]])
+        local = np.arange(len(d), dtype=np.int64)
+        local -= np.repeat(local[seg0], np.diff(np.r_[seg0, len(d)]))
+        return pd.DataFrame(
+            {
+                "vertex_key": g["vertex_key"].to_numpy(),
+                "degree": d,
+                "__bucket": group["__bucket"].iloc[0],
+                "__local": local,
+            }
+        )
+
+    keyed = joins.coalesce_for_exchange(keyed, num_buckets)
+    ranked = keyed.groupby("__bucket").map_groups(
+        rank_within, batch_format="pandas"
+    )
+    ranked = ranked.materialize()  # small (distinct keys); reused twice
+
+    parts = ranked.map_batches(
+        lambda df: df.groupby(
+            ["degree", "__bucket"], as_index=False
+        )["__local"].max(),
+        batch_format="pandas",
+    ).to_pandas()
+    sizes = (
+        parts.groupby(["degree", "__bucket"], as_index=False)["__local"].max()
+    )
+    sizes["__local"] += 1
+    sizes = sizes.sort_values(
+        ["degree", "__bucket"], ascending=[False, True]
+    ).reset_index(drop=True)
+    counts = sizes["__local"].to_numpy(np.int64)
+    offs = np.concatenate([[0], np.cumsum(counts)[:-1]])
+    total = int(counts.sum())
+    okey = (
+        sizes["degree"].to_numpy(np.int64) * num_buckets
+        + sizes["__bucket"].to_numpy(np.int64)
+    )
+    order = np.argsort(okey, kind="stable")
+    ref = ray.put((okey[order], offs[order]))
+
+    def assign(df: pd.DataFrame) -> pd.DataFrame:
+        ks, os_ = ray.get(ref)
+        key = (
+            df["degree"].to_numpy(np.int64) * num_buckets
+            + df["__bucket"].to_numpy(np.int64)
+        )
+        vid = os_[np.searchsorted(ks, key)] + df["__local"].to_numpy(np.int64)
+        return pd.DataFrame(
+            {"vertex_key": df["vertex_key"], "vid": vid.astype(np.int64)}
+        )
+
+    vmap = ranked.map_batches(assign, batch_format="pandas")
+    return vmap, total
+
+
 def translate_edges(edges_ds, vmap_ds, num_vertices: int,
                     src_col="src_key", dst_col="dst_key",
                     broadcast_limit: int = DEFAULT_BROADCAST_LIMIT,
@@ -536,13 +656,21 @@ class Graph:
         out_dir: Optional[str] = None,
         broadcast_limit: int = DEFAULT_BROADCAST_LIMIT,
         split_degree_threshold: Optional[int] = None,
+        order_by_degree: bool = False,
     ) -> "Graph":
         """Build a partitioned Graph from an edge Dataset.
 
         ``dedup``: None keeps parallel edges; "min"/"sum" combines them.
         Undirected graphs are symmetrized with min-dedup unless overridden
         (reference default, ``symmetrize.py:78-93``).
+
+        ``order_by_degree=True`` assigns dense vids in descending
+        total-degree order (the reference's optional vertex ordering,
+        ``renumber_edgelist_impl.cuh:384-392``) — deterministic, so
+        resume-safe; requires ``renumber=True``.
         """
+        if order_by_degree and not renumber:
+            raise ValueError("order_by_degree requires renumber=True")
         if out_dir is None:
             out_dir = os.path.join(
                 tempfile.gettempdir(), "raygraph", f"graph-{uuid.uuid4().hex[:12]}"
@@ -585,7 +713,11 @@ class Graph:
             sch = ds.schema()
             src_type = sch.types[sch.names.index("src")]
             key_is_str = pa.types.is_string(src_type) or pa.types.is_large_string(src_type)
-            vmap, V = build_vertex_map(ds, src_col="src", dst_col="dst", key_is_str=key_is_str)
+            builder = (
+                build_vertex_map_by_degree if order_by_degree
+                else build_vertex_map
+            )
+            vmap, V = builder(ds, src_col="src", dst_col="dst", key_is_str=key_is_str)
             vmap = vmap.materialize()
             ds = translate_edges(
                 ds, vmap, V, src_col="src", dst_col="dst", broadcast_limit=broadcast_limit
@@ -676,6 +808,7 @@ class Graph:
             "dedup": dedup if directed else (dedup or "min"),
             "weighted": weight is not None,
             "split_degree_threshold": split_degree_threshold,
+            "order_by_degree": order_by_degree,
             # original key column spec (a list ⇒ composite multi-column
             # keys; unrenumber + split_key_column restores them)
             "src_key": src if isinstance(src, str) else list(src),

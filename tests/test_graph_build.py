@@ -219,3 +219,58 @@ def test_undirected_build_matches_legacy_symmetrize(tmp_path):
     # self-loop (3,3) appears exactly once with the min weight
     sl = got[(got["src"] == 3) & (got["dst"] == 3)]
     assert len(sl) == 1 and sl["weight"].iloc[0] == 7.0
+
+
+def test_order_by_degree_renumber(tmp_path):
+    """order_by_degree=True assigns degree-monotone vids (reference's
+    degree-descending vertex ordering, renumber_edgelist_impl.cuh:384-392),
+    deterministically, without changing algorithm results in key space."""
+    from tests import fixtures
+    from raygraph.algos.pagerank import pagerank
+
+    kdf = fixtures.karate_df()
+    kdf["s"] = "v" + kdf["src"].astype(str)
+    kdf["d"] = "v" + kdf["dst"].astype(str)
+
+    def build(out, **kw):
+        return Graph.from_edges(
+            rd.from_pandas(kdf), src="s", dst="d", weight="weight",
+            directed=False, num_partitions=4, out_dir=str(tmp_path / out),
+            **kw,
+        )
+
+    g = build("deg1", order_by_degree=True)
+    g2 = build("deg2", order_by_degree=True)
+    gplain = build("plain")
+
+    vm = g.vmap_dataset().to_pandas()
+    assert g.num_vertices == 34 and sorted(vm["vid"]) == list(range(34))
+    # total degree (occurrence count in the input edge list) per key
+    occ = pd.concat([kdf["s"], kdf["d"]]).value_counts()
+    deg_by_vid = (
+        vm.assign(deg=vm["vertex_key"].map(occ))
+        .sort_values("vid")["deg"].to_numpy()
+    )
+    assert (np.diff(deg_by_vid) <= 0).all(), "vids not degree-descending"
+    # deterministic across rebuilds
+    assert dict(zip(vm["vertex_key"], vm["vid"])) == dict(
+        zip(*g2.vmap_dataset().to_pandas()[["vertex_key", "vid"]].T.values)
+    )
+    # key-space results identical to the default ordering
+    a = g.unrenumber(pagerank(g), "vertex").to_pandas()
+    b = gplain.unrenumber(pagerank(gplain), "vertex").to_pandas()
+    a = a.sort_values("vertex").reset_index(drop=True)
+    b = b.sort_values("vertex").reset_index(drop=True)
+    assert list(a["vertex"]) == list(b["vertex"])
+    np.testing.assert_allclose(
+        a["pagerank"].to_numpy(), b["pagerank"].to_numpy(), atol=1e-9
+    )
+
+
+def test_order_by_degree_requires_renumber(tmp_path):
+    with pytest.raises(ValueError):
+        Graph.from_edges(
+            rd.from_pandas(_edges_df()), src="s", dst="d", weight="w",
+            renumber=False, order_by_degree=True,
+            out_dir=str(tmp_path / "x"),
+        )
