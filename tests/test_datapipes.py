@@ -694,3 +694,92 @@ def test_quantiles_disc_matches_duckdb():
     for q, v in zip(got["q"], got["value"]):
         want = con.execute(f"SELECT quantile_disc(v, {q}) FROM t").fetchone()[0]
         assert v == want, (q, v, want)
+
+
+def _ppm_bytes(img: np.ndarray) -> bytes:
+    h, w, _ = img.shape
+    return b"P6\n# comment\n%d %d\n255\n" % (w, h) + img.tobytes()
+
+
+def _bmp_bytes(img: np.ndarray, top_down=False) -> bytes:
+    import struct
+
+    h, w, _ = img.shape
+    stride = ((24 * w + 31) // 32) * 4
+    rows = img if top_down else img[::-1]
+    body = b"".join(
+        rows[y, :, ::-1].tobytes() + b"\x00" * (stride - 3 * w)
+        for y in range(h)
+    )
+    dib = struct.pack("<IiiHHIIiiII", 40, w, -h if top_down else h, 1, 24,
+                      0, len(body), 2835, 2835, 0, 0)
+    hdr = struct.pack("<2sIHHI", b"BM", 14 + 40 + len(body), 0, 0, 14 + 40)
+    return hdr + dib + body
+
+
+def _wav_bytes(samples: np.ndarray, rate=8000) -> bytes:
+    import struct
+
+    n, ch = samples.shape
+    data = (samples * 32767.0).astype("<i2").tobytes()
+    fmt = struct.pack("<HHIIHH", 1, ch, rate, rate * ch * 2, ch * 2, 16)
+    return (b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+            + b"fmt " + struct.pack("<I", 16) + fmt
+            + b"data" + struct.pack("<I", len(data)) + data)
+
+
+def test_multimodal_real_pnm_bmp_decode():
+    rng = np.random.default_rng(11)
+    img = rng.integers(0, 256, (5, 3, 3), dtype=np.uint8)
+    # byte-level decoders round-trip exactly
+    np.testing.assert_array_equal(multimodal.decode_pnm(_ppm_bytes(img)), img)
+    np.testing.assert_array_equal(multimodal.decode_bmp(_bmp_bytes(img)), img)
+    np.testing.assert_array_equal(
+        multimodal.decode_bmp(_bmp_bytes(img, top_down=True)), img
+    )
+    gray = rng.integers(0, 256, (4, 6), dtype=np.uint8)
+    pgm = b"P5\n6 4\n255\n" + gray.tobytes()
+    np.testing.assert_array_equal(
+        multimodal.decode_pnm(pgm), gray[:, :, None]
+    )
+    # the Ray actor-pool stage with fake=False is REAL for these formats
+    import pyarrow as pa
+
+    t = pa.table({
+        "item_id": pa.array([1, 2], pa.int64()),
+        "payload": pa.array([_ppm_bytes(img), _bmp_bytes(img)], pa.binary()),
+    })
+    out = multimodal.decode_images(
+        rd.from_arrow(t), fake=False, feature_dim=4
+    ).to_pandas().sort_values("item_id")
+    assert list(out["width"]) == [3, 3] and list(out["height"]) == [5, 5]
+    assert list(out["channels"]) == [3, 3]
+    # both encodings of the same pixels → identical real features
+    f1, f2 = out["feature"].tolist()
+    np.testing.assert_allclose(f1, f2)
+    assert all(0.0 <= v <= 1.0 for v in f1)
+
+
+def test_multimodal_real_wav_decode():
+    t_ = np.arange(800) / 8000.0
+    stereo = np.stack(
+        [0.5 * np.sin(2 * np.pi * 440 * t_), 0.25 * np.ones(800)], axis=1
+    )
+    wav = _wav_bytes(stereo)
+    samples, rate = multimodal.decode_wav(wav)
+    assert rate == 8000 and samples.shape == (800, 2)
+    # encode truncates to int16 (scale 32767), decode divides by 32768
+    np.testing.assert_allclose(samples, stereo, atol=2.5 / 32768)
+
+    import pyarrow as pa
+
+    t = pa.table({"item_id": pa.array([9], pa.int64()),
+                  "payload": pa.array([wav], pa.binary())})
+    out = multimodal.decode_audio(rd.from_arrow(t), feature_dim=4).to_pandas()
+    assert out.loc[0, "sample_rate"] == 8000
+    assert out.loc[0, "channels"] == 2
+    assert out.loc[0, "n_samples"] == 800
+    mono = stereo.mean(axis=1)
+    exp = [np.sqrt(np.mean(mono[k * 200:(k + 1) * 200] ** 2))
+           for k in range(4)]
+    np.testing.assert_allclose(out.loc[0, "feature"], exp, atol=1e-4)
