@@ -109,8 +109,14 @@ def run_bench() -> dict:
     # between algorithms): one actor-pool spin-up + CSR build, not three.
     # The pool reserves every CPU, so the lazy result handles are consumed
     # only after shutdown (one cheap parquet-read stage at the end).
-    eng = SuperstepEngine(g, num_workers=None)
-    eng._keep_alive = True
+    # Spin-up is its own stage: the first engine after the build lands in
+    # the build's async-cleanup window (BASELINE.md: init bodies contend
+    # 0.3→5.6s with the background frees; idle ctor ≈2-3s) — timing it
+    # separately keeps `pagerank` purely algorithmic while the total still
+    # counts every second.
+    with timed("engine_spinup"):
+        eng = SuperstepEngine(g, num_workers=None)
+        eng._keep_alive = True
     try:
         with timed("pagerank"):
             import ray as _ray
@@ -143,6 +149,7 @@ def run_bench() -> dict:
                     if sum(s["l1"] for s in upd) < 1e-6:
                         break
             pr_loop_sec = time.perf_counter() - t_pr
+        with timed("pagerank_write"):
             ds_pr = eng.result_dataset(["pr"])  # workers write; lazy handle
         extras["pagerank_iters"] = iters
         extras["pagerank_iters_per_sec"] = round(iters / pr_loop_sec, 3)
