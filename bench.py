@@ -262,6 +262,8 @@ def run_rmat_pagerank() -> dict:
         ray.get([w.pagerank_init.remote() for w in eng.workers])
         for _ in range(3):  # warm caches / routing tables
             _iteration(eng, 0.85, False, g.num_vertices)
+        if eng.exchange_mode == "tree":  # zero combiner counters post-warmup
+            ray.get([w.tree_bytes.remote(reset=True) for w in eng.workers])
         # pipelined (lag-1) rounds when per-worker compute covers the
         # dispatch latency (2M edges/worker gate, same as algos.pagerank)
         pipe = g.num_edges >= 2_000_000 * eng.W
@@ -286,10 +288,24 @@ def run_rmat_pagerank() -> dict:
         dt = time.perf_counter() - t0
         W = eng.W
         mode = eng.exchange_mode
+        tree_stats = None
+        if mode == "tree":
+            tbs = ray.get([w.tree_bytes.remote() for w in eng.workers])
+            tree_stats = {
+                # intra-group = on-node plasma traffic on a real cluster;
+                # inter_out = what actually crosses the network post-merge
+                "tree_group_sizes": [len(m) for m in eng.groups],
+                "tree_intra_bytes_per_worker_per_iter": round(
+                    sum(t["intra_in"] for t in tbs) / iters / W),
+                "tree_inter_bytes_per_worker_per_iter": round(
+                    sum(t["inter_out"] for t in tbs) / iters / W),
+            }
     finally:
         eng.shutdown()
     ray.shutdown()
+    out_extra = tree_stats or {}
     return {
+        **out_extra,
         "metric": "RMAT pagerank superstep throughput",
         "value": round(dt, 3),
         "unit": "sec",
@@ -384,6 +400,7 @@ def run_exchange_bytes():
     one(NUM_CPUS, ["--rmat-pagerank"])  # warm graph cache
     packed = one(NUM_CPUS, ["--rmat-pagerank"], {"RAYGRAPH_EXCHANGE": "packed"})
     sliced = one(NUM_CPUS, ["--rmat-pagerank"], {"RAYGRAPH_EXCHANGE": "sliced"})
+    tree = one(NUM_CPUS, ["--rmat-pagerank"], {"RAYGRAPH_EXCHANGE": "tree"})
     print(
         json.dumps(
             {
@@ -396,8 +413,20 @@ def run_exchange_bytes():
                     packed["bytes_in_per_worker_per_iter"]
                     / max(1, sliced["bytes_in_per_worker_per_iter"]), 2,
                 ),
+                # tree = sliced scatter + per-group (≈per-node) combine:
+                # receiver inbound drops further by the within-group
+                # duplicate-dst factor; intra bytes stay on-node
+                "tree_bytes_in_per_worker_per_iter": tree["bytes_in_per_worker_per_iter"],
+                "tree_group_sizes": tree.get("tree_group_sizes"),
+                "tree_intra_bytes_per_worker_per_iter": tree.get(
+                    "tree_intra_bytes_per_worker_per_iter"),
+                "tree_vs_sliced_reduction": round(
+                    sliced["bytes_in_per_worker_per_iter"]
+                    / max(1, tree["bytes_in_per_worker_per_iter"]), 2,
+                ),
                 "packed_edges_per_sec": packed["edges_per_sec"],
                 "sliced_edges_per_sec": sliced["edges_per_sec"],
+                "tree_edges_per_sec": tree["edges_per_sec"],
             }
         )
     )

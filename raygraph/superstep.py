@@ -196,6 +196,11 @@ class PartitionWorker:
         # receive-position cache: the dst routing tables are static, so the
         # searchsorted positions of each sender's vids are computed once
         self._pos_cache: dict[int, np.ndarray] = {}
+        # tree-combine merge layouts (exchange_mode="tree"): keyed by
+        # receiver id — the dst routing is a property of the graph, so one
+        # layout serves both the pagerank and spmv message kinds
+        self._comb_cache: dict[int, dict] = {}
+        self._tree_bytes = {"intra_in": 0, "inter_out": 0, "combines": 0}
         self._t_init_done = _time.time()
 
     def _recv_pos(self, sender: int, vids) -> np.ndarray:
@@ -321,6 +326,75 @@ class PartitionWorker:
         return (*msgs, {"rows_out": len(pv), "bytes_out": bytes_out,
                         "local_sum": float(x.sum()),
                         "local_sq": float((x * x).sum())})
+
+    # -- tree (hierarchical) combine tier ----------------------------------
+    # exchange_mode="tree": workers are grouped (a group models the workers
+    # of one physical node); per (group, receiver) a designated member
+    # merges the group's sliced partials by destination BEFORE they cross
+    # the network — a hot dst receives one partial per GROUP instead of one
+    # per WORKER, cutting receiver fan-in from W to ceil(W/G).  This is the
+    # Ray-native equivalent of the reference's 2D-partitioned reduce
+    # (cugraph per_v_transform_reduce_incoming_e's column-communicator
+    # reduction): intra-group traffic stays on-node (plasma, cheap), only
+    # the merged slice is inter-node.  Per-dst summation order differs from
+    # packed/sliced (group subtotals first), so scores agree to summation
+    # ulps, not bits; the mode is opt-in and deterministic for a fixed
+    # (W, G).
+    def combine_slices(self, q: int, msg_refs, kind: str):
+        """Merge this group's per-receiver slices for receiver ``q``.
+
+        ``msg_refs``: the group members' slice objects in fixed member
+        order — pagerank kind: (vids|None, partials, dangling); spmv kind:
+        (vids|None, partials).  Returns one message of the same shape with
+        group-merged (sorted-unique) vids.  The merge layout (unique +
+        inverse) is static across supersteps and cached per receiver; the
+        mandatory vid-ful round 0 builds it, vid-free rounds reuse it.
+        """
+        msgs = ray.get(list(msg_refs))
+        vids_list = [m[0] for m in msgs]
+        parts = [np.asarray(m[1], dtype=np.float64) for m in msgs]
+        tb = self._tree_bytes
+        tb["combines"] += 1
+        tb["intra_in"] += sum(p.nbytes for p in parts)
+        lay = self._comb_cache.get(q)
+        if any(v is not None for v in vids_list):
+            if not all(v is not None for v in vids_list):
+                raise RuntimeError("mixed vid-ful/vid-free slices in one "
+                                   "tree combine round")
+            concat_vids = np.concatenate(
+                [np.asarray(v) for v in vids_list])
+            tb["intra_in"] += concat_vids.nbytes
+            merged, inverse = np.unique(concat_vids, return_inverse=True)
+            lay = {"merged": merged, "inverse": inverse,
+                   "n_in": len(concat_vids)}
+            self._comb_cache[q] = lay
+            ship_vids = True
+        else:
+            if lay is None:
+                raise RuntimeError(
+                    f"vid-free slices for receiver {q} before any vid-ful "
+                    "round — engine must ship vids on round 0")
+            ship_vids = False
+        concat = parts[0] if len(parts) == 1 else np.concatenate(parts)
+        if len(concat) != lay["n_in"]:
+            raise RuntimeError("tree combine layout is stale: slice rows "
+                               f"{len(concat)} != cached {lay['n_in']}")
+        merged_p = np.bincount(lay["inverse"], weights=concat,
+                               minlength=len(lay["merged"]))
+        tb["inter_out"] += merged_p.nbytes + (
+            lay["merged"].nbytes if ship_vids else 0)
+        out_vids = lay["merged"] if ship_vids else None
+        if kind == "pagerank":
+            return (out_vids, merged_p, float(sum(m[2] for m in msgs)))
+        return (out_vids, merged_p)
+
+    def tree_bytes(self, reset: bool = False):
+        """Combiner-tier byte counters (intra-group inbound vs merged
+        inter-group outbound); ``reset=True`` zeroes them (bench warmup)."""
+        out = dict(self._tree_bytes)
+        if reset:
+            self._tree_bytes = {"intra_in": 0, "inter_out": 0, "combines": 0}
+        return out
 
     # -- mirror (foreign-src) state sync ----------------------------------
     # The src-property exchange for split high-degree vertices: owners
@@ -2054,9 +2128,24 @@ class SuperstepEngine:
         # drops ~W×).  Default from $RAYGRAPH_EXCHANGE, else packed.
         if exchange_mode is None:
             exchange_mode = os.environ.get("RAYGRAPH_EXCHANGE", "packed")
-        if exchange_mode not in ("packed", "sliced"):
+        if exchange_mode not in ("packed", "sliced", "tree"):
             raise ValueError(f"unknown exchange_mode {exchange_mode!r}")
         self.exchange_mode = exchange_mode
+        # "tree": sliced scatter + a per-group combine tier (one group ≈ one
+        # node's workers) that merges the group's partials by dst before
+        # they cross the network — receiver fan-in drops W → ceil(W/G) and
+        # a hot dst's duplicate partials collapse on the sending node.
+        # Static-layout paths only (pagerank/spmv); the frontier kernels'
+        # per-round message shapes fall back to sliced.  Group size from
+        # $RAYGRAPH_TREE_GROUP, default ~√W (balances combine fan-in against
+        # residual receiver fan-in).
+        if exchange_mode == "tree":
+            G = int(os.environ.get("RAYGRAPH_TREE_GROUP", "0")) or max(
+                1, int(round(self.W ** 0.5)))
+            self.groups = [list(range(g, min(g + G, self.W)))
+                           for g in range(0, self.W, G)]
+        else:
+            self.groups = None
         # pagerank/spmv message layout is static across supersteps, so vids
         # need shipping only once per worker lifetime: the first static
         # round is vid-ful (receivers cache positions), every later one
@@ -2197,7 +2286,10 @@ class SuperstepEngine:
         if getattr(self, "has_mirrors", False):
             for n in mirror_names:
                 self.fetch_mirror(n)
-        if self.exchange_mode == "sliced":
+        # tree mode applies to the static-layout paths (pagerank/spmv);
+        # the frontier kernels' vid sets change every round, so a combine
+        # layout can't be cached — they use the sliced shape under tree.
+        if self.exchange_mode in ("sliced", "tree"):
             W = self.W
             outs = [
                 w.scatter_sliced.options(num_returns=W + 1).remote(
@@ -2277,7 +2369,8 @@ class SuperstepEngine:
         W = self.W
         ship_vids = not self._static_vids_shipped
         self._static_vids_shipped = True
-        if self.exchange_mode == "sliced":
+        if self.exchange_mode == "sliced" or (
+                self.exchange_mode == "tree" and W > 1):
             outs = [
                 ref_list(
                     w.pagerank_scatter_sliced.options(num_returns=W).remote(
@@ -2287,12 +2380,33 @@ class SuperstepEngine:
                 )
                 for w in self.workers
             ]
-            upd = [
-                self.workers[q].pagerank_update.remote(
-                    alpha, has_pers, [outs[s][q] for s in range(W)]
-                )
-                for q in range(W)
-            ]
+            if self.exchange_mode == "tree":
+                # per (group, receiver) combine on a rotating group member;
+                # receiver q then gathers ceil(W/G) merged slices.  Submit
+                # EVERY combine before ANY update: updates block their
+                # actor's thread in ray.get, so an update queued ahead of a
+                # combine another update needs would serialize the whole
+                # round into waves.
+                comb = [
+                    [
+                        self.workers[mem[q % len(mem)]].combine_slices.remote(
+                            q, [outs[s][q] for s in mem], "pagerank")
+                        for mem in self.groups
+                    ]
+                    for q in range(W)
+                ]
+                upd = [
+                    self.workers[q].pagerank_update.remote(
+                        alpha, has_pers, comb[q])
+                    for q in range(W)
+                ]
+            else:
+                upd = [
+                    self.workers[q].pagerank_update.remote(
+                        alpha, has_pers, [outs[s][q] for s in range(W)]
+                    )
+                    for q in range(W)
+                ]
         else:
             msg_refs = [w.pagerank_scatter.remote(ship_vids) for w in self.workers]
             upd = [
@@ -2316,14 +2430,27 @@ class SuperstepEngine:
         W = self.W
         ship_vids = not self._static_vids_shipped
         self._static_vids_shipped = True
-        if self.exchange_mode == "sliced":
+        if self.exchange_mode == "sliced" or (
+                self.exchange_mode == "tree" and W > 1):
             outs = [
                 w.spmv_scatter_sliced.options(num_returns=W + 1).remote(
                     name, ship_vids)
                 for w in self.workers
             ]
             stats = ray.get([o[W] for o in outs])
-            per_receiver = [[outs[s][q] for s in range(W)] for q in range(W)]
+            if self.exchange_mode == "tree":
+                per_receiver = [
+                    [
+                        self.workers[mem[q % len(mem)]]
+                        .combine_slices.remote(
+                            q, [outs[s][q] for s in mem], "spmv")
+                        for mem in self.groups
+                    ]
+                    for q in range(W)
+                ]
+            else:
+                per_receiver = [[outs[s][q] for s in range(W)]
+                                for q in range(W)]
             return per_receiver, stats
         outs = [
             w.spmv_scatter.options(num_returns=2).remote(name, ship_vids)

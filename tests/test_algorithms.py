@@ -3,6 +3,7 @@
 import numpy as np
 import pandas as pd
 import pytest
+import ray
 import ray.data as rd
 
 from raygraph.algos import (
@@ -262,6 +263,57 @@ def test_sliced_exchange_matches_packed(tmp_path, monkeypatch):
     assert np.array_equal(
         bfs_p["predecessor"].to_numpy(), bfs_s["predecessor"].to_numpy()
     )
+
+
+def test_tree_exchange_matches_packed(tmp_path, monkeypatch):
+    # hierarchical (tree) exchange: sliced scatter + per-group combine.
+    # Per-dst summation order differs (group subtotals first), so scores
+    # agree to summation ulps; frontier kernels (wcc/lpa/bfs) fall back to
+    # the sliced shape and must stay bit-identical.  Also checks: the
+    # combine tier actually merged duplicate dsts (inter_out < intra_in),
+    # and a rerun is bit-identical (deterministic for fixed W, G).
+    from raygraph.algos.traversal import bfs
+    from raygraph.algos.centrality import katz_centrality
+    from raygraph.superstep import SuperstepEngine
+
+    g = build(fixtures.karate_df(), False, tmp_path, "ktr")
+    pr_p = pr_vec(pagerank(g, tol=1e-8, max_iter=300, num_workers=4), fixtures.KARATE_V)
+    wcc_p = weakly_connected_components(g, num_workers=4).to_pandas().sort_values("vertex")
+    bfs_p = bfs(g, 0, num_workers=4).to_pandas().sort_values("vertex")
+    katz_p = (katz_centrality(g, max_iter=20, tol=0.0, num_workers=4,
+                              fail_on_nonconvergence=False)
+              .to_pandas().sort_values("vertex"))
+
+    monkeypatch.setenv("RAYGRAPH_EXCHANGE", "tree")
+    monkeypatch.setenv("RAYGRAPH_TREE_GROUP", "2")  # W=4 → 2 groups of 2
+    eng = SuperstepEngine(g, num_workers=4)
+    eng._keep_alive = True
+    try:
+        assert eng.exchange_mode == "tree"
+        assert [len(m) for m in eng.groups] == [2, 2]
+        pr_t = pr_vec(pagerank(g, tol=1e-8, max_iter=300, engine=eng),
+                      fixtures.KARATE_V)
+        tb = ray.get([w.tree_bytes.remote() for w in eng.workers])
+        assert sum(t["combines"] for t in tb) > 0
+        assert (sum(t["inter_out"] for t in tb)
+                < sum(t["intra_in"] for t in tb))
+        pr_t2 = pr_vec(pagerank(g, tol=1e-8, max_iter=300, engine=eng),
+                       fixtures.KARATE_V)
+    finally:
+        eng._keep_alive = False
+        eng.shutdown()
+    wcc_t = weakly_connected_components(g, num_workers=4).to_pandas().sort_values("vertex")
+    bfs_t = bfs(g, 0, num_workers=4).to_pandas().sort_values("vertex")
+    katz_t = (katz_centrality(g, max_iter=20, tol=0.0, num_workers=4,
+                              fail_on_nonconvergence=False)
+              .to_pandas().sort_values("vertex"))
+
+    assert np.allclose(pr_p, pr_t, atol=1e-12)
+    assert np.array_equal(pr_t, pr_t2)  # deterministic rerun
+    assert np.allclose(katz_p["katz_centrality"].to_numpy(),
+                       katz_t["katz_centrality"].to_numpy(), atol=1e-12)
+    assert np.array_equal(wcc_p["labels"].to_numpy(), wcc_t["labels"].to_numpy())
+    assert np.array_equal(bfs_p["distance"].to_numpy(), bfs_t["distance"].to_numpy())
 
 
 def test_static_exchange_ships_vids_once(tmp_path):
