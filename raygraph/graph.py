@@ -540,10 +540,17 @@ class Graph:
         return os.path.join(self.base_dir, "edges", f"part={p}")
 
     def edges_dataset(self, columns=None):
-        return _rd().read_parquet(self.edges_dir(), columns=columns)
+        # driver-side footer fetch for the ≤num_partitions files (see
+        # sources.driver_meta_provider: the default provider's remote
+        # metadata tasks can stall behind a full actor-pool reservation)
+        from raygraph.sources import read_parquet_dir
+
+        return read_parquet_dir(self.edges_dir(), columns=columns)
 
     def vmap_dataset(self):
-        return _rd().read_parquet(os.path.join(self.base_dir, "vmap"))
+        from raygraph.sources import read_parquet_dir
+
+        return read_parquet_dir(os.path.join(self.base_dir, "vmap"))
 
     def vertices_dataset(self):
         """Dataset of (vid:int64) for all vertices — derived, not stored."""

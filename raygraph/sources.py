@@ -23,6 +23,73 @@ def _rd():
     return rd
 
 
+def driver_meta_provider(max_driver_files: int = 512):
+    """Parquet meta provider that reads footers on the DRIVER for small dirs.
+
+    ``read_parquet``'s default provider launches 0.5-CPU Ray tasks for
+    >24 files; right after a large build — with a superstep actor pool
+    reserving all-but-one CPU — those tasks wait out a fresh
+    worker-process startup inside the build's async-cleanup window
+    (measured 12–21s to open a 32-file engine-result dir whose footers
+    take <0.1s to read locally).  Engine artifacts are exactly
+    ``num_partitions`` small files, so the driver reads the footers
+    itself; dirs past ``max_driver_files`` defer to the stock parallel
+    path.  Returns None if the Ray internals moved (callers fall back to
+    the default provider).
+    """
+    try:
+        from ray.data.datasource.parquet_meta_provider import (
+            ParquetMetadataProvider,
+            _fetch_metadata,
+        )
+    except ImportError:  # Ray internals moved; use the default path
+        return None
+
+    class _DriverFooterMetaProvider(ParquetMetadataProvider):
+        def prefetch_file_metadata(self, fragments, **ray_remote_args):
+            if len(fragments) <= max_driver_files:
+                return _fetch_metadata(fragments)
+            return super().prefetch_file_metadata(fragments, **ray_remote_args)
+
+    return _DriverFooterMetaProvider()
+
+
+def read_parquet_dir(paths, max_driver_files: int = 512, **kwargs):
+    """``read_parquet`` for engine-written dirs (≤ num_partitions files)
+    without launching ANY remote task at handle-creation time.
+
+    ``read_parquet`` launches remote tasks twice while constructing the
+    datasource — footer metadata prefetch (>24 files) and encoding-ratio
+    sampling (always) — and right after a large build, with a superstep
+    actor pool reserving all-but-one CPU, those tasks wait out a cold
+    worker-process startup inside the build's async-cleanup window
+    (measured 12–21s to open a 32-file result dir whose footers read in
+    <0.1s locally).  For small FLAT dirs this lists the files on the
+    driver and uses ``read_parquet_bulk`` (FileBasedDatasource: one
+    file = one block, no sampling, no footer tasks).  Hive-partitioned
+    layouts (``key=value`` path segments re-added as columns) and big
+    dirs keep the stock ``read_parquet``, with driver-side footer fetch
+    when the file count allows.
+    """
+    rd = _rd()
+    if isinstance(paths, str) and "://" not in paths:
+        import glob as _glob
+        import os as _os
+
+        files = sorted(
+            _glob.glob(_os.path.join(paths, "**", "*.parquet"), recursive=True)
+        )
+        flat = files and all(
+            "=" not in _os.path.relpath(f, paths) for f in files
+        )
+        if flat and len(files) <= max_driver_files:
+            return rd.read_parquet_bulk(files, **kwargs)
+    mp = driver_meta_provider(max_driver_files)
+    if mp is not None:
+        kwargs.setdefault("meta_provider", mp)
+    return rd.read_parquet(paths, **kwargs)
+
+
 def read_edges_csv(paths, src="src", dst="dst", weight: Optional[str] = None,
                    delimiter: str = " ", column_names: Optional[Sequence[str]] = None):
     """CSV → canonical (src, dst, weight) edge Dataset.

@@ -2503,7 +2503,12 @@ class SuperstepEngine:
         ray.get([w.write_state.remote(out_dir, names) for w in self.workers])
         if not getattr(self, "_keep_alive", False):
             self.shutdown()
-        return rd.read_parquet(out_dir)
+        # driver-side footer fetch: the default provider's remote metadata
+        # tasks stall 12-21s behind this pool's CPU reservation + the
+        # build's cleanup window (see sources.driver_meta_provider)
+        from raygraph.sources import read_parquet_dir
+
+        return read_parquet_dir(out_dir)
 
     def edge_result_dataset(self, names, out_dir: Optional[str] = None):
         """Final per-edge state as a Dataset keyed by (src, dst)."""
@@ -2519,4 +2524,6 @@ class SuperstepEngine:
         ray.get([w.write_edge_state.remote(out_dir, names) for w in self.workers])
         if not getattr(self, "_keep_alive", False):
             self.shutdown()
-        return rd.read_parquet(out_dir)
+        from raygraph.sources import read_parquet_dir
+
+        return read_parquet_dir(out_dir)

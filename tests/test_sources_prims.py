@@ -166,3 +166,44 @@ def test_read_edges_mtx_general_and_symmetric(tmp_path):
     g = Graph.from_edges(edges, directed=True, renumber=False,
                          num_partitions=2, out_dir=str(tmp_path / "gmtx"))
     assert g.num_edges == 4
+
+
+def test_read_parquet_dir_flat_and_hive(tmp_path):
+    # flat engine-result layout -> read_parquet_bulk fast path (no remote
+    # metadata/sampling tasks at handle creation); hive layout -> stock
+    # read_parquet so key=value path segments come back as columns.
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from raygraph.sources import read_parquet_dir
+
+    flat = tmp_path / "flat"
+    flat.mkdir()
+    for p in range(3):
+        pq.write_table(
+            pa.table({"vertex": [p * 10, p * 10 + 1], "pr": [0.1, 0.2]}),
+            str(flat / f"part-{p:05d}.parquet"),
+        )
+    ds = read_parquet_dir(str(flat))
+    df = ds.to_pandas().sort_values("vertex").reset_index(drop=True)
+    assert list(df.columns) == ["vertex", "pr"]
+    assert df["vertex"].tolist() == [0, 1, 10, 11, 20, 21]
+
+    # column pruning works on the fast path
+    assert read_parquet_dir(str(flat), columns=["vertex"]).schema().names == [
+        "vertex"
+    ]
+
+    hive = tmp_path / "hive"
+    for p in range(2):
+        d = hive / f"part={p}"
+        d.mkdir(parents=True)
+        pq.write_table(pa.table({"src": [p], "dst": [p + 1]}),
+                       str(d / "f.parquet"))
+    hdf = read_parquet_dir(str(hive)).to_pandas().sort_values("src")
+    assert "part" in hdf.columns  # hive partition column preserved
+    assert sorted(hdf["part"].astype(int).tolist()) == [0, 1]
+
+    # past the driver-files cap the stock reader handles flat dirs too
+    big = read_parquet_dir(str(flat), max_driver_files=2)
+    assert big.count() == 6
