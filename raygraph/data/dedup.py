@@ -578,6 +578,35 @@ def near_dedup_minhash(ds, text_col="text", id_col="doc_id", num_perm=64,
 # SimHash
 
 
+def poly_token_hashes(tokens) -> np.ndarray:
+    """Deterministic uint64 hash per token (SQL-replayable, shared by
+    SimHash and duplicate-span dedup): base-257 polynomial over the
+    token's utf-8 bytes mod 2^64, xor ``len << 32``, splitmix64
+    finalizer.  Vectorized by bucketing tokens on byte length (each
+    bucket is one (m, d)·powers dot under uint64 wraparound — O(total
+    bytes) even with one pathological separator-free token)."""
+    bts = [t.encode("utf-8", "ignore") for t in tokens]
+    lens = np.fromiter((len(b) for b in bts), np.int64, count=len(bts))
+    h = np.zeros(len(bts), dtype=np.uint64)
+    if len(lens) and lens.max() > 0:
+        pw = np.ones(int(lens.max()), dtype=np.uint64)
+        if len(pw) > 1:
+            pw[1:] = np.uint64(257)
+            np.multiply.accumulate(pw, out=pw)
+        idx = np.arange(len(bts), dtype=np.int64)
+        for d in np.unique(lens):
+            if d == 0:
+                continue
+            sel = idx[lens == d]
+            mat = np.frombuffer(
+                b"".join(bts[i] for i in sel), dtype=np.uint8
+            ).reshape(len(sel), int(d)).astype(np.uint64)
+            h[sel] = (mat * pw[int(d) - 1 :: -1][None, :]).sum(
+                axis=1, dtype=np.uint64
+            )
+    return splitmix64(h ^ (lens.astype(np.uint64) << np.uint64(32)))
+
+
 class SimHasher:
     """64-bit SimHash over word tokens (Charikar 2002).
 
@@ -600,38 +629,11 @@ class SimHasher:
         self._vocab: dict[str, int] = {}  # token → uint64 hash (per actor)
 
     def _token_hashes(self, uniq: np.ndarray) -> np.ndarray:
-        from raygraph.hashing import splitmix64
-
         out = np.empty(len(uniq), dtype=np.uint64)
         miss_idx = [i for i, t in enumerate(uniq) if t not in self._vocab]
         if miss_idx:
             miss = uniq[miss_idx]
-            bts = [t.encode("utf-8", "ignore") for t in miss]
-            lens = np.fromiter((len(b) for b in bts), np.int64, count=len(bts))
-            h = np.zeros(len(bts), dtype=np.uint64)
-            # bucket tokens by byte length: per bucket the base-257
-            # polynomial is one vectorized (m, d)·powers dot under uint64
-            # wraparound (h = Σ byte_i · 257^(d-1-i) mod 2^64 ≡ the Horner
-            # fold), so memory/time stay O(total token bytes) even when one
-            # pathological separator-free token is huge — the previous
-            # dense (n_tokens × longest) pad was O(n·L)
-            if len(lens) and lens.max() > 0:
-                pw = np.ones(int(lens.max()), dtype=np.uint64)
-                if len(pw) > 1:
-                    pw[1:] = np.uint64(257)
-                    np.multiply.accumulate(pw, out=pw)
-                idx = np.arange(len(bts), dtype=np.int64)
-                for d in np.unique(lens):
-                    if d == 0:
-                        continue
-                    sel = idx[lens == d]
-                    mat = np.frombuffer(
-                        b"".join(bts[i] for i in sel), dtype=np.uint8
-                    ).reshape(len(sel), int(d)).astype(np.uint64)
-                    h[sel] = (mat * pw[int(d) - 1 :: -1][None, :]).sum(
-                        axis=1, dtype=np.uint64
-                    )
-            hv = splitmix64(h ^ (lens.astype(np.uint64) << np.uint64(32)))
+            hv = poly_token_hashes(miss)
             for t, v in zip(miss, hv):
                 self._vocab[t] = int(v)
         for i, t in enumerate(uniq):
@@ -843,3 +845,160 @@ def embedding_near_dup_lsh(ds, threshold: float, emb_col: str = "embedding",
         return out[out["cosine"] >= threshold]
 
     return p2.map_batches(verify, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# Exact-substring (duplicated token n-gram span) dedup — Lee et al. 2022
+# ("Deduplicating Training Data Makes Language Models Better") re-expressed
+# Ray-Data-first: the suffix-array pass becomes a token-n-gram hash
+# fan-out + two bucketed aggregates + one join-back + a vectorized
+# per-document interval merge.  No stage materializes the corpus; the
+# gram rows stream through hash buckets.
+
+GRAM_MULT = np.uint64(1_000_003)  # Horner multiplier over token hashes
+
+
+def _gram_rows(df: pd.DataFrame, n: int, text_col: str, id_col: str,
+               tok_re) -> pd.DataFrame:
+    """(gram_hash:int64 two's-complement view, doc, pos) rows per batch.
+
+    Gram hash = Horner fold ``g = g*GRAM_MULT + tok_hash`` over the n
+    token hashes, mod 2^64 (numpy uint64 wraparound == the SQL
+    ``& MASK`` after each step).  Vocab-free: token hashes are computed
+    per batch over the batch's unique tokens."""
+    toks_per_doc = [tok_re.findall(t.lower()) for t in df[text_col].astype(str)]
+    counts = np.fromiter((len(x) for x in toks_per_doc), np.int64,
+                         count=len(toks_per_doc))
+    total = int(counts.sum())
+    empty = pd.DataFrame({
+        "g": pd.Series(dtype=np.int64),
+        id_col: pd.Series(dtype=df[id_col].dtype),
+        "pos": pd.Series(dtype=np.int64),
+    })
+    if total == 0:
+        return empty
+    all_toks = np.empty(total, dtype=object)
+    o = 0
+    for ts in toks_per_doc:
+        all_toks[o:o + len(ts)] = ts
+        o += len(ts)
+    uniq, inv = np.unique(all_toks, return_inverse=True)
+    th = poly_token_hashes(uniq)[inv]  # per-position token hash
+    ids, ghs, poss = [], [], []
+    off = 0
+    docs = df[id_col].to_numpy()
+    for i, c in enumerate(counts):
+        c = int(c)
+        if c >= n:
+            seg = th[off:off + c]
+            m = c - n + 1
+            g = np.zeros(m, dtype=np.uint64)
+            for j in range(n):
+                g = g * GRAM_MULT + seg[j:j + m]
+            ghs.append(g)
+            ids.append(np.full(m, docs[i]))
+            poss.append(np.arange(m, dtype=np.int64))
+        off += c
+    if not ghs:
+        return empty
+    return pd.DataFrame({
+        "g": np.concatenate(ghs).view(np.int64),
+        id_col: np.concatenate(ids),
+        "pos": np.concatenate(poss),
+    })
+
+
+def duplicate_ngram_spans(ds, n: int = 8, min_docs: int = 2,
+                          text_col: str = "text", id_col: str = "doc_id",
+                          num_buckets: int = 64, concurrency=(1, 8)):
+    """Token spans duplicated across ≥ ``min_docs`` documents.
+
+    Returns ``(doc_id, span_start, span_end, n_grams)`` — 0-based token
+    index intervals ``[span_start, span_end)`` after merging overlapping
+    or touching duplicated n-grams; ``n_grams`` counts the duplicated
+    grams merged into the span.  Tokens are lowercase ``\\w+`` (the
+    SimHash scheme), so spans index into that token sequence.
+
+    Stages (each streaming, shuffle volume = gram rows, never the text):
+      1. map: tokenize + hash → (gram_hash, doc, pos) fan-out
+         (~tokens-per-doc rows per doc);
+      2. duplicate grams: distinct (g, doc) then per-g doc count — two
+         bucketed hash aggregates with map-side combine;
+      3. join the duplicate-gram set back to the (g, doc, pos) rows
+         (bucketed hash join on g);
+      4. per-doc overlapping-interval merge — one vectorized
+         gaps-and-islands pass per doc-hash bucket (no per-doc Python).
+    """
+    import re
+
+    from raygraph import joins
+    from raygraph.agg import hash_aggregate
+    from raygraph.joins import coalesce_for_exchange
+    from raygraph.hashing import hash_int64
+
+    tok_re = re.compile(r"\w+")
+    grams = ds.map_batches(
+        lambda df: _gram_rows(df, n, text_col, id_col, tok_re),
+        batch_format="pandas",
+    ).materialize()  # consumed twice (dup detection + join-back)
+
+    pairs = hash_aggregate(grams, ["g", id_col], num_buckets=num_buckets,
+                           coalesce=False)  # mostly-unique keys: data-sized
+    per_g = hash_aggregate(pairs, ["g"], {"ndocs": (id_col, "count")},
+                           num_buckets=num_buckets)
+    dup = per_g.map_batches(
+        lambda df: df[df["ndocs"] >= min_docs][["g"]],
+        batch_format="pandas",
+    )
+    hits = joins.hash_join(grams, dup, on="g", num_buckets=num_buckets)
+
+    def merge_spans(group: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({
+            id_col: pd.Series(dtype=np.int64),
+            "span_start": pd.Series(dtype=np.int64),
+            "span_end": pd.Series(dtype=np.int64),
+            "n_grams": pd.Series(dtype=np.int64),
+        })
+        if not len(group):
+            return empty
+        doc = group[id_col].to_numpy(np.int64)
+        s = group["pos"].to_numpy(np.int64)
+        e = s + n
+        order = np.lexsort((s, doc))
+        doc, s, e = doc[order], s[order], e[order]
+        # vectorized gaps-and-islands across ALL docs at once: offset
+        # ends by dense-doc-index × L (L > any end) so the running max
+        # never leaks across doc boundaries
+        _, gidx = np.unique(doc, return_inverse=True)
+        L = np.int64(e.max() + 2)
+        key_e = gidx.astype(np.int64) * L + e
+        runmax = np.maximum.accumulate(key_e)
+        brk = np.empty(len(s), dtype=bool)
+        brk[0] = True
+        # new island when this span starts after the running max end
+        # (strictly: touching spans merge), or at a doc boundary (the
+        # previous runmax is from a smaller gidx → compare < s always)
+        brk[1:] = (gidx[1:] * L + s[1:]) > runmax[:-1]
+        grp = np.cumsum(brk) - 1
+        starts = np.flatnonzero(brk)
+        ends = np.r_[starts[1:], len(s)] - 1
+        return pd.DataFrame({
+            id_col: doc[starts],
+            "span_start": s[starts],
+            "span_end": runmax[ends] - gidx[starts] * L,
+            "n_grams": (ends - starts + 1).astype(np.int64),
+        })
+
+    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[[id_col, "pos"]].copy()
+        df["__bk"] = (
+            hash_int64(df[id_col].to_numpy(np.int64)) % np.uint64(num_buckets)
+        ).astype(np.int32)
+        return df
+
+    tagged = coalesce_for_exchange(
+        hits.map_batches(add_bucket, batch_format="pandas"), num_buckets
+    )
+    return tagged.groupby("__bk").map_groups(
+        lambda g: merge_spans(g.drop(columns="__bk")), batch_format="pandas"
+    )

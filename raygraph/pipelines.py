@@ -643,6 +643,16 @@ def q_simhash(sf_dir: str):
     return dedup.simhash_signatures(docs)
 
 
+def q_dup_spans(sf_dir: str):
+    from raygraph.data import dedup
+
+    rd = _rd()
+    docs = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    return dedup.duplicate_ngram_spans(docs, n=8, min_docs=2)
+
+
 def q_lang_id(sf_dir: str):
     from raygraph.data import text
 
@@ -2201,6 +2211,7 @@ QUERIES = {
     "hash_split": q_hash_split,
     "bloom_bits": q_bloom_bits,
     "fingerprint": q_fingerprint,
+    "dup_spans": q_dup_spans,
     "asof_join": q_asof_join,
     "eigenvector": q_eigenvector,
     "degree_centrality": q_degree_centrality,
@@ -3334,6 +3345,86 @@ SELECT sym.src AS src_key, sym.dst AS dst_key,
            AS betweenness_e6
 FROM sym LEFT JOIN ebc b ON b.esrc = sym.src AND b.edst = sym.dst""")
     return "".join(parts)
+
+
+
+
+def _dup_spans_oracle_sql(n: int = 8, min_docs: int = 2) -> str:
+    """DuckDB replay of ``dedup.duplicate_ngram_spans`` (exact-substring
+    span dedup), bit-exact: token hashes are the SimHash scheme (base-257
+    byte polynomial mod 2^64, xor ``len << 32``, splitmix64 — the same
+    CTE chain as ``_simhash_oracle_sql``); the gram hash is the Horner
+    fold ``g = g*1000003 + tok_hash`` mod 2^64 over the n per-position
+    token hashes (LEAD window, HUGEINT with ``& mask`` per step — numpy
+    uint64 wraparound on the kernel side); duplicate grams = distinct doc
+    count >= min_docs; spans = classic gaps-and-islands interval merge
+    (touching spans merge, matching the kernel's strict ``s > running
+    max end`` island break)."""
+    MASK = "CAST(18446744073709551615 AS HUGEINT)"
+    C1, C2, C3 = 0x9E3779B97F4A7C15, 0xBF58476D1CE4E5B9, 0x94D049BB133111EB
+
+    def mulmod(t: str, c: int) -> str:
+        return (f"(((({t}) & 4294967295) * {c} + "
+                f"(((({t}) >> 32) * {c}) & 4294967295) * 4294967296) & {MASK})")
+
+    leads = ",\n           ".join(
+        f"LEAD(thash, {i}) OVER w AS h{i}" for i in range(1, n)
+    )
+    fold = "CAST(h0 AS HUGEINT)"
+    for i in range(1, n):
+        fold = f"((({fold}) * 1000003 + CAST(h{i} AS HUGEINT)) & {MASK})"
+
+    return f"""
+WITH RECURSIVE
+toklist AS (SELECT doc_id,
+        regexp_extract_all(lower(text), '[a-z0-9_]+') AS l FROM documents),
+toks AS MATERIALIZED (SELECT doc_id, unnest(l) AS tok,
+        generate_subscripts(l, 1) AS pos FROM toklist),
+ut AS MATERIALIZED (SELECT DISTINCT tok FROM toks),
+poly(tok, pos, h) AS (
+    SELECT tok, 1, CAST(0 AS HUGEINT) FROM ut
+    UNION ALL
+    SELECT tok, pos + 1, ((h * 257) + ord(substr(tok, pos, 1))) & {{MASK}}
+    FROM poly WHERE pos <= length(tok)),
+ph AS (SELECT tok, CAST(xor(CAST(h AS UBIGINT),
+        CAST(length(tok) AS UBIGINT) << 32) AS HUGEINT) AS z
+        FROM poly WHERE pos = length(tok) + 1),
+s1 AS (SELECT tok, CAST((z + {{C1}}) & {{MASK}} AS UBIGINT) AS z FROM ph),
+s2 AS (SELECT tok,
+        CAST({{m2}} AS UBIGINT) AS z
+        FROM s1),
+s3 AS (SELECT tok,
+        CAST({{m3}} AS UBIGINT) AS z
+        FROM s2),
+th AS MATERIALIZED (SELECT tok, xor(z, z >> 31) AS thash FROM s3),
+seq AS (SELECT t.doc_id, t.pos, th.thash FROM toks t JOIN th USING (tok)),
+win AS (SELECT doc_id, pos, thash AS h0,
+           {{leads}}
+        FROM seq WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+gr AS MATERIALIZED (SELECT doc_id, pos, {{fold}} AS g
+        FROM win WHERE h{{last}} IS NOT NULL),
+dup AS (SELECT g FROM (SELECT g, COUNT(DISTINCT doc_id) AS nd
+        FROM gr GROUP BY g) WHERE nd >= {{min_docs}}),
+sp AS (SELECT gr.doc_id, gr.pos - 1 AS s, gr.pos - 1 + {{n}} AS e
+        FROM gr JOIN dup USING (g)),
+isl AS (SELECT doc_id, s, e,
+        CASE WHEN s > COALESCE(MAX(e) OVER (PARTITION BY doc_id ORDER BY s
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+        THEN 1 ELSE 0 END AS brk FROM sp),
+grp AS (SELECT doc_id, s, e, SUM(brk) OVER (PARTITION BY doc_id ORDER BY s
+        ROWS UNBOUNDED PRECEDING) AS gid FROM isl)
+SELECT doc_id, MIN(s) AS span_start, MAX(e) AS span_end,
+       CAST(COUNT(*) AS BIGINT) AS n_grams
+FROM grp GROUP BY doc_id, gid
+""".replace("{MASK}", MASK).replace("{C1}", str(C1)).replace(
+        "{m2}", mulmod("CAST(xor(z, z >> 30) AS HUGEINT)", C2)).replace(
+        "{m3}", mulmod("CAST(xor(z, z >> 27) AS HUGEINT)", C3)).replace(
+        "{leads}", leads).replace("{fold}", fold).replace(
+        "{last}", str(n - 1)).replace("{min_docs}", str(min_docs)).replace(
+        "{n}", str(n))
+
+
+ORACLES["dup_spans"] = _dup_spans_oracle_sql()
 
 
 ORACLES["betweenness"] = _betweenness_oracle_sql()

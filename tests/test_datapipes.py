@@ -783,3 +783,54 @@ def test_multimodal_real_wav_decode():
     exp = [np.sqrt(np.mean(mono[k * 200:(k + 1) * 200] ** 2))
            for k in range(4)]
     np.testing.assert_allclose(out.loc[0, "feature"], exp, atol=1e-4)
+
+
+def test_duplicate_ngram_spans_semantics():
+    # Lee et al.-style exact-substring span dedup: two docs share a
+    # 12-token run; spans must cover exactly the shared run's token
+    # indices in each doc (merged from the 5 overlapping 8-grams), and a
+    # third unrelated doc must yield no span.
+    import ray.data as rd
+
+    from raygraph.data.dedup import duplicate_ngram_spans
+
+    shared = "the quick brown fox jumps over the lazy dog again and again"
+    docs = pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "text": [
+            "alpha beta " + shared + " gamma delta",
+            "start words here then " + shared + " end of doc two",
+            "completely different text with no overlap at all whatsoever",
+        ],
+    })
+    out = (
+        duplicate_ngram_spans(rd.from_pandas(docs), n=8)
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    assert out.to_dict("list") == {
+        "doc_id": [1, 2],
+        "span_start": [2, 4],     # shared run starts at token 2 / 4
+        "span_end": [14, 16],     # 12 shared tokens
+        "n_grams": [5, 5],        # 12 - 8 + 1 overlapping grams merged
+    }
+
+    # within-doc repetition alone (one doc) is NOT a cross-doc duplicate
+    solo = pd.DataFrame({
+        "doc_id": [7],
+        "text": [(shared + " ") * 3],
+    })
+    assert duplicate_ngram_spans(rd.from_pandas(solo), n=8).count() == 0
+
+    # touching spans merge: doc 8 duplicates doc 9's text twice
+    # back-to-back, so doc 8's two hit regions form one merged span
+    two = pd.DataFrame({
+        "doc_id": [8, 9],
+        "text": [shared + " " + shared, shared],
+    })
+    got = (
+        duplicate_ngram_spans(rd.from_pandas(two), n=8)
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    d8 = got[got["doc_id"] == 8]
+    assert len(d8) == 1 and int(d8["span_start"].iloc[0]) == 0
+    assert int(d8["span_end"].iloc[0]) == 24
