@@ -1002,3 +1002,87 @@ def duplicate_ngram_spans(ds, n: int = 8, min_docs: int = 2,
     return tagged.groupby("__bk").map_groups(
         lambda g: merge_spans(g.drop(columns="__bk")), batch_format="pandas"
     )
+
+
+def remove_duplicate_spans(ds, spans, text_col: str = "text",
+                           id_col: str = "doc_id", num_buckets: int = 64):
+    """Apply side of :func:`duplicate_ngram_spans`: cut the duplicated
+    token spans out of each document's ORIGINAL text.
+
+    ``spans``: Dataset or DataFrame ``(doc_id, span_start, span_end)``
+    (token indices over the lowercase ``\\w+`` token stream).  Character
+    ranges are recovered by re-tokenizing with ``finditer`` (same regex,
+    deterministic), and the cut removes from the first span token's
+    first character through the last span token's last character, so
+    inter-token whitespace/punctuation inside the span goes with it.
+
+    Returns ``(doc_id, text, n_removed_tokens)`` for every input doc
+    (docs without spans pass through unchanged).  Scale shape: spans are
+    packed per doc (one bucketed aggregate), then a bucketed LEFT join
+    against the docs — text never moves except through that one join.
+    """
+    import re
+
+    from raygraph import joins
+
+    if isinstance(spans, pd.DataFrame):
+        spans = _as_ds(spans)
+
+    def pack(group: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({
+            id_col: pd.Series(dtype=np.int64),
+            "__starts": pd.Series(dtype=object),
+            "__ends": pd.Series(dtype=object),
+        })
+        if not len(group):
+            return empty
+        g = group.sort_values([id_col, "span_start"])
+        docs_arr = g[id_col].to_numpy(np.int64)
+        brk = np.r_[True, docs_arr[1:] != docs_arr[:-1]]
+        starts_idx = np.flatnonzero(brk)
+        s = g["span_start"].to_numpy(np.int64)
+        e = g["span_end"].to_numpy(np.int64)
+        return pd.DataFrame({
+            id_col: docs_arr[starts_idx],
+            "__starts": [a.tolist() for a in
+                         np.split(s, starts_idx[1:])],
+            "__ends": [a.tolist() for a in np.split(e, starts_idx[1:])],
+        })
+
+    from raygraph.agg import bucketed_map_groups
+
+    packed = bucketed_map_groups(spans, [id_col], pack,
+                                 num_buckets=num_buckets)
+    joined = joins.hash_join(ds, packed, on=id_col, how="left",
+                             num_buckets=num_buckets)
+    tok_re = re.compile(r"\w+")
+
+    def apply(df: pd.DataFrame) -> pd.DataFrame:
+        texts, removed = [], np.zeros(len(df), dtype=np.int64)
+        for i, (t, ss, ee) in enumerate(
+                zip(df[text_col].astype(str), df["__starts"], df["__ends"])):
+            if not isinstance(ss, (list, np.ndarray)) or len(ss) == 0:
+                texts.append(t)
+                continue
+            toks = list(tok_re.finditer(t.lower()))
+            pieces, cur, cut = [], 0, 0
+            for s0, e0 in zip(ss, ee):
+                s0, e0 = int(s0), int(min(e0, len(toks)))
+                if s0 >= len(toks) or e0 <= s0:
+                    continue
+                a = toks[s0].start()
+                b = toks[e0 - 1].end()
+                pieces.append(t[cur:a])
+                cur = b
+                cut += e0 - s0
+            pieces.append(t[cur:])
+            texts.append("".join(pieces))
+            removed[i] = cut
+        out = pd.DataFrame({
+            id_col: df[id_col].to_numpy(np.int64),
+            text_col: texts,
+            "n_removed_tokens": removed,
+        })
+        return out
+
+    return joined.map_batches(apply, batch_format="pandas")

@@ -834,3 +834,34 @@ def test_duplicate_ngram_spans_semantics():
     d8 = got[got["doc_id"] == 8]
     assert len(d8) == 1 and int(d8["span_start"].iloc[0]) == 0
     assert int(d8["span_end"].iloc[0]) == 24
+
+
+def test_remove_duplicate_spans_cuts_original_text():
+    import ray.data as rd
+
+    from raygraph.data.dedup import duplicate_ngram_spans, remove_duplicate_spans
+
+    shared = "one two three four five six seven eight nine ten eleven twelve"
+    docs = pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "text": [
+            "Keep-A " + shared + " Keep-B",
+            shared,
+            "untouched document with completely different words inside it",
+        ],
+    })
+    ds = rd.from_pandas(docs)
+    spans = duplicate_ngram_spans(ds, n=8)
+    out = (
+        remove_duplicate_spans(ds, spans)
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    # doc 1: the 12 shared tokens (chars of "one ... twelve") cut out,
+    # surrounding original text (case, punctuation, spacing) preserved
+    assert out.loc[0, "text"] == "Keep-A  Keep-B"
+    assert out.loc[0, "n_removed_tokens"] == 12
+    assert out.loc[1, "text"] == ""  # fully duplicated doc -> emptied
+    assert out.loc[1, "n_removed_tokens"] == 12
+    # doc 3 passes through untouched
+    assert out.loc[2, "text"] == docs.loc[2, "text"]
+    assert out.loc[2, "n_removed_tokens"] == 0
