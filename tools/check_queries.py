@@ -72,6 +72,7 @@ def main():
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
     failures = []
+    results = {}  # name -> record ($CHECK_OUT json artifact)
     for name, fn in qs.items():
         if only and name not in only:
             continue
@@ -80,10 +81,14 @@ def main():
             got = canon(to_pandas(fn(sf_dir)))
         except Exception as e:
             failures.append(name)
+            results[name] = {"status": "fail",
+                             "err": f"{type(e).__name__}: {e}"}
             print(f"[FAIL] {name}: query raised {type(e).__name__}: {e}")
             continue
         dt = time.perf_counter() - t0
         if name not in oracles:
+            results[name] = {"status": "rows_only", "rows": len(got),
+                             "sec": round(dt, 1)}
             print(f"[rows-only] {name}: {len(got)} rows in {dt:.1f}s")
             continue
         want = canon(con.sql(oracles[name]).df())
@@ -99,9 +104,13 @@ def main():
             except AssertionError as e:
                 msg = str(e).splitlines()[0]
         if ok_rows and ok_cols and ok_vals:
+            results[name] = {"status": "ok", "rows": len(got),
+                             "sec": round(dt, 1)}
             print(f"[OK]   {name}: {len(got)} rows in {dt:.1f}s")
         else:
             failures.append(name)
+            results[name] = {"status": "fail", "rows": len(got),
+                             "oracle_rows": len(want)}
             print(
                 f"[FAIL] {name}: rows {len(got)} vs {len(want)}; "
                 f"cols {list(got.columns)} vs {list(want.columns)}"
@@ -112,6 +121,18 @@ def main():
                 if merged is not None and len(merged):
                     print(merged.head(5))
     ray.shutdown()
+    out_path = os.environ.get("CHECK_OUT")
+    if out_path:
+        import json
+
+        with open(out_path, "w") as f:
+            json.dump({"sf_dir": sf_dir,
+                       "n_ok": sum(r.get("status") == "ok"
+                                   for r in results.values()),
+                       "n_rows_only": sum(r.get("status") == "rows_only"
+                                          for r in results.values()),
+                       "n_fail": len(failures),
+                       "queries": results}, f, indent=1, sort_keys=True)
     if failures:
         print("FAILURES:", failures)
         sys.exit(1)
