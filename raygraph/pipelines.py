@@ -653,6 +653,30 @@ def q_dup_spans(sf_dir: str):
     return dedup.duplicate_ngram_spans(docs, n=8, min_docs=2)
 
 
+def q_json_extract(sf_dir: str):
+    """Semi-structured extraction: events.props is a JSON payload; pull
+    field ``k`` as int64 and aggregate per event_type."""
+    from raygraph.agg import hash_aggregate
+    from raygraph.data.semistructured import extract_json_field
+
+    rd = _rd()
+    ev = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["event_type", "props"]
+    )
+    ex = extract_json_field(ev, "k", col="props", as_type="int64")
+    agg = hash_aggregate(
+        ex, ["event_type"], {"sum_k": ("k", "sum"), "n": (None, "count")}
+    )
+
+    def cast(df):
+        # nullable Int64 -> plain int64 for the driver's value hash
+        df = df.copy()
+        df["sum_k"] = df["sum_k"].astype("int64")
+        return df
+
+    return agg.map_batches(cast, batch_format="pandas")
+
+
 def q_lang_id(sf_dir: str):
     from raygraph.data import text
 
@@ -2212,6 +2236,7 @@ QUERIES = {
     "bloom_bits": q_bloom_bits,
     "fingerprint": q_fingerprint,
     "dup_spans": q_dup_spans,
+    "json_extract": q_json_extract,
     "asof_join": q_asof_join,
     "eigenvector": q_eigenvector,
     "degree_centrality": q_degree_centrality,
@@ -3425,6 +3450,13 @@ FROM grp GROUP BY doc_id, gid
 
 
 ORACLES["dup_spans"] = _dup_spans_oracle_sql()
+
+ORACLES["json_extract"] = """
+SELECT event_type,
+       CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM events GROUP BY event_type
+"""
 
 
 ORACLES["betweenness"] = _betweenness_oracle_sql()

@@ -865,3 +865,37 @@ def test_remove_duplicate_spans_cuts_original_text():
     # doc 3 passes through untouched
     assert out.loc[2, "text"] == docs.loc[2, "text"]
     assert out.loc[2, "n_removed_tokens"] == 0
+
+
+def test_extract_json_field_fast_path_and_fallback():
+    import ray.data as rd
+
+    from raygraph.data.semistructured import extract_json_field
+
+    df = pd.DataFrame({
+        "id": [1, 2, 3, 4, 5, 6],
+        "props": [
+            '{"k": 42, "name": "alpha"}',          # flat -> regex fast path
+            '{"other": 1}',                         # absent -> NA
+            '{"nested": {"k": 9}, "k": 7}',         # fallback: loads top-level k
+            '{"k": -3.5}',                          # float in int context
+            '{"name": "with \\"quote\\""}',         # escaped string -> fallback
+            'not json at all',                      # unparseable -> NA
+        ],
+    })
+    ds = rd.from_pandas(df)
+    out = (
+        extract_json_field(ds, "k", as_type="int64")
+        .to_pandas().sort_values("id").reset_index(drop=True)
+    )
+    ks = out["k"].tolist()
+    assert ks[0] == 42 and pd.isna(ks[1]) and ks[2] == 7
+    assert ks[3] == -3  # non-integral payloads truncate toward zero
+    assert pd.isna(ks[5])
+
+    names = (
+        extract_json_field(ds, "name", as_type="string")
+        .to_pandas().sort_values("id")["name"].tolist()
+    )
+    assert names[0] == "alpha"
+    assert names[4] == 'with "quote"'  # escaped string via json.loads
