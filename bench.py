@@ -178,6 +178,10 @@ def run_bench() -> dict:
         dedup.near_dedup_minhash(rd.read_parquet(docs), threshold=0.7)
     with timed("simhash"):
         dedup.simhash_signatures(rd.read_parquet(docs)).count()
+    with timed("dup_spans"):
+        dedup.duplicate_ngram_spans(
+            rd.read_parquet(docs, columns=["doc_id", "text"]), n=8
+        ).count()
     with timed("text_quality"):
         textmod.quality_scores(rd.read_parquet(docs)).count()
     with timed("knn"):
