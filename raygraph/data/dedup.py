@@ -882,29 +882,28 @@ def _gram_rows(df: pd.DataFrame, n: int, text_col: str, id_col: str,
     for ts in toks_per_doc:
         all_toks[o:o + len(ts)] = ts
         o += len(ts)
+    if total < n:
+        return empty
     uniq, inv = np.unique(all_toks, return_inverse=True)
     th = poly_token_hashes(uniq)[inv]  # per-position token hash
-    ids, ghs, poss = [], [], []
-    off = 0
     docs = df[id_col].to_numpy()
-    for i, c in enumerate(counts):
-        c = int(c)
-        if c >= n:
-            seg = th[off:off + c]
-            m = c - n + 1
-            g = np.zeros(m, dtype=np.uint64)
-            for j in range(n):
-                g = g * GRAM_MULT + seg[j:j + m]
-            ghs.append(g)
-            ids.append(np.full(m, docs[i]))
-            poss.append(np.arange(m, dtype=np.int64))
-        off += c
-    if not ghs:
+    # one Horner fold over the whole concatenated batch (n vectorized
+    # passes), then keep only windows that do not cross a doc boundary
+    # — bit-identical to the per-doc fold, no per-doc Python loop
+    m_all = total - n + 1
+    g = np.zeros(m_all, dtype=np.uint64)
+    for j in range(n):
+        g = g * GRAM_MULT + th[j:j + m_all]
+    didx = np.repeat(np.arange(len(counts), dtype=np.int64), counts)
+    starts = np.flatnonzero(didx[:m_all] == didx[n - 1:])
+    if not len(starts):
         return empty
+    offs = np.concatenate(([0], np.cumsum(counts)))
+    sdoc = didx[starts]
     return pd.DataFrame({
-        "g": np.concatenate(ghs).view(np.int64),
-        id_col: np.concatenate(ids),
-        "pos": np.concatenate(poss),
+        "g": g[starts].view(np.int64),
+        id_col: docs[sdoc],
+        "pos": starts - offs[sdoc],
     })
 
 
