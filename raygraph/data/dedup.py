@@ -930,8 +930,6 @@ def duplicate_ngram_spans(ds, n: int = 8, min_docs: int = 2,
     """
     import re
 
-    from raygraph import joins
-    from raygraph.agg import hash_aggregate
     from raygraph.joins import coalesce_for_exchange
     from raygraph.hashing import hash_int64
 
@@ -939,17 +937,54 @@ def duplicate_ngram_spans(ds, n: int = 8, min_docs: int = 2,
     grams = ds.map_batches(
         lambda df: _gram_rows(df, n, text_col, id_col, tok_re),
         batch_format="pandas",
-    ).materialize()  # consumed twice (dup detection + join-back)
+    )
 
-    pairs = hash_aggregate(grams, ["g", id_col], num_buckets=num_buckets,
-                           coalesce=False)  # mostly-unique keys: data-sized
-    per_g = hash_aggregate(pairs, ["g"], {"ndocs": (id_col, "count")},
-                           num_buckets=num_buckets)
-    dup = per_g.map_batches(
-        lambda df: df[df["ndocs"] >= min_docs][["g"]],
+    # ONE g-bucketed exchange does dup detection AND survivor emission:
+    # every occurrence of a gram hash lands in one bucket, so the bucket
+    # task counts distinct docs per g and emits the surviving (doc, pos)
+    # rows directly — gram rows cross the network once (previously:
+    # distinct-(g,doc) aggregate + per-g count + join-back ≈ 3× the
+    # exchange volume, plus a mid-pipeline materialize).
+    def tag_g(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["__bk"] = (
+            hash_int64(df["g"].to_numpy(np.int64)) % np.uint64(num_buckets)
+        ).astype(np.int32)
+        return df
+
+    def dup_hits(group: pd.DataFrame) -> pd.DataFrame:
+        if not len(group):
+            return pd.DataFrame({
+                id_col: pd.Series(dtype=np.int64),
+                "pos": pd.Series(dtype=np.int64),
+            })
+        g = group["g"].to_numpy(np.int64)
+        doc = group[id_col].to_numpy()
+        # distinct-doc count per g without pandas nunique: sort by
+        # (g, doc), count (g, doc) boundary transitions per g run
+        order = np.lexsort((doc, g))
+        gs, ds_ = g[order], doc[order]
+        new_pair = np.empty(len(gs), dtype=bool)
+        new_pair[0] = True
+        new_pair[1:] = (gs[1:] != gs[:-1]) | (ds_[1:] != ds_[:-1])
+        new_g = np.empty(len(gs), dtype=bool)
+        new_g[0] = True
+        new_g[1:] = gs[1:] != gs[:-1]
+        g_starts = np.flatnonzero(new_g)
+        ndocs = np.add.reduceat(new_pair.astype(np.int64), g_starts)
+        good = gs[g_starts[ndocs >= min_docs]]
+        keep = np.isin(g, good, assume_unique=False)
+        return pd.DataFrame({
+            id_col: group[id_col].to_numpy()[keep],
+            "pos": group["pos"].to_numpy(np.int64)[keep],
+        })
+
+    hits = coalesce_for_exchange(
+        grams.map_batches(tag_g, batch_format="pandas"), num_buckets
+    ).groupby("__bk").map_groups(
+        lambda grp: dup_hits(grp.drop(columns="__bk")),
         batch_format="pandas",
     )
-    hits = joins.hash_join(grams, dup, on="g", num_buckets=num_buckets)
 
     def merge_spans(group: pd.DataFrame) -> pd.DataFrame:
         empty = pd.DataFrame({
