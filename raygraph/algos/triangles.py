@@ -198,14 +198,30 @@ def _triangle_count_intersect(graph, num_workers=None):
     3. per-edge |N+(u)∩N+(v)| via composite-key searchsorted, chunked,
     4. one (vid, count) partial exchange folds remote corners.
     """
+    import os
+    import sys
+    import time
+
     import ray
 
     from raygraph.superstep import SuperstepEngine, ref_list
 
+    # opt-in wave timing to stderr ($RAYGRAPH_TRI_DEBUG=1)
+    _dbg = bool(os.environ.get("RAYGRAPH_TRI_DEBUG"))
+    _tick_t = [time.perf_counter()]
+
+    def _tick(phase: str):
+        if _dbg:
+            now = time.perf_counter()
+            print(f"TRI {phase}: {now - _tick_t[0]:.2f}s", file=sys.stderr)
+            _tick_t[0] = now
+
     engine = SuperstepEngine(graph, num_workers=num_workers)
     W = engine.W
+    _tick("engine_spinup")
     try:
         ray.get([w.tri_init.remote() for w in engine.workers])
+        _tick("tri_init")
         needed = ray.get([w.needed_dst_ids.remote() for w in engine.workers])
         ray.get(
             [
@@ -227,7 +243,9 @@ def _triangle_count_intersect(graph, num_workers=None):
                 for q in range(W)
             ]
         )
+        _tick("odeg_exchange")
         needs = ray.get([w.tri_orient.remote() for w in engine.workers])
+        _tick("tri_orient")
         adj_served = [
             [
                 engine.workers[p].tri_serve.remote(needs[q][p])
@@ -243,7 +261,9 @@ def _triangle_count_intersect(graph, num_workers=None):
                 for q in range(W)
             ]
         )
+        _tick("adj_exchange")
         partials = ray.get([w.tri_count.remote() for w in engine.workers])
+        _tick("tri_count")
         ray.get(
             [
                 engine.workers[q].tri_collect.remote(
@@ -252,7 +272,9 @@ def _triangle_count_intersect(graph, num_workers=None):
                 for q in range(W)
             ]
         )
+        _tick("tri_collect")
         ds = engine.result_dataset(["tri"])
+        _tick("result_dataset")
         return ds.map_batches(
             lambda t: pa.table(
                 {"vertex": t.column("vertex"),

@@ -1595,6 +1595,9 @@ class PartitionWorker:
         bound the in-flight candidate array).  Returns per-owner partial
         (vid, count) messages for remote corners; owned corners are
         accumulated directly into state['tri']."""
+        import sys as _sys
+        import time as _time
+        _t0 = _time.perf_counter()
         E = len(self._tri_src)
         tri = self.state["tri"]
         V = np.int64(self.V)
@@ -1605,6 +1608,7 @@ class PartitionWorker:
         # fetched-adjacency slice per edge dst
         vidx = np.searchsorted(self._adj_ids, self._tri_dst)
         # composite-sorted key array over the fetched adjacency
+        _t1 = _time.perf_counter()
         adj_slice = np.repeat(
             np.arange(len(self._adj_ids), dtype=np.int64),
             np.diff(self._adj_off),
@@ -1616,6 +1620,7 @@ class PartitionWorker:
             adj_key = adj_slice * K + self._adj_rank
         else:
             adj_key = adj_slice * V + self._adj_flat
+        _t2 = _time.perf_counter()
         remote_v, remote_c = [], []
         pos0 = 0
         while pos0 < E:
@@ -1659,6 +1664,7 @@ class PartitionWorker:
             remote_v.append(np.concatenate([self._tri_dst[pos0:pos1], w_v]))
             remote_c.append(np.concatenate([m, np.ones(len(w_v), np.int64)]))
             pos0 = pos1
+        _t3 = _time.perf_counter()
         if remote_v:
             rv = np.concatenate(remote_v)
             rc = np.concatenate(remote_c)
@@ -1670,7 +1676,17 @@ class PartitionWorker:
             uv = np.array([], np.int64)
             uc = np.array([], np.int64)
         owner = self.part2worker[part_of_vertex(uv, self.P)]
-        return [(uv[owner == q], uc[owner == q]) for q in range(self.W)]
+        out = [(uv[owner == q], uc[owner == q]) for q in range(self.W)]
+        if os.environ.get("RAYGRAPH_TRI_DEBUG"):
+            print(
+                f"TRIW worker E={E} cand={int(d.sum())} "
+                f"adjA={len(adj_key)} "
+                f"setup={_t1 - _t0:.2f} key={_t2 - _t1:.2f} "
+                f"loop={_t3 - _t2:.2f} tail={_time.perf_counter() - _t3:.2f} "
+                f"sec={_time.perf_counter() - _t0:.2f}",
+                file=_sys.stderr,
+            )
+        return out
 
     def tri_collect(self, partials):
         """Fold per-owner (vid, count) partials into state['tri']."""
