@@ -166,9 +166,10 @@ def run_bench() -> dict:
     with timed("graph_results_read"):
         ds_pr.count(); ds_cc.count(); ds_lpa.count()
 
-    with timed("triangles"):
+    with timed("tri_build"):
         hg = _build_graph_from_keys(hyper_edges(SF_DIR), directed=False,
                                     tag="bench-tri", num_partitions=32)
+    with timed("triangles"):
         triangle_count(hg).count()
 
     docs = os.path.join(SF_DIR, "documents.parquet")

@@ -262,17 +262,21 @@ def _triangle_count_intersect(graph, num_workers=None):
             ]
         )
         _tick("adj_exchange")
-        partials = ray.get([w.tri_count.remote() for w in engine.workers])
-        _tick("tri_count")
+        # per-owner partial slices as refs (num_returns=W): the corner
+        # messages flow worker→object store→owner without a driver hop
+        partials = [
+            ref_list(w.tri_count.options(num_returns=W).remote(), W)
+            for w in engine.workers
+        ]
         ray.get(
             [
                 engine.workers[q].tri_collect.remote(
-                    [partials[p][q] for p in range(W)]
+                    *[partials[p][q] for p in range(W)]
                 )
                 for q in range(W)
             ]
         )
-        _tick("tri_collect")
+        _tick("tri_count+collect")
         ds = engine.result_dataset(["tri"])
         _tick("result_dataset")
         return ds.map_batches(

@@ -1676,7 +1676,12 @@ class PartitionWorker:
             uv = np.array([], np.int64)
             uc = np.array([], np.int64)
         owner = self.part2worker[part_of_vertex(uv, self.P)]
+        # num_returns=W per-owner slices: partials travel worker→store→
+        # worker as refs, never materializing on the driver (the packed
+        # return added ~2× the corner-message bytes to the driver's wire)
         out = [(uv[owner == q], uc[owner == q]) for q in range(self.W)]
+        if self.W == 1:
+            out = out[0]  # bare payload at W==1 (see serve_dst_values)
         if os.environ.get("RAYGRAPH_TRI_DEBUG"):
             print(
                 f"TRIW worker E={E} cand={int(d.sum())} "
@@ -1688,8 +1693,12 @@ class PartitionWorker:
             )
         return out
 
-    def tri_collect(self, partials):
-        """Fold per-owner (vid, count) partials into state['tri']."""
+    def tri_collect(self, *partials):
+        """Fold per-owner (vid, count) partials into state['tri'].
+
+        Called with one top-level ObjectRef argument per sender (Ray
+        dereferences top-level args), so each receiver pulls only its own
+        slice from the object store."""
         tri = self.state["tri"]
         for vids, cnts in partials:
             if len(vids):
