@@ -372,6 +372,10 @@ def verify_jaccard_pairs(ds, pairs_ds, text_col="text", id_col="doc_id",
 
     from raygraph import joins
 
+    # materialize before count: the incoming lineage ends in an exchange
+    # (the cross-band distinct) — count() on the lazy handle would execute
+    # it once for the emptiness check and again for the pair scan
+    pairs_ds = pairs_ds.materialize()
     n_pairs = pairs_ds.count()
     if n_pairs == 0:
         return rd.from_pandas(
@@ -382,7 +386,7 @@ def verify_jaccard_pairs(ds, pairs_ds, text_col="text", id_col="doc_id",
 
     # 2 distinct docs per pair is the upper bound — cheap dispatch test
     if 2 * n_pairs <= broadcast_limit:
-        pairs = pairs_ds.materialize()
+        pairs = pairs_ds
         needed = np.unique(
             np.concatenate(
                 [
