@@ -55,7 +55,8 @@ def exact_dedup(ds, col: str = "text", id_col: str = "doc_id"):
 
 def ngram_jaccard_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
                         n: int = 3, threshold: float = 0.3,
-                        max_doc_freq: int = 50, num_buckets: int = 32):
+                        max_doc_freq: int = 50, num_buckets: int = 32,
+                        broadcast_limit: int = 2_000_000):
     """EXACT word-n-gram Jaccard near-dup pairs → Dataset (a, b, jaccard).
 
     The complement of MinHash (approximate byte-shingle Jaccard): exact
@@ -91,18 +92,42 @@ def ngram_jaccard_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
         return pd.DataFrame({id_col: np.asarray(ids, dtype=np.int64),
                              "gram": gs})
 
+    import ray
+
     gram_rows = ds.map_batches(grams, batch_format="pandas").materialize()
     # document-frequency filter FIRST (applies to blocking and to the
-    # Jaccard sets alike — mirrors the oracle's HAVING COUNT <= F)
+    # Jaccard sets alike — mirrors the oracle's HAVING COUNT <= F).
+    # The HOT side (df > cap) is the small one — a natural corpus has few
+    # grams above any df cap — so broadcast the hot set and filter
+    # map-side instead of joining the full gram table; an adversarial
+    # corpus past ``broadcast_limit`` hot grams falls back to the join.
     df_tab = hash_aggregate(
         gram_rows, ["gram"], {"df": (None, "count")}, num_buckets=num_buckets
-    ).map_batches(
-        lambda df, f=max_doc_freq: df.loc[df["df"] <= f, ["gram"]],
+    )
+    hot = df_tab.map_batches(
+        lambda df, f=max_doc_freq: df.loc[df["df"] > f, ["gram"]],
         batch_format="pandas",
-    )
-    gram_rows = joins.hash_join(
-        gram_rows, df_tab, on="gram", num_buckets=num_buckets
-    )
+    ).materialize()
+    n_hot = hot.count()
+    if n_hot == 0:
+        pass  # no gram exceeds the df cap — nothing to drop
+    elif n_hot <= broadcast_limit:
+        hot_idx = pd.Index(hot.to_pandas()["gram"])
+        hotref = ray.put(hot_idx)
+
+        def drop_hot(df: pd.DataFrame) -> pd.DataFrame:
+            idx = ray.get(hotref)
+            return df[idx.get_indexer(df["gram"]) < 0]
+
+        gram_rows = gram_rows.map_batches(drop_hot, batch_format="pandas")
+    else:
+        keep_tab = df_tab.map_batches(
+            lambda df, f=max_doc_freq: df.loc[df["df"] <= f, ["gram"]],
+            batch_format="pandas",
+        )
+        gram_rows = joins.hash_join(
+            gram_rows, keep_tab, on="gram", num_buckets=num_buckets
+        )
     # per-doc distinct kept-gram counts (set sizes)
     sizes = hash_aggregate(
         gram_rows, [id_col], {"n_grams": (None, "count")},
@@ -151,6 +176,30 @@ def ngram_jaccard_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
     inter = hash_aggregate(
         cand, ["a", "b"], {"common": (None, "count")}, num_buckets=num_buckets
     )
+
+    def _finish_frame(df: pd.DataFrame, na, nb, thr=threshold) -> pd.DataFrame:
+        c = df["common"].to_numpy(np.float64)
+        union = na.astype(np.float64) + nb.astype(np.float64) - c
+        jac = np.round(c / union, 6)
+        out = pd.DataFrame({"a": df["a"].to_numpy(np.int64),
+                            "b": df["b"].to_numpy(np.int64),
+                            "jaccard": jac})
+        return out[out["jaccard"] >= thr]
+
+    # set sizes are one row per doc: broadcast once and look up map-side
+    # (two bucketed joins saved); past the limit, the joins come back
+    sizes = sizes.materialize()
+    if sizes.count() <= broadcast_limit:
+        szref = joins.broadcast_map_ref(sizes.to_pandas(), id_col, "n_grams")
+
+        def finish_bcast(df: pd.DataFrame) -> pd.DataFrame:
+            kv = ray.get(szref)
+            na = joins.lookup_broadcast(df["a"].to_numpy(np.int64), kv)
+            nb = joins.lookup_broadcast(df["b"].to_numpy(np.int64), kv)
+            return _finish_frame(df, na, nb)
+
+        return inter.map_batches(finish_bcast, batch_format="pandas")
+
     sz_a = sizes.map_batches(
         lambda df: df.rename(columns={id_col: "a", "n_grams": "na"}),
         batch_format="pandas",
@@ -164,16 +213,12 @@ def ngram_jaccard_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
         sz_b, on="b", num_buckets=num_buckets,
     )
 
-    def finish(df: pd.DataFrame, thr=threshold) -> pd.DataFrame:
-        c = df["common"].to_numpy(np.float64)
-        union = df["na"].to_numpy(np.float64) + df["nb"].to_numpy(np.float64) - c
-        jac = np.round(c / union, 6)
-        out = pd.DataFrame({"a": df["a"].to_numpy(np.int64),
-                            "b": df["b"].to_numpy(np.int64),
-                            "jaccard": jac})
-        return out[out["jaccard"] >= thr]
+    def finish_joined(df: pd.DataFrame) -> pd.DataFrame:
+        return _finish_frame(
+            df, df["na"].to_numpy(np.float64), df["nb"].to_numpy(np.float64)
+        )
 
-    return joined.map_batches(finish, batch_format="pandas")
+    return joined.map_batches(finish_joined, batch_format="pandas")
 
 
 # ---------------------------------------------------------------------------
