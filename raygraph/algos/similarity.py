@@ -71,6 +71,9 @@ def _attach_coeff(common, deg, kind: str, num_buckets: int,
                   weighted: bool = False):
     """Join per-pair common counts with both endpoint degrees and compute
     the coefficient. Returns (a, b, common, coeff)."""
+    deg = deg.materialize()  # consumed by BOTH endpoint joins below —
+    # without this the whole degree lineage (and its upstream edge
+    # pipeline) executes twice
     dega = deg.map_batches(
         lambda df: df.rename(columns={"src": "a", "deg": "deg_a"}),
         batch_format="pandas",
@@ -135,8 +138,14 @@ def pairwise_similarity(
     """
     from raygraph.agg import hash_aggregate
 
+    # the edge list feeds the degree aggregate AND both wedge sides (and
+    # the weight table when weighted) — pin it once so the caller's
+    # upstream pipeline (distinct/symmetrize exchanges) runs once, not
+    # once per consumer
+    edges_ds = edges_ds.materialize()
     weighted = vertex_weights is not None
     if weighted:
+        vertex_weights = vertex_weights.materialize()  # 2 consumers
         deg = _volumes(edges_ds, vertex_weights, num_buckets)
     else:
         deg = hash_aggregate(edges_ds, ["src"], {"deg": (None, "count")})
@@ -226,7 +235,10 @@ def pair_similarity(
     from raygraph.agg import hash_aggregate
 
     weighted = vertex_weights is not None
+    edges_ds = edges_ds.materialize()  # deg + both adjacency probes
+    pairs_ds = pairs_ds.materialize()  # candidate join + zero-fill join
     if weighted:
+        vertex_weights = vertex_weights.materialize()
         deg = _volumes(edges_ds, vertex_weights, num_buckets)
     else:
         deg = hash_aggregate(edges_ds, ["src"], {"deg": (None, "count")})

@@ -68,6 +68,37 @@ def _key_hash(df: pd.DataFrame, keys: Sequence[str]) -> np.ndarray:
     return h
 
 
+def _pin_for_schema(ds):
+    """Pin a lazy Dataset whose schema probe would replay an exchange.
+
+    ``columns()``/``schema()`` on a lazy handle execute the plan until a
+    first block exists; with an all-to-all (sort/aggregate/repartition)
+    in the lineage that means the ENTIRE upstream plan runs — and Ray
+    discards the probe's blocks, so the real consumption executes it
+    again (chained joins compound this quadratically).  Pinning first
+    makes the probe free and lets the join's exchange read the pinned
+    blocks.  Map-only lineages are left lazy: their probe stops at one
+    block and they should stream into the exchange."""
+    if ds.schema(fetch_if_missing=False) is not None:
+        return ds
+    try:
+        from ray.data._internal.logical.operators.all_to_all_operator import (
+            AbstractAllToAll,
+        )
+
+        stack = [ds._logical_plan.dag]
+        has_exchange = False
+        while stack:
+            op = stack.pop()
+            if isinstance(op, AbstractAllToAll):
+                has_exchange = True
+                break
+            stack.extend(op.input_dependencies)
+    except Exception:
+        has_exchange = True  # can't introspect — pin conservatively
+    return ds.materialize() if has_exchange else ds
+
+
 def _np_dtypes(ds) -> dict:
     sch = ds.schema()
     out = {}
@@ -94,6 +125,7 @@ def hash_join(
     re-selected/restored inside the per-bucket merge.
     """
     keys = [on] if isinstance(on, str) else list(on)
+    left, right = _pin_for_schema(left), _pin_for_schema(right)
     left_cols, left_dtypes = list(left.columns()), _np_dtypes(left)
     right_cols, right_dtypes = list(right.columns()), _np_dtypes(right)
 
@@ -154,6 +186,7 @@ def asof_join(
     picked row is order-dependent.
     """
     keys = [by] if isinstance(by, str) else list(by)
+    left, right = _pin_for_schema(left), _pin_for_schema(right)
     left_cols, left_dtypes = list(left.columns()), _np_dtypes(left)
     right_cols, right_dtypes = list(right.columns()), _np_dtypes(right)
 
@@ -234,6 +267,7 @@ def interval_join(
         df[on] = df[start_col]
         return df
 
+    left = _pin_for_schema(left)  # probed below AND inside asof_join
     r2 = right.map_batches(prep, batch_format="pandas")
     j = asof_join(left, r2, on=on, by=by, direction="backward",
                   num_buckets=num_buckets, suffixes=suffixes)
