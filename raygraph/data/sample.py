@@ -82,3 +82,32 @@ def hash_split(ds, id_col: str, splits: Dict[str, float], salt: str = "",
         return out
 
     return ds.map_batches(assign, batch_format="pandas")
+
+
+def stratified_sample(ds, group_col: str, id_col: str, n_per_group: int,
+                      salt: str = ""):
+    """Deterministic fixed-size per-group sample: within each
+    ``group_col`` value keep the ``n_per_group`` rows ranked first by
+    md5-hash of the id (id ascending as the total-order tiebreak).
+
+    The training-data staple "take N documents per language / per
+    source": hash-ranking makes the pick uniform over the group and —
+    like :func:`hash_sample` — independent of placement, parallelism,
+    row order, and resume.  Built on ``grouped_topk``'s combinable
+    two-phase top-k, so the shuffle carries ≤ ``n_per_group`` rows per
+    group per block regardless of group sizes (no skew blowup on hot
+    groups).
+    """
+    if n_per_group < 1:
+        raise ValueError(f"n_per_group must be >= 1, got {n_per_group}")
+    from raygraph.agg import grouped_topk
+
+    def add_h(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.copy()
+        out["__h"] = _prefix32(df[id_col], salt).astype(np.int64)
+        return out
+
+    tagged = ds.map_batches(add_h, batch_format="pandas")
+    out = grouped_topk(tagged, [group_col], ["__h", id_col], n_per_group,
+                       ascending=True)
+    return out.drop_columns(["__h"])

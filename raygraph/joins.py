@@ -278,6 +278,116 @@ def interval_join(
     )
 
 
+def semi_join(
+    left,
+    right,
+    on: Sequence[str] | str,
+    anti: bool = False,
+    num_buckets: int = 64,
+    broadcast_limit: int = 2_000_000,
+):
+    """Exact distributed semi-join (``anti=True`` → anti-join): the left
+    rows whose key tuple does (does not) appear in ``right``.
+
+    The right side contributes only key PRESENCE, so it is first reduced
+    to distinct keys (map-side dedup inside :func:`hash_aggregate`'s
+    combiner, one small bucketed exchange).  Then:
+
+    * distinct keys ≤ ``broadcast_limit`` — the key table is ``ray.put``
+      once and the left side filters map-only: no shuffle of the (big)
+      left side at all.  This is the 100-TB shape: a fact stream filtered
+      against a bounded dimension key set.
+    * otherwise — both sides exchange on ``hash(key) % num_buckets`` and
+      membership is resolved per bucket (left rows and the key rows that
+      can match them land in the same group by construction).
+
+    Reference analogue: the Bloom pre-filter (``raygraph/data/bloom.py``)
+    gives the same semantics approximately without the distinct-key
+    aggregate; this is the exact version.
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+    left = _pin_for_schema(left)
+    left_cols, left_dtypes = list(left.columns()), _np_dtypes(left)
+
+    from raygraph.agg import hash_aggregate
+
+    dk = hash_aggregate(
+        right.map_batches(
+            lambda df: df[keys].drop_duplicates(), batch_format="pandas"
+        ),
+        keys,
+        {"__n": (None, "count")},
+        num_buckets=num_buckets,
+    ).drop_columns(["__n"]).materialize()  # consumed by count + filter
+
+    if dk.count() <= broadcast_limit:
+        import ray
+
+        ref = ray.put(dk.to_pandas())
+
+        def filt(df: pd.DataFrame) -> pd.DataFrame:
+            kdf = ray.get(ref)  # zero-copy plasma read, never re-shipped
+            if len(keys) == 1:
+                m = df[keys[0]].isin(kdf[keys[0]]).to_numpy()
+            else:
+                m = (
+                    df[keys]
+                    .merge(kdf.assign(__hit=1), on=keys, how="left")["__hit"]
+                    .notna()
+                    .to_numpy()
+                )
+            return df[~m] if anti else df[m]
+
+        return left.map_batches(filt, batch_format="pandas")
+
+    def tag(side_val, cols):
+        def fn(df: pd.DataFrame) -> pd.DataFrame:
+            df = df[cols].copy()
+            df["__side"] = np.uint8(side_val)
+            df["__bucket"] = (
+                _key_hash(df, keys) % np.uint64(num_buckets)
+            ).astype(np.int32)
+            return df
+
+        return fn
+
+    lt = left.map_batches(tag(0, left_cols), batch_format="pandas")
+    rt = dk.map_batches(tag(1, keys), batch_format="pandas")
+    both = coalesce_for_exchange(lt.union(rt), num_buckets)
+
+    def filt_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        l = group[group["__side"] == 0]
+        present = group.loc[group["__side"] == 1, keys]
+        if len(keys) == 1:
+            m = l[keys[0]].isin(present[keys[0]]).to_numpy()
+        else:
+            m = (
+                l[keys]
+                .merge(present.assign(__hit=1), on=keys, how="left")["__hit"]
+                .notna()
+                .to_numpy()
+            )
+        out = l[~m] if anti else l[m]
+        out = out.reindex(columns=left_cols)
+        casts = {
+            c: left_dtypes[c]
+            for c in left_cols
+            if c in left_dtypes
+            and out[c].dtype != left_dtypes[c]
+            and left_dtypes[c] is not object
+        }
+        return out.astype(casts) if casts else out
+
+    return both.groupby("__bucket").map_groups(filt_bucket, batch_format="pandas")
+
+
+def anti_join(left, right, on, num_buckets: int = 64,
+              broadcast_limit: int = 2_000_000):
+    """Left rows with NO key match in ``right`` (see :func:`semi_join`)."""
+    return semi_join(left, right, on, anti=True, num_buckets=num_buckets,
+                     broadcast_limit=broadcast_limit)
+
+
 def broadcast_map_ref(mapping_df: pd.DataFrame, key: str, value: str):
     """ray.put a key→value mapping once; returns the object ref.
 

@@ -919,6 +919,75 @@ def q_hash_split(sf_dir: str):
     )
 
 
+def q_stratified_sample(sf_dir: str):
+    """Deterministic 25-docs-per-language sample: md5(doc_id)-ranked
+    within each lang (combinable two-phase top-k — no skew blowup)."""
+    from raygraph.data.sample import stratified_sample
+
+    rd = _rd()
+    docs = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "lang"]
+    )
+    out = stratified_sample(docs, "lang", "doc_id", 25)
+    return out.map_batches(
+        lambda df: pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].astype(np.int64),
+                "lang": df["lang"].astype(str),
+            }
+        ),
+        batch_format="pandas",
+    )
+
+
+def q_anti_join(sf_dir: str):
+    """Exact distributed anti-join: orders whose customer is NOT in the
+    BUILDING segment (right side reduced to distinct keys, broadcast
+    once; the orders side filters map-only — no shuffle of the fact
+    stream)."""
+    from raygraph.joins import anti_join
+
+    rd = _rd()
+    orders = rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_custkey"],
+    )
+    cust = rd.read_parquet(
+        os.path.join(sf_dir, "customer.parquet"),
+        columns=["c_custkey", "c_mktsegment"],
+    ).map_batches(
+        lambda df: df[df["c_mktsegment"] == "BUILDING"][["c_custkey"]]
+        .rename(columns={"c_custkey": "o_custkey"}),
+        batch_format="pandas",
+    )
+    out = anti_join(orders, cust, on="o_custkey")
+    return out.map_batches(
+        lambda df: pd.DataFrame(
+            {
+                "o_orderkey": df["o_orderkey"].astype(np.int64),
+                "o_custkey": df["o_custkey"].astype(np.int64),
+            }
+        ),
+        batch_format="pandas",
+    )
+
+
+def q_quantiles_cont(sf_dir: str):
+    """Exact quantiles of the continuous events.value column via the
+    radix-refinement path (no bounded-cardinality contract; nothing
+    globally sorted)."""
+    from raygraph.data.stats import quantiles_cont
+
+    rd = _rd()
+    ev = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["value"]
+    )
+    out = quantiles_cont(ev, "value", [0.1, 0.25, 0.5, 0.75, 0.9, 0.99])
+    return pd.DataFrame(
+        {"q": out["q"].astype(np.float64), "value": out["value"].astype(np.float64)}
+    )
+
+
 def q_decontam(sf_dir: str):
     """Benchmark decontamination report: documents sharing any word
     3-gram with the benchmark slice (doc_id % 97 == 0) of the corpus.
@@ -2238,6 +2307,9 @@ QUERIES = {
     "dup_spans": q_dup_spans,
     "json_extract": q_json_extract,
     "asof_join": q_asof_join,
+    "anti_join": q_anti_join,
+    "quantiles_cont": q_quantiles_cont,
+    "stratified_sample": q_stratified_sample,
     "eigenvector": q_eigenvector,
     "degree_centrality": q_degree_centrality,
     "k_core": q_k_core,
@@ -3043,6 +3115,28 @@ FROM orders o
 JOIN (SELECT DISTINCT c_custkey FROM customer
       WHERE c_mktsegment = 'BUILDING') c
   ON o.o_custkey = c.c_custkey
+""",
+    "anti_join": """
+SELECT o_orderkey, o_custkey FROM orders o
+WHERE NOT EXISTS (SELECT 1 FROM customer c
+                  WHERE c.c_custkey = o.o_custkey
+                    AND c.c_mktsegment = 'BUILDING')
+""",
+    "quantiles_cont": """
+SELECT 0.1 AS q, quantile_disc(value, 0.1) AS value FROM events
+UNION ALL SELECT 0.25, quantile_disc(value, 0.25) FROM events
+UNION ALL SELECT 0.5, quantile_disc(value, 0.5) FROM events
+UNION ALL SELECT 0.75, quantile_disc(value, 0.75) FROM events
+UNION ALL SELECT 0.9, quantile_disc(value, 0.9) FROM events
+UNION ALL SELECT 0.99, quantile_disc(value, 0.99) FROM events
+""",
+    "stratified_sample": """
+SELECT doc_id, lang FROM (
+  SELECT doc_id, lang,
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+              AS UBIGINT) AS h
+  FROM documents)
+QUALIFY ROW_NUMBER() OVER (PARTITION BY lang ORDER BY h, doc_id) <= 25
 """,
     "cms": """
 WITH h AS (

@@ -76,3 +76,55 @@ def test_asof_join_user_isolation():
     got = asof_join(rd.from_pandas(left), rd.from_pandas(right),
                     on="t", by="user").to_pandas()
     assert len(got) == 0
+
+
+def test_semi_anti_join_matches_pandas_oracle():
+    from raygraph.joins import semi_join, anti_join
+
+    rng = np.random.RandomState(3)
+    left = pd.DataFrame({
+        "k": rng.randint(0, 50, 500),
+        "payload": rng.randn(500),
+    })
+    right = pd.DataFrame({"k": rng.choice(50, 20, replace=False),
+                          "other": np.arange(20)})
+    present = set(right["k"])
+    want_semi = left[left["k"].isin(present)].reset_index(drop=True)
+    want_anti = left[~left["k"].isin(present)].reset_index(drop=True)
+
+    for forced_dist in (False, True):
+        kw = dict(broadcast_limit=0) if forced_dist else {}
+        got_s = (semi_join(rd.from_pandas(left), rd.from_pandas(right),
+                           on="k", **kw)
+                 .to_pandas().sort_values(["k", "payload"])
+                 .reset_index(drop=True))
+        got_a = (anti_join(rd.from_pandas(left), rd.from_pandas(right),
+                           on="k", **kw)
+                 .to_pandas().sort_values(["k", "payload"])
+                 .reset_index(drop=True))
+        pd.testing.assert_frame_equal(
+            got_s, want_semi.sort_values(["k", "payload"])
+            .reset_index(drop=True))
+        pd.testing.assert_frame_equal(
+            got_a, want_anti.sort_values(["k", "payload"])
+            .reset_index(drop=True))
+
+
+def test_semi_join_multi_key_and_dtypes():
+    from raygraph.joins import semi_join
+
+    left = pd.DataFrame({
+        "a": np.array([1, 1, 2, 2, 3], np.int64),
+        "b": ["x", "y", "x", "z", "x"],
+        "v": np.arange(5, dtype=np.float64),
+    })
+    right = pd.DataFrame({"a": np.array([1, 2], np.int64),
+                          "b": ["y", "x"]})
+    want = left.iloc[[1, 2]].reset_index(drop=True)
+    for forced_dist in (False, True):
+        kw = dict(broadcast_limit=0) if forced_dist else {}
+        got = (semi_join(rd.from_pandas(left), rd.from_pandas(right),
+                         on=["a", "b"], **kw)
+               .to_pandas().sort_values("v").reset_index(drop=True))
+        pd.testing.assert_frame_equal(got, want)
+        assert got["a"].dtype == np.int64 and got["v"].dtype == np.float64

@@ -899,3 +899,60 @@ def test_extract_json_field_fast_path_and_fallback():
     )
     assert names[0] == "alpha"
     assert names[4] == 'with "quote"'  # escaped string via json.loads
+
+
+def test_quantiles_cont_matches_exact_order_stats():
+    from raygraph.data.stats import quantiles_cont
+
+    rng = np.random.RandomState(11)
+    # continuous values incl. negatives, ties, and NaNs (ignored)
+    v = np.concatenate([
+        rng.randn(5000) * 100.0,
+        np.repeat(3.25, 40),
+        [np.nan, np.nan, -0.0, 0.0],
+    ])
+    df = pd.DataFrame({"v": v})
+    clean = np.sort(v[~np.isnan(v)])
+    qs = [0.0, 0.01, 0.25, 0.5, 0.75, 0.99, 1.0]
+
+    def want(q):
+        return clean[max(1, int(np.ceil(q * len(clean)))) - 1]
+
+    got = quantiles_cont(rd.from_pandas(df), "v", qs)
+    for q, val in zip(got["q"], got["value"]):
+        assert val == want(q), (q, val, want(q))
+    # forced full-radix path (never pulls; resolves all 64 bits from counts)
+    got2 = quantiles_cont(rd.from_pandas(df), "v", qs, pull_limit=0)
+    assert got2["value"].tolist() == got["value"].tolist()
+
+
+def test_stratified_sample_matches_hash_rank_oracle():
+    from raygraph.data.sample import stratified_sample
+    import hashlib
+
+    rng = np.random.RandomState(5)
+    df = pd.DataFrame({
+        "doc_id": np.arange(2000, dtype=np.int64),
+        "g": rng.choice(["en", "de", "fr", "rare"], 2000,
+                        p=[0.7, 0.15, 0.14, 0.01]),
+    })
+    out = stratified_sample(rd.from_pandas(df), "g", "doc_id", 7).to_pandas()
+
+    h = df["doc_id"].map(
+        lambda i: int.from_bytes(
+            hashlib.md5(str(i).encode()).digest()[:4], "big")
+    )
+    want = (
+        df.assign(__h=h)
+        .sort_values(["g", "__h", "doc_id"])
+        .groupby("g", sort=False)
+        .head(7)[["doc_id", "g"]]
+    )
+    assert sorted(out.columns) == ["doc_id", "g"]
+    got = out.sort_values(["g", "doc_id"]).reset_index(drop=True)
+    exp = want.sort_values(["g", "doc_id"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, exp)
+    # every group capped at 7; the rare group keeps all its rows if < 7
+    sizes = got.groupby("g").size()
+    assert (sizes <= 7).all()
+    assert sizes["rare"] == min(7, (df["g"] == "rare").sum())
