@@ -323,16 +323,33 @@ def semi_join(
     if dk.count() <= broadcast_limit:
         import ray
 
-        ref = ray.put(dk.to_pandas())
+        kdf = dk.to_pandas()
+        single_numeric = (
+            len(keys) == 1 and kdf[keys[0]].dtype.kind in "iuf"
+        )
+        if single_numeric:
+            # pre-sort once at put time: each batch then pays one
+            # searchsorted instead of rebuilding a hash set per batch
+            ref = ray.put(np.sort(kdf[keys[0]].to_numpy()))
+        else:
+            ref = ray.put(kdf)
 
         def filt(df: pd.DataFrame) -> pd.DataFrame:
-            kdf = ray.get(ref)  # zero-copy plasma read, never re-shipped
-            if len(keys) == 1:
-                m = df[keys[0]].isin(kdf[keys[0]]).to_numpy()
+            bc = ray.get(ref)  # zero-copy plasma read, never re-shipped
+            if single_numeric:
+                v = df[keys[0]].to_numpy()
+                if len(bc) == 0:
+                    m = np.zeros(len(v), dtype=bool)
+                else:
+                    pos = np.searchsorted(bc, v)
+                    pos_c = np.minimum(pos, len(bc) - 1)
+                    m = (bc[pos_c] == v) & (pos < len(bc))
+            elif len(keys) == 1:
+                m = df[keys[0]].isin(bc[keys[0]]).to_numpy()
             else:
                 m = (
                     df[keys]
-                    .merge(kdf.assign(__hit=1), on=keys, how="left")["__hit"]
+                    .merge(bc.assign(__hit=1), on=keys, how="left")["__hit"]
                     .notna()
                     .to_numpy()
                 )
