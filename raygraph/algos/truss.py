@@ -23,6 +23,7 @@ import pyarrow as pa
 from raygraph import joins
 from raygraph.agg import hash_aggregate
 from raygraph.hashing import group_pairs, hash_int64
+from raygraph.lineage import cut_stats_lineage
 
 
 def _canonical_edges(graph):
@@ -186,7 +187,7 @@ def k_truss(graph, k: int, max_rounds: int = 100,
     if graph.directed:
         raise ValueError("k_truss requires an undirected graph")
     wide = (graph.num_vertices >= 2 ** 32) if wide_keys is None else bool(wide_keys)
-    e = _canonical_edges(graph).materialize()
+    e = cut_stats_lineage(_canonical_edges(graph).materialize())
     n = e.count()
     for _ in range(max_rounds):
         if n == 0:
@@ -195,7 +196,12 @@ def k_truss(graph, k: int, max_rounds: int = 100,
         # each round's bucketed joins shatter a tiny edge list into dozens
         # of near-empty blocks and scheduling overhead dominates
         nb = int(min(64, max(4, n // 250_000 + 4)))
-        support = _edge_support(e, num_buckets=nb, wide=wide).materialize()
+        # cut_stats_lineage: keep the per-round stats walk O(round size) —
+        # without it Ray's unmemoized to_summary walk over the join/union
+        # diamonds compounds exponentially across peel rounds (driver hang)
+        support = cut_stats_lineage(
+            _edge_support(e, num_buckets=nb, wide=wide).materialize()
+        )
         if support.count() == 0:
             # no triangles left anywhere
             if k <= 2:
@@ -220,7 +226,7 @@ def k_truss(graph, k: int, max_rounds: int = 100,
             return df.loc[sup >= k - 2, ["src", "dst", "weight"]]
 
         nblocks = int(min(32, max(1, n // 500_000 + 1)))
-        e = (
+        e = cut_stats_lineage(
             joined.map_batches(keep, batch_format="pandas")
             .repartition(nblocks)
             .materialize()

@@ -96,7 +96,14 @@ def _pin_for_schema(ds):
             stack.extend(op.input_dependencies)
     except Exception:
         has_exchange = True  # can't introspect — pin conservatively
-    return ds.materialize() if has_exchange else ds
+    if not has_exchange:
+        return ds
+    from raygraph.lineage import cut_stats_lineage
+
+    # cut_stats_lineage: join inputs pinned inside iterative loops would
+    # otherwise chain stats parents round over round; Ray's unmemoized
+    # to_summary walk over the resulting diamond DAG is O(2^rounds)
+    return cut_stats_lineage(ds.materialize())
 
 
 def _np_dtypes(ds) -> dict:
