@@ -37,6 +37,8 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
+from raygraph.lineage import cut_stats_lineage
+
 
 def _edge_arrays(edges_ds):
     df = edges_ds.to_pandas()
@@ -344,11 +346,11 @@ def louvain(graph, max_levels: int = 10, max_inner: int = 20,
             )
             E_level = len(uk)
         else:
-            level_edges = hash_aggregate(
+            level_edges = cut_stats_lineage(hash_aggregate(
                 level_edges.map_batches(contract, batch_format="pandas"),
                 ["src", "dst"],
                 {"weight": ("weight", "sum")},
-            ).materialize()
+            ).materialize())
             E_level = level_edges.count()  # materialized → metadata only
         if Vc == V:
             break
@@ -486,11 +488,11 @@ def leiden(graph, max_levels: int = 10, max_inner: int = 20,
             )
             E_level = len(uk)
         else:
-            level_edges = hash_aggregate(
+            level_edges = cut_stats_lineage(hash_aggregate(
                 level_edges.map_batches(contract, batch_format="pandas"),
                 ["src", "dst"],
                 {"weight": ("weight", "sum")},
-            ).materialize()
+            ).materialize())
             E_level = level_edges.count()
         if len(uniq) == V:
             break

@@ -26,6 +26,7 @@ import pandas as pd
 
 from raygraph import joins
 from raygraph.agg import distinct, hash_argmin
+from raygraph.lineage import cut_stats_lineage
 from raygraph.algos.truss import _canonical_edges
 
 
@@ -91,7 +92,9 @@ def _distributed_roots(sel, nb: int):
         root = (pp == c) & (c < p)  # mutual pair → smaller id is root
         return pd.DataFrame({"comp": c, "p": np.where(root, c, p)})
 
-    P = j.map_batches(break_cycles, batch_format="pandas").materialize()
+    P = cut_stats_lineage(
+        j.map_batches(break_cycles, batch_format="pandas").materialize()
+    )
 
     # pointer doubling to the roots: p ← p[p] halves chain depth
     for _ in range(64):
@@ -111,8 +114,9 @@ def _distributed_roots(sel, nb: int):
             ),
             batch_format="pandas",
         ).materialize()
+        cut_stats_lineage(nxt)
         moved = nxt.sum("__moved")
-        P = nxt.drop_columns(["__moved"]).materialize()
+        P = cut_stats_lineage(nxt.drop_columns(["__moved"]).materialize())
         if not moved:
             return P
     raise RuntimeError("MST pointer doubling did not converge")
@@ -165,19 +169,19 @@ def minimum_spanning_tree(graph, max_rounds: int = 64,
                  "b": np.tile(df["b"].to_numpy(np.int64), 2)}
             )
 
-        sel = hash_argmin(
+        sel = cut_stats_lineage(hash_argmin(
             work.map_batches(bids, batch_format="pandas"),
             ["comp"], ["w", "a", "b"], num_buckets=nb,
-        ).materialize()
+        ).materialize())
 
-        chosen.append(
+        chosen.append(cut_stats_lineage(
             distinct(
                 sel.map_batches(
                     lambda df: df[["a", "b", "w"]], batch_format="pandas"
                 ),
                 ["a", "b", "w"], num_buckets=nb,
             ).materialize()
-        )
+        ))
 
         nsel = sel.count()  # one row per active component
         if nsel <= driver_limit:
@@ -201,7 +205,7 @@ def minimum_spanning_tree(graph, max_rounds: int = 64,
                      "ca": ca[keep], "cb": cb[keep]}
                 )
 
-            work = (
+            work = cut_stats_lineage(
                 work.map_batches(relabel_bc, batch_format="pandas")
                 .repartition(max(1, _nb(n) // 2))
                 .materialize()
@@ -240,7 +244,7 @@ def minimum_spanning_tree(graph, max_rounds: int = 64,
                      "ca": ca[keep], "cb": cb[keep]}
                 )
 
-            work = (
+            work = cut_stats_lineage(
                 work.map_batches(relabel, batch_format="pandas")
                 .repartition(max(1, _nb(n) // 2))
                 .materialize()
