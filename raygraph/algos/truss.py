@@ -237,4 +237,16 @@ def k_truss(graph, k: int, max_rounds: int = 100,
         n = n_new
     else:
         raise RuntimeError(f"k_truss did not settle in {max_rounds} rounds")
+    if n == 0:
+        # peeled to empty: Ray drops all-empty pandas blocks in to_pandas,
+        # losing the schema — hand back a typed empty dataset instead
+        import ray.data as rd
+
+        return rd.from_pandas(
+            pd.DataFrame(
+                {"src": pd.Series(dtype=np.int64),
+                 "dst": pd.Series(dtype=np.int64),
+                 "weight": pd.Series(dtype=np.float64)}
+            )
+        )
     return e

@@ -400,3 +400,38 @@ def test_triangle_intersect_rmat(tmp_path):
          .sort_values("vertex").reset_index(drop=True))
     assert a.equals(b)
     assert a["counts"].sum() > 0
+
+
+def test_k_truss_peel_to_empty_keeps_schema(ray_session):
+    # a 4-cycle has no triangles at all, and a lone triangle peels to
+    # empty through the support-filter loop — both must come back as an
+    # EMPTY dataset that still carries the (src,dst,weight) schema.
+    # (Dataset.schema() is the guarantee; Ray's to_pandas drops columns
+    # on any all-empty dataset regardless of block schema.)
+    import ray.data as rd
+
+    from raygraph.algos.truss import k_truss
+    from raygraph.graph import Graph
+
+    df = pd.DataFrame(
+        {"src": [0, 1, 2, 3], "dst": [1, 2, 3, 0],
+         "weight": [1.0, 1.0, 1.0, 1.0]}
+    )
+    g = Graph.from_edges(
+        rd.from_pandas(df), src="src", dst="dst", weight="weight",
+        directed=False, renumber=False, num_partitions=2,
+    )
+    out = k_truss(g, 4)
+    assert out.count() == 0
+    assert list(out.schema().names) == ["src", "dst", "weight"]
+    # single triangle peels to empty at k=4 via the support-filter path
+    df2 = pd.DataFrame(
+        {"src": [0, 0, 1], "dst": [1, 2, 2], "weight": [1.0, 1.0, 1.0]}
+    )
+    g2 = Graph.from_edges(
+        rd.from_pandas(df2), src="src", dst="dst", weight="weight",
+        directed=False, renumber=False, num_partitions=2,
+    )
+    out2 = k_truss(g2, 4)
+    assert out2.count() == 0
+    assert list(out2.schema().names) == ["src", "dst", "weight"]
