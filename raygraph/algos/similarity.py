@@ -100,21 +100,55 @@ def _endpoint_weights(vertex_weights, num_buckets: int):
     )
 
 
-def _volumes(edges_ds, vertex_weights, num_buckets: int):
+def _weights_kv_ref(vertex_weights, broadcast_limit: int):
+    """Materialized (vertex, weight) Dataset → broadcast (karr, varr)
+    object ref when the table fits the gate, else None (join fallback).
+    One ``ray.put``; every map task reads it zero-copy from plasma."""
+    if vertex_weights.count() > broadcast_limit:
+        return None
+    return joins.broadcast_map_ref(
+        vertex_weights.to_pandas(), "vertex", "weight"
+    )
+
+
+def _attach_wt_bc(df: pd.DataFrame, kv_ref, key_col: str) -> pd.DataFrame:
+    """Map-side weight attach replicating the inner join: look up
+    ``key_col`` in the broadcast map, drop rows whose key is absent."""
+    import ray
+
+    vals, found = joins.lookup_broadcast(
+        df[key_col].to_numpy(), ray.get(kv_ref), missing="mask"
+    )
+    out = df.loc[found].copy()
+    out["__wt"] = np.asarray(vals, dtype=np.float64)[found]
+    return out
+
+
+def _volumes(edges_ds, vertex_weights, num_buckets: int, kv_ref=None):
     """Neighborhood volume per vertex: vol(v) = Σ_{u∈N(v)} w(u).
-    Returns (src, deg) with deg = weighted volume (one bucketed join on
-    the neighbor endpoint + a map-combined sum)."""
+    Returns (src, deg) with deg = weighted volume.  With a broadcast
+    weight map (``kv_ref``) the attach is map-only; otherwise one
+    bucketed join on the neighbor endpoint.  Either way the sum is the
+    same map-combined aggregate."""
     from raygraph.agg import hash_aggregate
 
-    ew = joins.hash_join(
-        edges_ds.map_batches(
-            lambda df: df.rename(columns={"dst": "w"})[["src", "w"]],
+    if kv_ref is not None:
+        ew = edges_ds.map_batches(
+            lambda df, kv=kv_ref: _attach_wt_bc(
+                df.rename(columns={"dst": "w"})[["src", "w"]], kv, "w"
+            ),
             batch_format="pandas",
-        ),
-        _endpoint_weights(vertex_weights, num_buckets),
-        on="w",
-        num_buckets=num_buckets,
-    )
+        )
+    else:
+        ew = joins.hash_join(
+            edges_ds.map_batches(
+                lambda df: df.rename(columns={"dst": "w"})[["src", "w"]],
+                batch_format="pandas",
+            ),
+            _endpoint_weights(vertex_weights, num_buckets),
+            on="w",
+            num_buckets=num_buckets,
+        )
     return hash_aggregate(ew, ["src"], {"deg": ("__wt", "sum")})
 
 
@@ -124,6 +158,7 @@ def pairwise_similarity(
     num_buckets: int = 64,
     max_wedge_degree: Optional[int] = None,
     vertex_weights=None,
+    broadcast_limit: int = 20_000_000,
 ):
     """edges_ds: symmetrized simple (src,dst) Dataset. Returns
     (a, b, common, deg_a, deg_b, coeff) for a<b pairs with common>0.
@@ -144,9 +179,14 @@ def pairwise_similarity(
     # once per consumer
     edges_ds = edges_ds.materialize()
     weighted = vertex_weights is not None
+    kv_ref = None
     if weighted:
         vertex_weights = vertex_weights.materialize()  # 2 consumers
-        deg = _volumes(edges_ds, vertex_weights, num_buckets)
+        # weight table ≤ broadcast_limit rows: ship it once via ray.put
+        # and attach map-side — saves the two weight-attach exchanges
+        # (volume join + wedge-side join); past the gate, bucketed joins
+        kv_ref = _weights_kv_ref(vertex_weights, broadcast_limit)
+        deg = _volumes(edges_ds, vertex_weights, num_buckets, kv_ref=kv_ref)
     else:
         deg = hash_aggregate(edges_ds, ["src"], {"deg": (None, "count")})
 
@@ -193,10 +233,16 @@ def pairwise_similarity(
         )
     if weighted:
         # carry w's weight through the wedge: attach once to the left side
-        left = joins.hash_join(
-            left, _endpoint_weights(vertex_weights, num_buckets),
-            on="w", num_buckets=num_buckets,
-        )
+        if kv_ref is not None:
+            left = left.map_batches(
+                lambda df, kv=kv_ref: _attach_wt_bc(df, kv, "w"),
+                batch_format="pandas",
+            )
+        else:
+            left = joins.hash_join(
+                left, _endpoint_weights(vertex_weights, num_buckets),
+                on="w", num_buckets=num_buckets,
+            )
     wedge = joins.hash_join(left, right, on="w", num_buckets=num_buckets)
     keep = ["a", "b", "__wt"] if weighted else ["a", "b"]
     pairs = wedge.map_batches(
@@ -216,6 +262,7 @@ def pair_similarity(
     kind: str = "jaccard",
     num_buckets: int = 64,
     vertex_weights=None,
+    broadcast_limit: int = 20_000_000,
 ):
     """Similarity coefficients over caller-provided (a, b) pairs — the
     reference's primary API (``link_prediction/jaccard.py`` computes over
@@ -237,9 +284,11 @@ def pair_similarity(
     weighted = vertex_weights is not None
     edges_ds = edges_ds.materialize()  # deg + both adjacency probes
     pairs_ds = pairs_ds.materialize()  # candidate join + zero-fill join
+    kv_ref = None
     if weighted:
         vertex_weights = vertex_weights.materialize()
-        deg = _volumes(edges_ds, vertex_weights, num_buckets)
+        kv_ref = _weights_kv_ref(vertex_weights, broadcast_limit)
+        deg = _volumes(edges_ds, vertex_weights, num_buckets, kv_ref=kv_ref)
     else:
         deg = hash_aggregate(edges_ds, ["src"], {"deg": (None, "count")})
     ea = edges_ds.map_batches(
@@ -253,10 +302,16 @@ def pair_similarity(
     cand = joins.hash_join(pairs_ds, ea, on="a", num_buckets=num_buckets)
     hit = joins.hash_join(cand, eb, on=["b", "w"], num_buckets=num_buckets)
     if weighted:
-        hit = joins.hash_join(
-            hit, _endpoint_weights(vertex_weights, num_buckets),
-            on="w", num_buckets=num_buckets,
-        )
+        if kv_ref is not None:
+            hit = hit.map_batches(
+                lambda df, kv=kv_ref: _attach_wt_bc(df, kv, "w"),
+                batch_format="pandas",
+            )
+        else:
+            hit = joins.hash_join(
+                hit, _endpoint_weights(vertex_weights, num_buckets),
+                on="w", num_buckets=num_buckets,
+            )
     counted = hash_aggregate(
         hit, ["a", "b"],
         {"common": ("__wt", "sum") if weighted else (None, "count")},

@@ -155,10 +155,14 @@ def hash_join(
         # a group may hold rows of only one side, in which case the other
         # side's columns are absent entirely (reindex adds them empty)
         df = df.reindex(columns=cols)
+        # cast object targets too: a one-sided bucket's reindex pads the
+        # absent side's string columns as all-NaN float64, and leaving
+        # them float makes Ray's block-schema unification try to cast the
+        # POPULATED buckets' strings to float (empty-bucket dtype flap)
         casts = {
             c: dtypes[c]
             for c in cols
-            if c in dtypes and df[c].dtype != dtypes[c] and dtypes[c] is not object
+            if c in dtypes and df[c].dtype != dtypes[c]
         }
         return df.astype(casts) if casts else df
 
@@ -214,10 +218,14 @@ def asof_join(
 
     def _restore(df: pd.DataFrame, cols, dtypes) -> pd.DataFrame:
         df = df.reindex(columns=cols)
+        # cast object targets too: a one-sided bucket's reindex pads the
+        # absent side's string columns as all-NaN float64, and leaving
+        # them float makes Ray's block-schema unification try to cast the
+        # POPULATED buckets' strings to float (empty-bucket dtype flap)
         casts = {
             c: dtypes[c]
             for c in cols
-            if c in dtypes and df[c].dtype != dtypes[c] and dtypes[c] is not object
+            if c in dtypes and df[c].dtype != dtypes[c]
         }
         return df.astype(casts) if casts else df
 
@@ -432,7 +440,7 @@ def broadcast_map_ref(mapping_df: pd.DataFrame, key: str, value: str):
 _INDEX_CACHE: dict[int, tuple] = {}
 
 
-def lookup_broadcast(keys: np.ndarray, kv) -> np.ndarray:
+def lookup_broadcast(keys: np.ndarray, kv, missing: str = "raise"):
     """Vectorized lookup of keys against a broadcast (karr, varr) pair.
 
     Integer keys use binary search; string (object-dtype) keys use a
@@ -440,6 +448,12 @@ def lookup_broadcast(keys: np.ndarray, kv) -> np.ndarray:
     arrays devolves to per-comparison Python calls (~20 string compares
     per lookup) and dominated graph build.  The Index is built once per
     worker process per broadcast object (plasma gives a stable identity).
+
+    ``missing="raise"`` (default) errors on any absent key and returns
+    the value array alone.  ``missing="mask"`` returns ``(values,
+    found)`` where absent keys carry an arbitrary in-range value and
+    ``found`` is False — the vectorized equivalent of an inner join
+    (callers drop the unfound rows).
     """
     karr, varr = kv
     if karr.dtype == object or karr.dtype.kind in "US":
@@ -451,14 +465,19 @@ def lookup_broadcast(keys: np.ndarray, kv) -> np.ndarray:
         else:
             idx = ent[1]
         pos = idx.get_indexer(keys)
-        if (pos < 0).any():
-            missing = np.asarray(keys)[pos < 0][:5]
-            raise KeyError(f"lookup_broadcast: keys not in map, e.g. {missing!r}")
+        found = pos >= 0
+        if missing == "mask":
+            return varr[np.clip(pos, 0, len(varr) - 1)], found
+        if not found.all():
+            bad = np.asarray(keys)[~found][:5]
+            raise KeyError(f"lookup_broadcast: keys not in map, e.g. {bad!r}")
         return varr[pos]
     pos = np.searchsorted(karr, keys)
     pos = np.clip(pos, 0, len(karr) - 1)
     found = karr[pos] == keys
+    if missing == "mask":
+        return varr[pos], found
     if not found.all():
-        missing = np.asarray(keys)[~found][:5]
-        raise KeyError(f"lookup_broadcast: keys not in map, e.g. {missing!r}")
+        bad = np.asarray(keys)[~found][:5]
+        raise KeyError(f"lookup_broadcast: keys not in map, e.g. {bad!r}")
     return varr[pos]

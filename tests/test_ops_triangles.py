@@ -435,3 +435,41 @@ def test_k_truss_peel_to_empty_keeps_schema(ray_session):
     out2 = k_truss(g2, 4)
     assert out2.count() == 0
     assert list(out2.schema().names) == ["src", "dst", "weight"]
+
+
+def test_weighted_similarity_join_fallback_matches_broadcast(ray_session):
+    """broadcast_limit=0 forces the bucketed-join weight attach; results
+    must equal the default broadcast path bit-for-bit (integer-valued
+    weights make every sum exact)."""
+    from raygraph.algos.similarity import pair_similarity, pairwise_similarity
+
+    df = fixtures.karate_df()
+    adj = _sym_sets(df)
+    wts = rd.from_pandas(pd.DataFrame(
+        {"vertex": sorted(adj), "weight": [float(v % 5 + 1) for v in sorted(adj)]}
+    ))
+    bc = (
+        pairwise_similarity(_sym_ds(df), kind="jaccard", vertex_weights=wts)
+        .to_pandas().sort_values(["a", "b"]).reset_index(drop=True)
+    )
+    jn = (
+        pairwise_similarity(_sym_ds(df), kind="jaccard", vertex_weights=wts,
+                            broadcast_limit=0)
+        .to_pandas().sort_values(["a", "b"]).reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(bc, jn[bc.columns])
+
+    some_pairs = rd.from_pandas(
+        pd.DataFrame({"a": [0, 1, 2], "b": [33, 33, 33]})
+    )
+    bcp = (
+        pair_similarity(_sym_ds(df), some_pairs, kind="overlap",
+                        vertex_weights=wts)
+        .to_pandas().sort_values(["a", "b"]).reset_index(drop=True)
+    )
+    jnp = (
+        pair_similarity(_sym_ds(df), some_pairs, kind="overlap",
+                        vertex_weights=wts, broadcast_limit=0)
+        .to_pandas().sort_values(["a", "b"]).reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(bcp, jnp[bcp.columns])
