@@ -4,8 +4,9 @@ A first-class clustering operator for training-data pipelines (corpus
 bucketing, IVF coarse quantizers, near-dup blocking).  Scale shape: the
 only state is the k×d centroid matrix — broadcast via ``ray.put`` each
 iteration — and each iteration is ONE streaming pass of ``map_batches``
-emitting k×(d+1) per-batch partial sums; the driver reduces partials
-(k×d doubles, independent of N).  No shuffle anywhere.
+emitting ≤k per-batch partial (n, Σx) rows, reduced worker-side through
+``agg.hash_aggregate`` (sum+sum is combinable) so the driver pulls
+exactly k rows per iteration regardless of block count.
 
 Determinism: init is the embeddings of the k smallest ids (no RNG);
 assignment ties break to the lowest centroid id (``np.argmin``), so the
@@ -48,6 +49,11 @@ def kmeans(ds, k: int = 8, emb_col: str = "embedding",
     C = _init_centroids(ds, k, emb_col, id_col)
     k = len(C)  # fewer rows than k degrades gracefully
 
+    from raygraph.agg import hash_aggregate
+
+    d = C.shape[1]
+    scols = [f"s{i}" for i in range(d)]
+
     for _ in range(iters):
         cref = ray.put(C)
 
@@ -62,23 +68,32 @@ def kmeans(ds, k: int = 8, emb_col: str = "embedding",
                 + (X * X).sum(axis=1)[:, None]
             )
             a = np.argmin(d2, axis=1)
-            rows = []
-            for c in range(k):
-                m = a == c
-                if m.any():
-                    rows.append(
-                        {"cid": c, "n": int(m.sum()),
-                         "s": X[m].sum(axis=0).tolist()}
-                    )
-            return pd.DataFrame(rows, columns=["cid", "n", "s"])
+            # vectorized per-centroid sums: one (k,d) scatter-add per batch
+            n = np.bincount(a, minlength=k).astype(np.int64)
+            S = np.zeros((k, X.shape[1]))
+            np.add.at(S, a, X)
+            live = n > 0
+            out = pd.DataFrame(S[live], columns=scols)
+            out.insert(0, "cid", np.arange(k, dtype=np.int64)[live])
+            out.insert(1, "n", n[live])
+            return out
 
-        part = ds.map_batches(partials, batch_format="pandas").to_pandas()
+        # combinable (sum,sum…) partials: the bucketed aggregate reduces
+        # blocks×k rows worker-side; the driver pulls exactly k rows/iter
+        # (block-count invariant — see test_kmeans block-invariance test)
+        part = hash_aggregate(
+            ds.map_batches(partials, batch_format="pandas"),
+            ["cid"],
+            {"n": ("n", "sum"), **{c: (c, "sum") for c in scols}},
+            num_buckets=min(16, k),
+        ).to_pandas()
         nxt = C.copy()
-        for c in range(k):
-            rows = part[part["cid"] == c]
-            if len(rows):
-                tot = np.sum(np.stack(rows["s"].to_numpy()), axis=0)
-                nxt[c] = tot / rows["n"].sum()
+        if len(part):
+            cids = part["cid"].to_numpy(np.int64)
+            nxt[cids] = (
+                part[scols].to_numpy()
+                / part["n"].to_numpy(np.float64)[:, None]
+            )
         C = nxt
 
     cref = ray.put(C)

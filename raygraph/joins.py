@@ -401,12 +401,13 @@ def semi_join(
             )
         out = l[~m] if anti else l[m]
         out = out.reindex(columns=left_cols)
+        # cast object targets too (same empty-bucket dtype flap as
+        # hash_join._restore: a one-sided bucket pads string columns as
+        # all-NaN float64 and breaks block-schema unification)
         casts = {
             c: left_dtypes[c]
             for c in left_cols
-            if c in left_dtypes
-            and out[c].dtype != left_dtypes[c]
-            and left_dtypes[c] is not object
+            if c in left_dtypes and out[c].dtype != left_dtypes[c]
         }
         return out.astype(casts) if casts else out
 
@@ -456,6 +457,14 @@ def lookup_broadcast(keys: np.ndarray, kv, missing: str = "raise"):
     (callers drop the unfound rows).
     """
     karr, varr = kv
+    if len(karr) == 0:
+        # empty map: nothing can match; indexing varr below would raise
+        found = np.zeros(len(np.asarray(keys)), dtype=bool)
+        if missing == "mask":
+            return np.empty(len(found), dtype=varr.dtype), found
+        if len(found):
+            raise KeyError("lookup_broadcast: empty map, no key can resolve")
+        return np.empty(0, dtype=varr.dtype)
     if karr.dtype == object or karr.dtype.kind in "US":
         ent = _INDEX_CACHE.get(id(karr))
         if ent is None:

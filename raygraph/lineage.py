@@ -22,18 +22,34 @@ carried across iterations of a driver loop, right after its
 """
 
 
+_WARNED = False
+
+
 def cut_stats_lineage(ds):
     """Empty the stats-parent lists of ``ds`` (idempotent, best-effort).
 
     Returns ``ds`` so it can wrap a ``materialize()`` call inline.  If
     Ray's internals move, the worst case is the walk stays deep — never
-    an error.
+    an error — but we warn ONCE so a Ray upgrade surfaces the regression
+    (silent fail-open would quietly reintroduce the O(2^rounds) hang).
     """
+    global _WARNED
     try:
         plan = ds._plan
         for stats in (plan._in_stats, plan._snapshot_stats):
             if stats is not None and getattr(stats, "parents", None):
                 stats.parents = []
     except Exception:
-        pass
+        if not _WARNED:
+            _WARNED = True
+            import warnings
+
+            warnings.warn(
+                "cut_stats_lineage: Ray Data internals changed "
+                "(_plan._in_stats/_snapshot_stats missing); stats-parent "
+                "chains are no longer truncated — iterative pipelines may "
+                "regress to an O(2^rounds) driver stats walk.",
+                RuntimeWarning,
+                stacklevel=2,
+            )
     return ds

@@ -1,6 +1,7 @@
 """Tests: distributed as-of join vs a pandas merge_asof oracle."""
 
 import numpy as np
+import pytest
 import pandas as pd
 import ray.data as rd
 
@@ -128,3 +129,40 @@ def test_semi_join_multi_key_and_dtypes():
                .to_pandas().sort_values("v").reset_index(drop=True))
         pd.testing.assert_frame_equal(got, want)
         assert got["a"].dtype == np.int64 and got["v"].dtype == np.float64
+
+
+def test_semi_join_distributed_string_columns_one_sided_buckets():
+    # empty-bucket dtype flap regression: with many buckets and few keys,
+    # most buckets hold rows of only one side; string payload columns must
+    # come back object-dtype, not NaN-padded float64
+    from raygraph.joins import semi_join
+
+    left = pd.DataFrame({
+        "k": np.array([1, 2, 3, 4], np.int64),
+        "s": ["aa", "bb", "cc", "dd"],
+    })
+    right = pd.DataFrame({"k": np.array([2, 4], np.int64)})
+    got = (
+        semi_join(rd.from_pandas(left), rd.from_pandas(right), on="k",
+                  broadcast_limit=0, num_buckets=32)
+        .to_pandas().sort_values("k").reset_index(drop=True)
+    )
+    want = left[left["k"].isin([2, 4])].reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want)
+    assert got["s"].dtype == object
+
+
+def test_lookup_broadcast_empty_map():
+    from raygraph.joins import lookup_broadcast
+
+    karr = np.empty(0, dtype=np.int64)
+    varr = np.empty(0, dtype=np.float64)
+    vals, found = lookup_broadcast(
+        np.array([1, 2, 3], np.int64), (karr, varr), missing="mask"
+    )
+    assert not found.any() and len(vals) == 3
+    with pytest.raises(KeyError):
+        lookup_broadcast(np.array([1], np.int64), (karr, varr))
+    # empty keys against empty map: fine either way
+    out = lookup_broadcast(np.empty(0, np.int64), (karr, varr))
+    assert len(out) == 0
