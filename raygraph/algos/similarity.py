@@ -152,6 +152,36 @@ def _volumes(edges_ds, vertex_weights, num_buckets: int, kv_ref=None):
     return hash_aggregate(ew, ["src"], {"deg": ("__wt", "sum")})
 
 
+def _ragged_triu_chunks(seg_sizes: np.ndarray, chunk: int):
+    """Yield (row_idx, off_in_row) index chunks enumerating, for every
+    segment of a sorted array, all within-segment (i<j) pairs — fully
+    vectorized (no Python loop over segments), emitted in chunks of at
+    most ``chunk`` pairs so a hub segment never materializes its full
+    C(d,2) expansion at once.  ``row_idx`` indexes the flat sorted array
+    (the pair's first element); the second element is
+    ``row_idx + off_in_row + 1``."""
+    rep = np.repeat(seg_sizes, seg_sizes) - 1 - (
+        np.arange(int(seg_sizes.sum()))
+        - np.repeat(np.cumsum(seg_sizes) - seg_sizes, seg_sizes)
+    )  # per-row count of pairs where this row is the first element
+    tot = int(rep.sum())
+    if tot == 0:
+        return
+    cum = np.cumsum(rep)
+    for c0 in range(0, tot, chunk):
+        c1 = min(c0 + chunk, tot)
+        r0 = int(np.searchsorted(cum, c0, side="right"))
+        r1 = int(np.searchsorted(cum, c1 - 1, side="right")) + 1
+        starts_r = cum[r0:r1] - rep[r0:r1]
+        lo = np.maximum(starts_r, c0)
+        hi = np.minimum(cum[r0:r1], c1)
+        cnt = hi - lo
+        row_idx = np.repeat(np.arange(r0, r1, dtype=np.int64), cnt)
+        base = np.repeat(lo - starts_r, cnt)
+        off = base + (np.arange(c1 - c0) - np.repeat(np.cumsum(cnt) - cnt, cnt))
+        yield row_idx, off
+
+
 def pairwise_similarity(
     edges_ds,
     kind: str = "jaccard",
@@ -161,16 +191,187 @@ def pairwise_similarity(
     broadcast_limit: int = 20_000_000,
 ):
     """edges_ds: symmetrized simple (src,dst) Dataset. Returns
-    (a, b, common, deg_a, deg_b, coeff) for a<b pairs with common>0.
+    (a, b, common, coeff) for a<b pairs with common>0.
 
-    ``max_wedge_degree``: skip shared endpoints with degree above this —
-    bounds per-task wedge rows to max_wedge_degree² under hub skew (the
-    same hot-key guard as the LSH bucket cap, ``dedup.py``).  None = exact.
+    Fast path (V ≤ ``broadcast_limit``): vertices are renumbered to dense
+    ints via one broadcast dictionary (sorted, so int order ≡ key order),
+    wedges are expanded from RESIDENT per-apex adjacency inside a single
+    ``groupby(hash(apex)).map_groups`` — vectorized ragged-triu in bounded
+    chunks, pair counts combined locally before the one (a,b)-keyed
+    exchange — and degrees attach map-side from a broadcast array (the
+    triangles intersection shape, ``algos/triangles.py``: task input is
+    Σ deg, never Σ deg² shuffled wedge rows, so no hub cap is needed for
+    exactness).  Past the gate, the bucketed-join formulation
+    (:func:`_pairwise_similarity_join`) takes over.
+
+    ``max_wedge_degree``: optionally skip shared endpoints with degree
+    above this (documented approximation — pairs connected ONLY through
+    capped hubs are dropped / undercounted).  None = exact.
 
     ``vertex_weights``: optional (vertex, weight) Dataset → weighted
     coefficients (``wjaccard.py`` semantics); ``common`` becomes the
     weighted intersection volume (float64).
     """
+    import ray
+
+    from raygraph.agg import hash_aggregate
+    from raygraph.hashing import hash_int64
+
+    edges_ds = edges_ds.materialize()
+    weighted = vertex_weights is not None
+
+    verts = hash_aggregate(
+        edges_ds.map_batches(
+            lambda df: df[["src"]], batch_format="pandas"
+        ),
+        ["src"], None, num_buckets=num_buckets,
+    ).materialize()
+    V = verts.count()
+    if V > broadcast_limit or V * V > np.iinfo(np.int64).max:
+        return _pairwise_similarity_join(
+            edges_ds, kind, num_buckets, max_wedge_degree, vertex_weights,
+            broadcast_limit,
+        )
+    varr = np.sort(verts.to_pandas()["src"].to_numpy())
+    vref = ray.put((varr, np.arange(V, dtype=np.int64)))
+
+    def to_int(df: pd.DataFrame) -> pd.DataFrame:
+        kv = ray.get(vref)
+        return pd.DataFrame(
+            {
+                "s": joins.lookup_broadcast(df["src"].to_numpy(), kv),
+                "d": joins.lookup_broadcast(df["dst"].to_numpy(), kv),
+            }
+        )
+
+    int_edges = edges_ds.map_batches(to_int, batch_format="pandas")
+
+    # per-vertex degree (weighted: neighborhood volume) → broadcast array
+    if weighted:
+        wdf = vertex_weights.to_pandas()
+        widx = pd.Index(varr).get_indexer(wdf["vertex"].to_numpy())
+        wt = np.zeros(V, dtype=np.float64)
+        ok = widx >= 0
+        wt[widx[ok]] = wdf["weight"].to_numpy(np.float64)[ok]
+        wtref = ray.put(wt)
+        volsrc = int_edges.map_batches(
+            lambda df: pd.DataFrame(
+                {"s": df["s"], "w": ray.get(wtref)[df["d"].to_numpy()]}
+            ),
+            batch_format="pandas",
+        )
+        degdf = hash_aggregate(
+            volsrc, ["s"], {"deg": ("w", "sum")}, num_buckets=num_buckets
+        ).to_pandas()
+    else:
+        wtref = None
+        degdf = hash_aggregate(
+            int_edges, ["s"], {"deg": (None, "count")}, num_buckets=num_buckets
+        ).to_pandas()
+    deg_arr = np.zeros(V, dtype=np.float64)
+    deg_arr[degdf["s"].to_numpy(np.int64)] = degdf["deg"].to_numpy(np.float64)
+    dref = ray.put(deg_arr)
+
+    WEDGE_BUCKETS = num_buckets
+
+    def add_wb(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["wb"] = (
+            hash_int64(df["s"].to_numpy(np.int64)) % np.uint64(WEDGE_BUCKETS)
+        ).astype(np.int32)
+        return df
+
+    cnt_dtype = np.float64 if weighted else np.int64
+    cnt_col = "ws" if weighted else "cnt"
+
+    def expand(g: pd.DataFrame, cap=max_wedge_degree, chunk=1 << 22
+               ) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {"pk": pd.Series(dtype=np.int64),
+             cnt_col: pd.Series(dtype=cnt_dtype)}
+        )
+        if not len(g):
+            return empty
+        s = g["s"].to_numpy(np.int64)
+        d = g["d"].to_numpy(np.int64)
+        order = np.lexsort((d, s))  # apex-major, neighbors ascending
+        s, d = s[order], d[order]
+        starts = np.flatnonzero(np.r_[True, s[1:] != s[:-1]])
+        sizes = np.diff(np.r_[starts, len(s)])
+        if cap is not None:
+            keep = np.repeat(sizes <= cap, sizes)
+            s, d = s[keep], d[keep]
+            if not len(s):
+                return empty
+            starts = np.flatnonzero(np.r_[True, s[1:] != s[:-1]])
+            sizes = np.diff(np.r_[starts, len(s)])
+        wts = ray.get(wtref) if weighted else None
+        frames = []
+        for row_idx, off in _ragged_triu_chunks(sizes, chunk):
+            # neighbors sorted within each apex segment → d[i] < d[j]
+            pk = d[row_idx] * V + d[row_idx + off + 1]
+            if weighted:
+                upk, inv = np.unique(pk, return_inverse=True)
+                ws = np.bincount(inv, weights=wts[s[row_idx]])
+                frames.append(pd.DataFrame({"pk": upk, cnt_col: ws}))
+            else:
+                upk, cnt = np.unique(pk, return_counts=True)
+                frames.append(
+                    pd.DataFrame({"pk": upk, cnt_col: cnt.astype(np.int64)})
+                )
+        if not frames:
+            return empty
+        return pd.concat(frames, ignore_index=True)
+
+    parts = (
+        int_edges.map_batches(add_wb, batch_format="pandas")
+        .groupby("wb")
+        .map_groups(expand, batch_format="pandas")
+    )
+    common = hash_aggregate(
+        parts, ["pk"], {"common": (cnt_col, "sum")}, num_buckets=num_buckets
+    )
+
+    def fin(df: pd.DataFrame) -> pd.DataFrame:
+        deg = ray.get(dref)
+        va = ray.get(vref)[0]
+        pk = df["pk"].to_numpy(np.int64)
+        ai, bi = pk // V, pk % V
+        c = df["common"].to_numpy(np.float64)
+        da, db = deg[ai], deg[bi]
+        if kind == "jaccard":
+            v = c / (da + db - c)
+        elif kind == "sorensen":
+            v = 2.0 * c / (da + db)
+        elif kind == "overlap":
+            v = c / np.minimum(da, db)
+        else:
+            raise ValueError(kind)
+        return pd.DataFrame(
+            {
+                "a": va[ai],
+                "b": va[bi],
+                "common": df["common"].to_numpy(cnt_dtype),
+                "coeff": v,
+            }
+        )
+
+    return common.map_batches(fin, batch_format="pandas")
+
+
+def _pairwise_similarity_join(
+    edges_ds,
+    kind: str = "jaccard",
+    num_buckets: int = 64,
+    max_wedge_degree: Optional[int] = None,
+    vertex_weights=None,
+    broadcast_limit: int = 20_000_000,
+):
+    """Bucketed-join formulation of :func:`pairwise_similarity` — the
+    scale fallback when the vertex dictionary exceeds the broadcast gate.
+    Exact unless ``max_wedge_degree`` caps hub-mediated wedges; the
+    self-join on the shared endpoint emits |N(w)|² wedge rows per shared
+    endpoint, so prefer the resident fast path whenever V fits."""
     from raygraph.agg import hash_aggregate
 
     # the edge list feeds the degree aggregate AND both wedge sides (and

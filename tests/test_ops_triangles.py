@@ -473,3 +473,53 @@ def test_weighted_similarity_join_fallback_matches_broadcast(ray_session):
         .to_pandas().sort_values(["a", "b"]).reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(bcp, jnp[bcp.columns])
+
+
+def test_pairwise_similarity_fast_matches_join_fallback():
+    """The resident-wedge fast path and the bucketed-join fallback must
+    produce identical frames (weighted and not, string and int keys)."""
+    from raygraph.algos.similarity import pairwise_similarity
+
+    df = fixtures.karate_df()
+    wts_df = pd.DataFrame(
+        {"vertex": np.arange(34), "weight": (np.arange(34) % 4 + 1.0)}
+    )
+
+    def norm(ds):
+        return (
+            ds.to_pandas().sort_values(["a", "b"]).reset_index(drop=True)
+        )
+
+    for weighted in (False, True):
+        wts = rd.from_pandas(wts_df) if weighted else None
+        fast = norm(pairwise_similarity(
+            _sym_ds(df), kind="jaccard", vertex_weights=wts))
+        slow = norm(pairwise_similarity(
+            _sym_ds(df), kind="jaccard", vertex_weights=wts,
+            broadcast_limit=0))  # forces the join fallback
+        pd.testing.assert_frame_equal(fast, slow)
+
+    # string keys: int order of the sorted dictionary ≡ key order
+    sdf = df.copy()
+    sdf["src"] = "v::" + sdf["src"].astype(str).str.zfill(3)
+    sdf["dst"] = "v::" + sdf["dst"].astype(str).str.zfill(3)
+    fast = norm(pairwise_similarity(_sym_ds(sdf), kind="sorensen"))
+    slow = norm(pairwise_similarity(_sym_ds(sdf), kind="sorensen",
+                                    broadcast_limit=0))
+    pd.testing.assert_frame_equal(fast, slow)
+    assert (fast["a"] < fast["b"]).all()
+
+
+def test_pairwise_similarity_hub_exact_without_cap():
+    """A degree-200 hub is exact on the fast path with no wedge cap —
+    the expansion happens in bounded chunks from resident adjacency."""
+    from raygraph.algos.similarity import pairwise_similarity
+
+    hub = pd.DataFrame({"src": np.zeros(200, np.int64),
+                        "dst": np.arange(1, 201, dtype=np.int64)})
+    got = pairwise_similarity(_sym_ds(hub), kind="jaccard").to_pandas()
+    # every leaf pair shares exactly the hub; hub pairs with no one
+    assert len(got) == 200 * 199 // 2
+    assert (got["common"] == 1).all()
+    leaf = got[(got["a"] > 0) & (got["b"] > 0)]
+    assert np.allclose(leaf["coeff"], 1.0)  # deg 1+1-1
