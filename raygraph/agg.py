@@ -26,8 +26,18 @@ from typing import Dict, Optional, Sequence, Tuple
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 
 from raygraph.joins import _key_hash, coalesce_for_exchange
+
+
+def _pa_type(np_dtype) -> pa.DataType:
+    """numpy dtype → explicit Arrow type (object columns hold strings in
+    this module's partials; pinning the type keeps empty-batch schemas
+    identical to populated ones)."""
+    if np_dtype == object:
+        return pa.string()
+    return pa.from_numpy_dtype(np_dtype)
 
 # agg spec: out_col -> (in_col | None, op)
 AggSpec = Dict[str, Tuple[Optional[str], str]]
@@ -51,11 +61,12 @@ def hash_aggregate(
     keys = list(keys)
     aggs = aggs or {}
 
-    def combine(df: pd.DataFrame) -> pd.DataFrame:
+    def combine(df: pd.DataFrame) -> pa.Table:
         # NOTE: no empty-batch special case — pandas groupby on an empty
         # frame yields an empty result with the SAME columns/dtypes as the
-        # non-empty path, so every block carries an identical schema (a
-        # diverging empty schema triggers Ray RefBundle schema warnings).
+        # non-empty path, and the explicit Arrow types below keep every
+        # block's schema identical (a diverging empty schema triggers Ray
+        # RefBundle schema warnings).
         g = df.groupby(keys, as_index=False, sort=False)
         pieces = [g.size().rename(columns={"size": "__n"})]
         agg_map = {}
@@ -74,32 +85,36 @@ def hash_aggregate(
             if op == "count":
                 out[out_col] = out["__n"].astype(np.int64)
         out["__bk"] = (_key_hash(out, keys) % np.uint64(num_buckets)).astype(np.int32)
-        return out
+        # emit the partials as Arrow with EXPLICIT types: the bucket
+        # exchange then moves zero-copy Arrow blocks (the BASELINE.md
+        # contract) instead of pickled pandas frames
+        return pa.table(
+            {
+                c: pa.array(out[c].to_numpy(), type=_pa_type(out[c].dtype))
+                for c in out.columns
+            }
+        )
 
     combined = ds.map_batches(combine, batch_format="pandas")
 
-    def finalize(group: pd.DataFrame) -> pd.DataFrame:
-        g = group.groupby(keys, as_index=False, sort=False)
-        pieces = []
-        agg_ops = {}
-        for out_col, (in_col, op) in aggs.items():
-            agg_ops[out_col] = _COMBINE_OP[op]
-        if agg_ops:
-            pieces.append(
-                g.agg(**{o: pd.NamedAgg(column=o, aggfunc=f)
-                         for o, f in agg_ops.items()})
-            )
-        else:
-            pieces.append(g.size()[keys])
-        out = pieces[0]
-        return out
+    def finalize(t: pa.Table) -> pa.Table:
+        gb = t.group_by(keys, use_threads=False)
+        if not aggs:
+            return gb.aggregate([])
+        res = gb.aggregate(
+            [(o, _COMBINE_OP[op]) for o, (_c, op) in aggs.items()]
+        )
+        cols = {k: res.column(k) for k in keys}
+        for o, (_c, op) in aggs.items():
+            cols[o] = res.column(f"{o}_{_COMBINE_OP[op]}")
+        return pa.table(cols)
 
     if coalesce:
         # Skip (coalesce=False) when the partials are data-sized (e.g. a
         # near-unique-key dedup): the extra plasma copy evicts more than
         # the small-block savings buy — see joins.coalesce_for_exchange.
         combined = coalesce_for_exchange(combined, num_buckets)
-    return combined.groupby("__bk").map_groups(finalize, batch_format="pandas")
+    return combined.groupby("__bk").map_groups(finalize, batch_format="pyarrow")
 
 
 def distinct(ds, keys: Sequence[str], num_buckets: int = 64):

@@ -9,24 +9,38 @@ Ray mapping (the Louvain prim
 ``per_v_transform_reduce_dst_key_aggregated_outgoing_e.cuh`` is a two-level
 reduction — exactly our combiner + bucketed aggregate):
 
-* per sweep: edges ⋈ broadcast community map → hash_aggregate by
-  (src, community(dst)) → per-src vectorized argmax of the modularity gain
-  (no per-vertex Python) → synchronous accepted moves.
-* Monotonicity guard: a sweep that does not improve global modularity is
-  reverted and ends the level (synchronous parallel sweeps can oscillate;
-  the reference's sequential-consistency is recovered by this check).
-* coarsen: relabel + combine parallel edges summing weights
-  (``coarsen_graph_impl.cuh`` semantics via ops.coarsen's pattern).
+* per sweep: edges ⋈ community-of-dst → aggregate by (src, community) →
+  per-src vectorized argmax of the modularity gain → synchronous accepted
+  moves, guarded by a modularity check (synchronous parallel sweeps can
+  oscillate; the reference's sequential consistency is recovered by the
+  guard + alternating hash-parity half-sweeps).
+* contract: map both endpoints to their community label, combine parallel
+  edges summing weights (``coarsen_graph_impl.cuh`` semantics).
 
-Scale contract: the driver (and each broadcast) holds only **V-sized**
-state — community array, weighted degrees, community totals, the contract
-relabel map.  Edge-sized data never leaves the cluster on the distributed
-path: weighted degrees come from per-batch compact partials streamed into a
-V-sized accumulator, and modularity is a distributed scalar sum (per-batch
-internal-weight partials) plus a V-sized driver reduction for the Σ_tot²
-term.  Levels with ≤ ``local_edge_limit`` edges (default 5M) drop to a
-driver-local numpy fast path — identical math, just fewer Ray rounds; pass
-``local_edge_limit=0`` to force the distributed path everywhere.
+**Scale contract (the MG shape, ``dask/community/louvain.py:53``): the
+driver holds SCALARS only on the distributed path.**  All vertex state —
+community label, weighted degree, community totals, the per-level
+assignment of original vertices — lives in bounded Datasets:
+
+* state ``S = (vertex, comm, k)`` is a Dataset; community totals are one
+  bucketed aggregate of S; candidate scores attach via bucketed joins;
+  the per-src argmax runs in ``groupby(hash(src))`` groups; accepted
+  moves apply through one more join.  Modularity is a distributed scalar
+  (per-batch internal-weight partials + a Σsig² partial over the
+  community-totals Dataset).
+* the original-vertex assignment ``A = (vertex, cur)`` composes with each
+  level's (vertex → comm) mapping by a bucketed left join — never an
+  array.
+
+Community ids are **label values in the vertex-id domain** (a community
+is named by one of its members), identically in both backends, so the
+numpy fast path and the Dataset path make bit-identical decisions
+(tie-breaks order by label, move parity hashes the original vertex id)
+and ``louvain(g) == louvain(g, local_edge_limit=0)`` exactly.  Levels
+with ≤ ``local_edge_limit`` edges (default 5M) drop to a driver-local
+numpy fast path whose arrays are sized by the level's ACTIVE vertex count
+(≤ 2·edges — sparse/huge vertex ids are compacted through one
+``np.unique``), never by the original graph's V.
 """
 
 from __future__ import annotations
@@ -35,339 +49,770 @@ from typing import Optional
 
 import numpy as np
 import pandas as pd
-import pyarrow as pa
 
 from raygraph.lineage import cut_stats_lineage
 
 
-def _edge_arrays(edges_ds):
-    df = edges_ds.to_pandas()
-    return (
-        df["src"].to_numpy(np.int64),
-        df["dst"].to_numpy(np.int64),
-        df["weight"].to_numpy(np.float64),
-    )
+# --------------------------------------------------------------------------
+# shared move-score kernel (identical math for both backends)
+# --------------------------------------------------------------------------
 
+def _best_moves(s, cd, wv, ks, cs, sig_cd, sig_cs, m2, resolution,
+                csize_cs=None):
+    """Per-src best move from row-aligned candidate arrays.
 
-def _modularity_local(src, dst, w, comm, k, m2, resolution):
-    internal = w[comm[src] == comm[dst]].sum()  # both directions counted
-    sig = np.bincount(comm, weights=k, minlength=int(comm.max()) + 1)
-    return internal / m2 - resolution * float((sig / m2) @ (sig / m2))
+    ``s``: src id, ``cd``: candidate community label, ``wv``: Σ weight of
+    src's edges into cd, ``ks``: k of src, ``cs``: current community of
+    src, ``sig_cd``/``sig_cs``: Σ_tot of cd / of src's own community.
+    (src, cd) pairs must be unique (post-aggregation) so the lexsort is a
+    total order and the result is input-order independent.
 
-
-def _distributed_degrees(edges_ds, V: int) -> np.ndarray:
-    """Weighted out-degrees as a V-sized array: per-batch compact
-    (vertex, k) partials streamed into a driver accumulator — the edge list
-    itself never lands on the driver."""
-    def partials(t: pa.Table) -> pa.Table:
-        s = t.column("src").to_numpy()
-        w = t.column("weight").to_numpy()
-        uv, inv = np.unique(s, return_inverse=True)
-        return pa.table({"vertex": uv, "k": np.bincount(inv, weights=w)})
-
-    k = np.zeros(V, dtype=np.float64)
-    p = edges_ds.map_batches(partials, batch_format="pyarrow")
-    for b in p.iter_batches(batch_format="pyarrow"):
-        np.add.at(k, b.column("vertex").to_numpy(), b.column("k").to_numpy())
-    return k
-
-
-def _distributed_modularity(edges_ds, comm_ref, comm, k, m2, resolution):
-    """Q = internal/m2 − res·Σ(Σ_tot/m2)²; internal is a distributed scalar
-    sum (per-batch partials), Σ_tot a V-sized driver bincount."""
-    import ray
-
-    def internal_partial(t: pa.Table) -> pa.Table:
-        c = ray.get(comm_ref)
-        s = t.column("src").to_numpy()
-        d = t.column("dst").to_numpy()
-        w = t.column("weight").to_numpy()
-        return pa.table({"internal": [float(w[c[s] == c[d]].sum())]})
-
-    internal = float(
-        edges_ds.map_batches(internal_partial, batch_format="pyarrow").sum("internal")
-    )
-    sig = np.bincount(comm, weights=k, minlength=int(comm.max()) + 1)
-    return internal / m2 - resolution * float((sig / m2) @ (sig / m2))
-
-
-def _move_phase(level_edges, V, k, m2, comm, q_cur, resolution, max_inner,
-                min_gain, parity_salt, local, src, dst, w,
-                restrict_parent=None, singleton_only=False):
-    """The Louvain local-moving sweep loop, shared with Leiden.
-
-    ``restrict_parent``: only consider target communities whose parent
-    (the array's value at both endpoints) matches — the Leiden refinement
-    constraint (moves stay inside the phase-1 community).
-    ``singleton_only``: only vertices currently alone in their community
-    may move (the Leiden refinement merge rule).
-    Returns (comm, q_cur, improved).
+    Returns ``(vertex, best[, own_csize])`` for vertices whose best move
+    strictly beats staying.
     """
+    # gain score for s joining cd (s's own mass removed from Σ_tot):
+    # score = w_{s→cd} − res·k_s·Σ_tot*(cd)/m2
+    sig_star = sig_cd - np.where(cs == cd, ks, 0.0)
+    score = wv - resolution * ks * sig_star / m2
+    # per src: argmax score, ties → min community label
+    order = np.lexsort((cd, -score, s))
+    s_s = s[order]
+    first = np.ones(len(s_s), dtype=bool)
+    first[1:] = s_s[1:] != s_s[:-1]
+    vbest = s_s[first]
+    cbest = cd[order][first]
+    sbest = score[order][first]
+    ks_f = ks[order][first]
+    sig_cs_f = sig_cs[order][first]
+    # score of STAYING: the row with cd == current community, or (no
+    # internal links) −res·k_s·(Σ_tot(c_s)−k_s)/m2
+    stay = -resolution * ks_f * (sig_cs_f - ks_f) / m2
+    in_own = cd == cs
+    if in_own.any():
+        s_own = s[in_own]
+        sc_own = score[in_own]
+        o = np.argsort(s_own, kind="stable")
+        s_own, sc_own = s_own[o], sc_own[o]
+        pos = np.searchsorted(s_own, vbest)
+        safe = np.minimum(pos, len(s_own) - 1)
+        hit = s_own[safe] == vbest
+        stay[hit] = sc_own[safe[hit]]
+    keep = sbest > stay + 1e-12
+    gain = sbest - stay  # exact: ΔQ of the single move = 2·gain/m2
+    if csize_cs is not None:
+        return (vbest[keep], cbest[keep], gain[keep],
+                csize_cs[order][first][keep])
+    return vbest[keep], cbest[keep], gain[keep], None
+
+
+# --------------------------------------------------------------------------
+# local (compact numpy) backend — levels with ≤ local_edge_limit edges
+# --------------------------------------------------------------------------
+
+def _local_arrays(level_edges):
+    """Level edges → (active, sc, dc, w): ``active`` is the sorted array
+    of this level's vertex ids; sc/dc index into it.  Array sizes are
+    bounded by the level's edge count, never by original V."""
+    df = level_edges.to_pandas()
+    src = df["src"].to_numpy(np.int64)
+    dst = df["dst"].to_numpy(np.int64)
+    w = df["weight"].to_numpy(np.float64)
+    active = np.unique(np.concatenate([src, dst]))
+    return active, np.searchsorted(active, src), np.searchsorted(active, dst), w
+
+
+def _modularity_local(sc, dc, w, comm, k, m2, resolution):
+    """comm: original-label values over compact vertex index."""
+    internal = w[comm[sc] == comm[dc]].sum()  # both directions counted
+    _, lab_inv = np.unique(comm, return_inverse=True)
+    sig = np.bincount(lab_inv, weights=k)
+    return internal / m2 - resolution * float((sig / m2) @ (sig / m2))
+
+
+def _move_phase_local(active, sc, dc, w, k, m2, comm, q_cur, resolution,
+                      max_inner, min_gain, parity_salt,
+                      restrict_parent=None, singleton_only=False):
+    """Local-moving sweep loop over compact arrays; community labels stay
+    ORIGINAL vertex-id values (identical decision domain to the Dataset
+    backend).  Returns (comm, q_cur, improved)."""
+    from raygraph.hashing import hash_int64
+
+    improved = False
+    keep0 = sc != dc
+    if restrict_parent is not None:
+        keep0 &= restrict_parent[sc] == restrict_parent[dc]
+    sl0, dl0, wl0 = sc[keep0], dc[keep0], w[keep0]
+    for sweep in range(max_inner):
+        labels, lab_inv = np.unique(comm, return_inverse=True)
+        n_lab = len(labels)
+        sig = np.bincount(lab_inv, weights=k, minlength=n_lab)
+        csize = np.bincount(lab_inv, minlength=n_lab) if singleton_only else None
+        # aggregate (src, community-of-dst) → Σw, fully vectorized
+        li_d = np.searchsorted(labels, comm[dl0])
+        key = sl0.astype(np.int64) * n_lab + li_d
+        uk, inv = np.unique(key, return_inverse=True)
+        wv = np.bincount(inv, weights=wl0, minlength=len(uk))
+        s_u = (uk // n_lab).astype(np.int64)
+        li_u = (uk % n_lab).astype(np.int64)
+        li_s = np.searchsorted(labels, comm[s_u])
+        vb, cb, gain, own_csize = _best_moves(
+            s_u, labels[li_u], wv, k[s_u], comm[s_u], sig[li_u], sig[li_s],
+            m2, resolution,
+            csize_cs=(csize[li_s] if singleton_only else None),
+        )
+        if len(vb) == 0:
+            break  # no vertex gains from moving → converged
+        if singleton_only:
+            m = own_csize == 1
+            vb, cb, gain = vb[m], cb[m], gain[m]
+            if len(vb) == 0:
+                break
+        # alternate hash-parity half-sweeps over ORIGINAL ids: simultaneous
+        # pairwise swaps (the synchronous-Louvain oscillation) cannot
+        # happen inside one parity class; the modularity guard is a backstop
+        parity = (
+            hash_int64(active[vb] ^ np.int64(parity_salt)) % np.uint64(2)
+        ).astype(np.int64)
+        sel = parity == (sweep % 2)
+        applied = False
+        if sel.any():
+            new_comm = comm.copy()
+            new_comm[vb[sel]] = cb[sel]
+            q_new = _modularity_local(sc, dc, w, new_comm, k, m2, resolution)
+            if q_new > q_cur + min_gain:
+                comm, q_cur, improved, applied = new_comm, q_new, True, True
+        if not applied:
+            # deterministic escape: the single best move (gain desc, then
+            # min original id) — a lone move improves Q by exactly
+            # 2·gain/m2 > 0, so the schedule can never stall short of
+            # true convergence (gain below min_gain)
+            j = np.lexsort((active[vb], -gain))[0]
+            new_comm = comm.copy()
+            new_comm[vb[j]] = cb[j]
+            q_new = _modularity_local(sc, dc, w, new_comm, k, m2, resolution)
+            if q_new <= q_cur + min_gain:
+                break
+            comm, q_cur, improved = new_comm, q_new, True
+    return comm, q_cur, improved
+
+
+# --------------------------------------------------------------------------
+# distributed (Dataset) backend — no V-sized driver or broadcast state
+# --------------------------------------------------------------------------
+
+def _sig_ds(S, num_buckets):
+    """Community totals: (comm, sig=Σk, csize=|members|) Dataset."""
+    from raygraph.agg import hash_aggregate
+
+    return hash_aggregate(
+        S.map_batches(lambda df: df[["comm", "k"]], batch_format="pandas"),
+        ["comm"], {"sig": ("k", "sum"), "csize": (None, "count")},
+        num_buckets=num_buckets,
+    )
+
+
+def _modularity_ds(level_edges, S, m2, resolution, num_buckets):
+    """Q = internal/m2 − res·Σ(Σ_tot/m2)² with only scalar partials on
+    the driver: internal via two bucketed endpoint joins + per-batch
+    sums, Σsig² via a per-batch partial over the community totals."""
+    from raygraph import joins
+
+    Ss = S.map_batches(
+        lambda df: pd.DataFrame({"src": df["vertex"], "cs": df["comm"]}),
+        batch_format="pandas",
+    )
+    Sd = S.map_batches(
+        lambda df: pd.DataFrame({"dst": df["vertex"], "cd": df["comm"]}),
+        batch_format="pandas",
+    )
+    e2 = joins.hash_join(
+        joins.hash_join(level_edges, Ss, on="src", num_buckets=num_buckets),
+        Sd, on="dst", num_buckets=num_buckets,
+    )
+    internal = float(
+        e2.map_batches(
+            lambda df: pd.DataFrame(
+                {
+                    "internal": [
+                        float(
+                            df["weight"].to_numpy(np.float64)[
+                                df["cs"].to_numpy() == df["cd"].to_numpy()
+                            ].sum()
+                        )
+                    ]
+                }
+            ),
+            batch_format="pandas",
+        ).sum("internal")
+    )
+    sumsq = float(
+        _sig_ds(S, num_buckets)
+        .map_batches(
+            lambda df: pd.DataFrame(
+                {"x": [float((df["sig"].to_numpy(np.float64) ** 2).sum())]}
+            ),
+            batch_format="pandas",
+        )
+        .sum("x")
+    )
+    return internal / m2 - resolution * sumsq / (m2 * m2)
+
+
+def _level_state_ds(level_edges, comm_init_ds, num_buckets):
+    """S = (vertex, k[, comm]) for a level: vertices = src∪dst of the
+    level's edges, k = weighted out-degree.  ``comm_init_ds`` (vertex,
+    comm) attaches the starting partition; None → every vertex its own
+    community (comm = vertex)."""
+    from raygraph import joins
+    from raygraph.agg import hash_aggregate
+
+    proj = level_edges.map_batches(
+        lambda df: pd.DataFrame(
+            {
+                "vertex": np.concatenate(
+                    [df["src"].to_numpy(np.int64), df["dst"].to_numpy(np.int64)]
+                ),
+                "k": np.concatenate(
+                    [df["weight"].to_numpy(np.float64),
+                     np.zeros(len(df), np.float64)]
+                ),
+            }
+        ),
+        batch_format="pandas",
+    )
+    S = hash_aggregate(proj, ["vertex"], {"k": ("k", "sum")},
+                       num_buckets=num_buckets)
+    if comm_init_ds is None:
+        S = S.map_batches(
+            lambda df: df.assign(comm=df["vertex"].to_numpy(np.int64)),
+            batch_format="pandas",
+        )
+    else:
+        S = joins.hash_join(S, comm_init_ds, on="vertex",
+                            num_buckets=num_buckets)
+    return cut_stats_lineage(S.materialize())
+
+
+def _move_phase_ds(level_edges, S, m2, q_cur, resolution, max_inner,
+                   min_gain, parity_salt, restricted=False,
+                   singleton_only=False, num_buckets=64):
+    """Dataset sweep loop — same decisions as :func:`_move_phase_local`.
+
+    ``restricted``: S carries a ``parent`` column; only moves whose
+    endpoints share a parent are considered (Leiden refinement).
+    Returns (S, q_cur, improved)."""
     import ray
 
+    from raygraph import joins
     from raygraph.agg import hash_aggregate
     from raygraph.hashing import hash_int64
     from raygraph.joins import _key_hash
 
+    state_cols = ["vertex", "comm", "k"] + (["parent"] if restricted else [])
+
+    nl = cut_stats_lineage(
+        level_edges.map_batches(
+            lambda df: df[df["src"].to_numpy() != df["dst"].to_numpy()],
+            batch_format="pandas",
+        ).materialize()
+    )
+
     improved = False
     for sweep in range(max_inner):
-        sig = np.bincount(comm, weights=k, minlength=V)
-        cref = ray.put(comm)
-        kref = ray.put(k)
-        sref = ray.put(sig)
-        pref = ray.put(restrict_parent) if restrict_parent is not None else None
+        sig = cut_stats_lineage(_sig_ds(S, num_buckets).materialize())
 
-        def attach(df: pd.DataFrame) -> pd.DataFrame:
-            c = ray.get(cref)
-            s = df["src"].to_numpy(np.int64)
-            d = df["dst"].to_numpy(np.int64)
-            keep = s != d
-            if pref is not None:
-                par = ray.get(pref)
-                keep &= par[s] == par[d]
-            return pd.DataFrame(
-                {
-                    "src": s[keep],
-                    "cdst": c[d[keep]],
-                    "weight": df["weight"].to_numpy()[keep],
-                }
+        def dst_state(df: pd.DataFrame) -> pd.DataFrame:
+            out = {"dst": df["vertex"].to_numpy(np.int64),
+                   "cdst": df["comm"].to_numpy(np.int64)}
+            if restricted:
+                out["pdst"] = df["parent"].to_numpy(np.int64)
+            return pd.DataFrame(out)
+
+        linked = joins.hash_join(
+            nl, S.map_batches(dst_state, batch_format="pandas"),
+            on="dst", num_buckets=num_buckets,
+        )
+        # parent is constant within a community, so carrying pdst through
+        # the (src, cdst) aggregate key changes nothing and keeps it
+        # available for the psrc==pdst filter after the src-state join
+        agg_keys = ["src", "cdst"] + (["pdst"] if restricted else [])
+        agg = hash_aggregate(
+            linked.map_batches(
+                lambda df, c=agg_keys: df[c + ["weight"]],
+                batch_format="pandas",
+            ),
+            agg_keys, {"w": ("weight", "sum")}, num_buckets=num_buckets,
+        )
+
+        def src_state(df: pd.DataFrame) -> pd.DataFrame:
+            out = {"src": df["vertex"].to_numpy(np.int64),
+                   "csrc": df["comm"].to_numpy(np.int64),
+                   "ks": df["k"].to_numpy(np.float64)}
+            if restricted:
+                out["psrc"] = df["parent"].to_numpy(np.int64)
+            return pd.DataFrame(out)
+
+        cand = joins.hash_join(
+            agg, S.map_batches(src_state, batch_format="pandas"),
+            on="src", num_buckets=num_buckets,
+        )
+        if restricted:
+            cand = cand.map_batches(
+                lambda df: df[df["psrc"].to_numpy() == df["pdst"].to_numpy()],
+                batch_format="pandas",
             )
+        cand = joins.hash_join(
+            cand,
+            sig.map_batches(
+                lambda df: pd.DataFrame(
+                    {"cdst": df["comm"].to_numpy(np.int64),
+                     "sig_d": df["sig"].to_numpy(np.float64)}
+                ),
+                batch_format="pandas",
+            ),
+            on="cdst", num_buckets=num_buckets,
+        )
+        cand = joins.hash_join(
+            cand,
+            sig.map_batches(
+                lambda df: pd.DataFrame(
+                    {"csrc": df["comm"].to_numpy(np.int64),
+                     "sig_s": df["sig"].to_numpy(np.float64),
+                     "csize_s": df["csize"].to_numpy(np.int64)}
+                ),
+                batch_format="pandas",
+            ),
+            on="csrc", num_buckets=num_buckets,
+        )
 
-        if local:
-            keep = src != dst
-            if restrict_parent is not None:
-                keep &= restrict_parent[src] == restrict_parent[dst]
-            sl, cdl, wl = src[keep], comm[dst[keep]], w[keep]
-            key = (sl.astype(np.int64) << np.int64(32)) | cdl
-            uk, inv = np.unique(key, return_inverse=True)
-            wv_l = np.bincount(inv, weights=wl, minlength=len(uk))
-            agg_df = pd.DataFrame(
-                {
-                    "src": (uk >> np.int64(32)).astype(np.int64),
-                    "cdst": (uk & np.int64(0xFFFFFFFF)).astype(np.int64),
-                    "w": wv_l,
-                }
-            )
-        else:
-            linked = level_edges.map_batches(attach, batch_format="pandas")
-            agg = hash_aggregate(linked, ["src", "cdst"], {"w": ("weight", "sum")})
-
-        def best_move(df: pd.DataFrame) -> pd.DataFrame:
-            c = ray.get(cref)
-            kk = ray.get(kref)
-            ss = ray.get(sref)
-            s = df["src"].to_numpy(np.int64)
-            cd = df["cdst"].to_numpy(np.int64)
-            wv = df["w"].to_numpy(np.float64)
-            # gain score for i joining community cd (i's own mass removed
-            # from Σ_tot): score = w_{i→c} − res·k_i·Σ_tot*(c)/m2
-            sig_star = ss[cd] - np.where(c[s] == cd, kk[s], 0.0)
-            score = wv - resolution * kk[s] * sig_star / m2
-            # per src: argmax score, ties → min community id
-            order = np.lexsort((cd, -score, s))
-            s_s, cd_s, sc_s = s[order], cd[order], score[order]
-            first = np.ones(len(s_s), dtype=bool)
-            first[1:] = s_s[1:] != s_s[:-1]
-            vbest = s_s[first]
-            cbest = cd_s[first]
-            sbest = sc_s[first]
-            # score of STAYING: the row with cd == current community, or
-            # (no internal links) −res·k_i·(Σ_tot(c_i)−k_i)/m2
-            stay = -resolution * kk[vbest] * (ss[c[vbest]] - kk[vbest]) / m2
-            in_own = cd == c[s]
-            if in_own.any():
-                # (src, cdst) rows are unique post-aggregation, so each
-                # src has at most one in-own row — sorted searchsorted
-                # replaces the per-vertex dict loop
-                s_own = s[in_own]
-                sc_own = score[in_own]
-                o = np.argsort(s_own, kind="stable")
-                s_own, sc_own = s_own[o], sc_own[o]
-                pos = np.searchsorted(s_own, vbest)
-                safe = np.minimum(pos, len(s_own) - 1)
-                hit = s_own[safe] == vbest
-                stay[hit] = sc_own[safe[hit]]
-            keep = sbest > stay + 1e-12
-            return pd.DataFrame(
-                {"vertex": vbest[keep], "best": cbest[keep]}
-            )
-
-        # co-locate rows of each src, then vectorized per-bucket argmax
+        # co-locate rows of each src, then the shared vectorized kernel
         def tag(df: pd.DataFrame) -> pd.DataFrame:
             df = df.copy()
-            df["__bk"] = (
-                _key_hash(df, ["src"]) % np.uint64(32)
-            ).astype(np.int32)
+            df["__bk"] = (_key_hash(df, ["src"]) % np.uint64(32)).astype(
+                np.int32
+            )
             return df
 
-        if local:
-            picked = best_move(agg_df)
-        else:
-            picked = (
-                agg.map_batches(tag, batch_format="pandas")
-                .groupby("__bk")
-                .map_groups(
-                    lambda g: best_move(g.drop(columns="__bk")),
-                    batch_format="pandas",
-                )
-                .to_pandas()  # ≤ V rows (one candidate move per vertex)
+        def pick(g: pd.DataFrame) -> pd.DataFrame:
+            vb, cb, gain, oc = _best_moves(
+                g["src"].to_numpy(np.int64),
+                g["cdst"].to_numpy(np.int64),
+                g["w"].to_numpy(np.float64),
+                g["ks"].to_numpy(np.float64),
+                g["csrc"].to_numpy(np.int64),
+                g["sig_d"].to_numpy(np.float64),
+                g["sig_s"].to_numpy(np.float64),
+                m2, resolution,
+                csize_cs=(
+                    g["csize_s"].to_numpy(np.int64) if singleton_only else None
+                ),
             )
+            out = pd.DataFrame({"vertex": vb, "best": cb, "gain": gain})
+            if singleton_only:
+                out["own_csize"] = oc
+            return out
 
-        if len(picked) == 0 or "vertex" not in picked.columns:
-            break  # no vertex gains from moving → level converged
-        if singleton_only:
-            counts = np.bincount(comm, minlength=V)
-            picked = picked[
-                counts[comm[picked["vertex"].to_numpy(np.int64)]] == 1
-            ]
-            if len(picked) == 0:
-                break
-        movers = picked["vertex"].to_numpy(np.int64)
-        # alternate hash-parity half-sweeps: simultaneous pairwise swaps
-        # (the synchronous-Louvain oscillation) cannot happen inside one
-        # parity class, and the modularity guard below stays a backstop
-        # parity_salt varies the half-sweep schedule — the ECG ensemble
-        # uses it the way the reference permutes vertex order per member
-        parity = (
-            hash_int64(movers ^ np.int64(parity_salt)) % np.uint64(2)
-        ).astype(np.int64)
-        sel = parity == (sweep % 2)
-        if not sel.any():
-            continue
-        new_comm = comm.copy()
-        new_comm[movers[sel]] = picked["best"].to_numpy(np.int64)[sel]
-        if np.array_equal(new_comm, comm):
+        picked = cut_stats_lineage(
+            cand.map_batches(tag, batch_format="pandas")
+            .groupby("__bk")
+            .map_groups(
+                lambda g: pick(g.drop(columns="__bk")), batch_format="pandas"
+            )
+            .materialize()
+        )
+        if picked.count() == 0:
             break
-        if local:
-            q_new = _modularity_local(src, dst, w, new_comm, k, m2, resolution)
-        else:
-            q_new = _distributed_modularity(
-                level_edges, ray.put(new_comm), new_comm, k, m2, resolution
+        if singleton_only:
+            picked = cut_stats_lineage(
+                picked.map_batches(
+                    lambda df: df.loc[
+                        df["own_csize"].to_numpy() == 1,
+                        ["vertex", "best", "gain"],
+                    ],
+                    batch_format="pandas",
+                ).materialize()
             )
-        if q_new <= q_cur + min_gain:
-            if sweep % 2 == 1:
-                break  # both parity classes exhausted
-            continue
-        comm = new_comm
-        q_cur = q_new
-        improved = True
-    return comm, q_cur, improved
+            if picked.count() == 0:
+                break
 
+        def par(df: pd.DataFrame, sweep=sweep) -> pd.DataFrame:
+            v = df["vertex"].to_numpy(np.int64)
+            p = (hash_int64(v ^ np.int64(parity_salt)) % np.uint64(2)).astype(
+                np.int64
+            )
+            return df.loc[p == (sweep % 2), ["vertex", "best"]]
+
+        movers = cut_stats_lineage(
+            picked.map_batches(par, batch_format="pandas").materialize()
+        )
+
+        def apply(df: pd.DataFrame) -> pd.DataFrame:
+            comm = df["comm"].to_numpy(np.int64).copy()
+            b = df["best"].to_numpy()
+            has = ~pd.isna(b)
+            comm[has] = b[has].astype(np.int64)
+            out = {"vertex": df["vertex"].to_numpy(np.int64),
+                   "comm": comm,
+                   "k": df["k"].to_numpy(np.float64)}
+            if restricted:
+                out["parent"] = df["parent"].to_numpy(np.int64)
+            return pd.DataFrame(out)
+
+        applied = False
+        if movers.count() > 0:
+            joined = joins.hash_join(S, movers, on="vertex", how="left",
+                                     num_buckets=num_buckets)
+            S_new = cut_stats_lineage(
+                joined.map_batches(apply, batch_format="pandas").materialize()
+            )
+            q_new = _modularity_ds(level_edges, S_new, m2, resolution,
+                                   num_buckets)
+            if q_new > q_cur + min_gain:
+                S, q_cur, improved, applied = S_new, q_new, True, True
+        if not applied:
+            # deterministic escape (matches _move_phase_local): apply the
+            # single best move — ΔQ = 2·gain/m2 > 0 exactly, so the
+            # parity schedule can never stall short of convergence.
+            # Per-block top-1 partials → driver sees ≤ num_blocks rows.
+            top = picked.map_batches(
+                lambda df: df.sort_values(
+                    ["gain", "vertex"], ascending=[False, True]
+                ).head(1),
+                batch_format="pandas",
+            ).to_pandas()
+            top = top.sort_values(["gain", "vertex"],
+                                  ascending=[False, True]).head(1)
+            v1 = int(top["vertex"].iloc[0])
+            b1 = int(top["best"].iloc[0])
+
+            def apply_one(df: pd.DataFrame, v1=v1, b1=b1) -> pd.DataFrame:
+                comm = df["comm"].to_numpy(np.int64).copy()
+                comm[df["vertex"].to_numpy(np.int64) == v1] = b1
+                out = {"vertex": df["vertex"].to_numpy(np.int64),
+                       "comm": comm,
+                       "k": df["k"].to_numpy(np.float64)}
+                if restricted:
+                    out["parent"] = df["parent"].to_numpy(np.int64)
+                return pd.DataFrame(out)
+
+            S_new = cut_stats_lineage(
+                S.map_batches(apply_one, batch_format="pandas").materialize()
+            )
+            q_new = _modularity_ds(level_edges, S_new, m2, resolution,
+                                   num_buckets)
+            if q_new <= q_cur + min_gain:
+                break
+            S, q_cur, improved = S_new, q_new, True
+    return S.map_batches(
+        lambda df, c=state_cols: df[c], batch_format="pandas"
+    ), q_cur, improved
+
+
+def _contract_ds(level_edges, S, num_buckets):
+    """Coarsen: map both endpoints to their community label, sum parallel
+    edges.  Intra-community edges become self-loops (they stay — they are
+    the next level's internal weight)."""
+    from raygraph import joins
+    from raygraph.agg import hash_aggregate
+
+    Ss = S.map_batches(
+        lambda df: pd.DataFrame({"src": df["vertex"], "cs": df["comm"]}),
+        batch_format="pandas",
+    )
+    Sd = S.map_batches(
+        lambda df: pd.DataFrame({"dst": df["vertex"], "cd": df["comm"]}),
+        batch_format="pandas",
+    )
+    e2 = joins.hash_join(
+        joins.hash_join(level_edges, Ss, on="src", num_buckets=num_buckets),
+        Sd, on="dst", num_buckets=num_buckets,
+    )
+    newe = hash_aggregate(
+        e2.map_batches(
+            lambda df: pd.DataFrame(
+                {
+                    "src": df["cs"].to_numpy(np.int64),
+                    "dst": df["cd"].to_numpy(np.int64),
+                    "weight": df["weight"].to_numpy(np.float64),
+                }
+            ),
+            batch_format="pandas",
+        ),
+        ["src", "dst"], {"weight": ("weight", "sum")},
+        num_buckets=num_buckets,
+    )
+    return cut_stats_lineage(newe.materialize())
+
+
+def _compose_assign_ds(A, mapping_ds, num_buckets):
+    """A = (vertex, cur) ∘ mapping (cur → new): one bucketed left join;
+    unmapped rows (isolated / inactive vertices) keep their label."""
+    from raygraph import joins
+
+    j = joins.hash_join(A, mapping_ds, on="cur", how="left",
+                        num_buckets=num_buckets)
+
+    def fix(df: pd.DataFrame) -> pd.DataFrame:
+        cur = df["cur"].to_numpy(np.int64).copy()
+        nv = df["new"].to_numpy()
+        has = ~pd.isna(nv)
+        cur[has] = nv[has].astype(np.int64)
+        return pd.DataFrame(
+            {"vertex": df["vertex"].to_numpy(np.int64), "cur": cur}
+        )
+
+    return cut_stats_lineage(
+        j.map_batches(fix, batch_format="pandas").materialize()
+    )
+
+
+def _compose_assign_bcast(A, active, new_labels):
+    """Map-side compose when the level mapping fits a broadcast: one
+    ``ray.put`` of (active, new_labels), zero-copy lookups per batch."""
+    import ray
+
+    from raygraph import joins
+
+    ref = ray.put((active, new_labels))
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        vals, found = joins.lookup_broadcast(
+            df["cur"].to_numpy(np.int64), ray.get(ref), missing="mask"
+        )
+        cur = df["cur"].to_numpy(np.int64).copy()
+        cur[found] = vals[found]
+        return pd.DataFrame(
+            {"vertex": df["vertex"].to_numpy(np.int64), "cur": cur}
+        )
+
+    return cut_stats_lineage(A.map_batches(fn, batch_format="pandas").materialize())
+
+
+def _init_assign(edges_ds, num_buckets):
+    """A = (vertex, cur=vertex) over the graph's vertex set (distinct
+    edge endpoints) — a Dataset, never a driver array."""
+    from raygraph.agg import hash_aggregate
+
+    proj = edges_ds.map_batches(
+        lambda df: pd.DataFrame(
+            {
+                "vertex": np.concatenate(
+                    [df["src"].to_numpy(np.int64), df["dst"].to_numpy(np.int64)]
+                )
+            }
+        ),
+        batch_format="pandas",
+    )
+    A = hash_aggregate(proj, ["vertex"], None, num_buckets=num_buckets)
+    return cut_stats_lineage(
+        A.map_batches(
+            lambda df: pd.DataFrame(
+                {
+                    "vertex": df["vertex"].to_numpy(np.int64),
+                    "cur": df["vertex"].to_numpy(np.int64),
+                }
+            ),
+            batch_format="pandas",
+        ).materialize()
+    )
+
+
+def _dense_labels(out_ds, num_buckets: int = 64):
+    """(vertex, cur) → (vertex, partition) with dense 0..C-1 labels.
+
+    Bucket-offset rank (the ``build_vertex_map`` scheme —
+    ``number_map.py:138-171`` analogue): distinct labels hash into B
+    buckets, each bucket sorts locally, the driver sees only B bucket
+    sizes, dense id = bucket offset + local rank.  Deterministic at any
+    parallelism; no global sort; no C-sized driver state."""
+    from raygraph import joins
+    from raygraph.agg import hash_aggregate
+    from raygraph.hashing import hash_int64
+
+    labs = hash_aggregate(
+        out_ds.map_batches(
+            lambda df: pd.DataFrame({"lab": df["cur"].to_numpy(np.int64)}),
+            batch_format="pandas",
+        ),
+        ["lab"], None, num_buckets=num_buckets,
+    )
+
+    def bucketed(df: pd.DataFrame) -> pd.DataFrame:
+        lab = df["lab"].to_numpy(np.int64)
+        return pd.DataFrame(
+            {
+                "lab": lab,
+                "__bucket": (
+                    hash_int64(lab) % np.uint64(num_buckets)
+                ).astype(np.int32),
+            }
+        )
+
+    def rank_within(g: pd.DataFrame) -> pd.DataFrame:
+        u = np.unique(g["lab"].to_numpy(np.int64))
+        return pd.DataFrame(
+            {
+                "lab": u,
+                "__bucket": g["__bucket"].iloc[0],
+                "__local": np.arange(len(u), dtype=np.int64),
+            }
+        )
+
+    ranked = (
+        labs.map_batches(bucketed, batch_format="pandas")
+        .groupby("__bucket")
+        .map_groups(rank_within, batch_format="pandas")
+        .materialize()
+    )
+    parts = ranked.map_batches(
+        lambda df: df.groupby("__bucket", as_index=False)["__local"].max(),
+        batch_format="pandas",
+    ).to_pandas()  # ≤ num_buckets rows
+    sizes = parts.groupby("__bucket")["__local"].max() + 1
+    offsets = np.zeros(num_buckets, dtype=np.int64)
+    offsets[sizes.index.to_numpy()] = sizes.to_numpy()
+    offsets = np.concatenate([[0], np.cumsum(offsets)[:-1]])
+
+    vmap = ranked.map_batches(
+        lambda df: pd.DataFrame(
+            {
+                "cur": df["lab"].to_numpy(np.int64),
+                "new": offsets[df["__bucket"].to_numpy()]
+                + df["__local"].to_numpy(np.int64),
+            }
+        ),
+        batch_format="pandas",
+    )
+    dense = joins.hash_join(out_ds, vmap, on="cur", num_buckets=num_buckets)
+    return dense.map_batches(
+        lambda df: pd.DataFrame(
+            {
+                "vertex": df["vertex"].to_numpy(np.int64),
+                "partition": df["new"].to_numpy(np.int64),
+            }
+        ),
+        batch_format="pandas",
+    )
+
+
+def _finish(A):
+    return A.map_batches(
+        lambda df: pd.DataFrame(
+            {
+                "vertex": df["vertex"].to_numpy(np.int64),
+                "partition": df["cur"].to_numpy(np.int64),
+            }
+        ),
+        batch_format="pandas",
+    )
+
+
+# --------------------------------------------------------------------------
+# public API
+# --------------------------------------------------------------------------
 
 def louvain(graph, max_levels: int = 10, max_inner: int = 20,
             resolution: float = 1.0, min_gain: float = 1e-9,
-            local_edge_limit: int = 5_000_000, parity_salt: int = 0):
+            local_edge_limit: int = 5_000_000, parity_salt: int = 0,
+            num_buckets: int = 64):
     """Returns (Dataset (vertex, partition), modularity: float).
 
     Requires an undirected (symmetrized) simple graph, like the reference
-    (``louvain.py`` asserts undirected input).  Driver memory is O(V)
-    (community / degree / relabel arrays); edge-sized data stays
-    distributed unless a level has ≤ ``local_edge_limit`` edges.
+    (``louvain.py`` asserts undirected input).  Partition labels are
+    community representatives in the vertex-id domain (one member names
+    the community).  Driver state is O(1) scalars on the distributed
+    path; levels with ≤ ``local_edge_limit`` edges use a numpy fast path
+    whose arrays are sized by the level's active vertex count.
     """
-    import ray
-    import ray.data as rd
-
-    from raygraph.agg import hash_aggregate
+    import ray  # noqa: F401  (workers resolve broadcast refs)
 
     if graph.directed:
         raise ValueError("louvain requires an undirected graph (directed=False)")
-    V0 = graph.num_vertices
 
     edges_ds = graph.edges_dataset(columns=["src", "dst", "weight"])
-    assign0 = np.arange(V0, dtype=np.int64)  # original vertex → current comm
-    level_edges = edges_ds
+    level_edges = cut_stats_lineage(edges_ds.materialize())
     E_level = graph.num_edges
-    V = V0
-
-    # m2 = Σ_directed w = 2m (graph stores both directions)
-    m2 = float(level_edges.sum("weight"))
+    m2 = float(level_edges.sum("weight") or 0.0)
+    A = _init_assign(level_edges, num_buckets)
     if m2 == 0:
-        return rd.from_pandas(
-            pd.DataFrame({"vertex": np.arange(V0), "partition": assign0})
-        ), 0.0
+        return _finish(A), 0.0
 
-    final_modularity = 0.0
+    final_q = 0.0
     for level in range(max_levels):
         local = E_level <= local_edge_limit
         if local:
-            src, dst, w = _edge_arrays(level_edges)
-            k = np.bincount(src, weights=w, minlength=V)
-        else:
-            src = dst = w = None
-            k = _distributed_degrees(level_edges, V)
-        comm = np.arange(V, dtype=np.int64)
-        if local:
-            q_cur = _modularity_local(src, dst, w, comm, k, m2, resolution)
-        else:
-            q_cur = _distributed_modularity(
-                level_edges, ray.put(comm), comm, k, m2, resolution
+            active, sc, dc, w = _local_arrays(level_edges)
+            n = len(active)
+            k = np.bincount(sc, weights=w, minlength=n)
+            comm = active.copy()  # label = own id
+            q_cur = _modularity_local(sc, dc, w, comm, k, m2, resolution)
+            comm, q_cur, improved = _move_phase_local(
+                active, sc, dc, w, k, m2, comm, q_cur, resolution,
+                max_inner, min_gain, parity_salt,
             )
-
-        comm, q_cur, improved_level = _move_phase(
-            level_edges, V, k, m2, comm, q_cur, resolution, max_inner,
-            min_gain, parity_salt, local, src, dst, w,
-        )
-
-        final_modularity = q_cur
-        if not improved_level:
-            break
-
-        # contract: dense-relabel communities, coarsen edges, recurse
-        # dense[v] = compact community id of current-level vertex v;
-        # assign0 holds current-level vertex ids for the original vertices
-        uniq, dense = np.unique(comm, return_inverse=True)
-        assign0 = dense[assign0]
-        Vc = len(uniq)
-        dref = ray.put(dense)
-
-        def contract(df: pd.DataFrame) -> pd.DataFrame:
-            dn = ray.get(dref)
-            return pd.DataFrame(
-                {
-                    "src": dn[df["src"].to_numpy(np.int64)],
-                    "dst": dn[df["dst"].to_numpy(np.int64)],
-                    "weight": df["weight"].to_numpy(),
-                }
-            )
-
-        if local:
-            cs, cd = dense[src], dense[dst]
-            key = (cs.astype(np.int64) << np.int64(32)) | cd
+            final_q = q_cur
+            if not improved:
+                break
+            A = _compose_assign_bcast(A, active, comm)
+            n_comm = len(np.unique(comm))
+            # contract locally (compact label packing)
+            labels, lab_inv = np.unique(comm, return_inverse=True)
+            cs_l, cd_l = lab_inv[sc], lab_inv[dc]
+            key = cs_l.astype(np.int64) * len(labels) + cd_l
             uk, inv = np.unique(key, return_inverse=True)
             wsum = np.bincount(inv, weights=w, minlength=len(uk))
-            level_edges = rd.from_pandas(
+            import ray.data as rd
+
+            level_edges = cut_stats_lineage(rd.from_pandas(
                 pd.DataFrame(
                     {
-                        "src": (uk >> np.int64(32)).astype(np.int64),
-                        "dst": (uk & np.int64(0xFFFFFFFF)).astype(np.int64),
+                        "src": labels[(uk // len(labels)).astype(np.int64)],
+                        "dst": labels[(uk % len(labels)).astype(np.int64)],
                         "weight": wsum,
                     }
                 )
-            )
-            E_level = len(uk)
-        else:
-            level_edges = cut_stats_lineage(hash_aggregate(
-                level_edges.map_batches(contract, batch_format="pandas"),
-                ["src", "dst"],
-                {"weight": ("weight", "sum")},
             ).materialize())
-            E_level = level_edges.count()  # materialized → metadata only
-        if Vc == V:
-            break
-        V = Vc
+            E_level = len(uk)
+            if n_comm == n:
+                break
+        else:
+            from raygraph.agg import hash_aggregate
 
-    out = rd.from_pandas(
-        pd.DataFrame(
-            {"vertex": np.arange(V0, dtype=np.int64), "partition": assign0}
-        )
-    )
-    return out, float(final_modularity)
+            S = _level_state_ds(level_edges, None, num_buckets)
+            q_cur = _modularity_ds(level_edges, S, m2, resolution, num_buckets)
+            S, q_cur, improved = _move_phase_ds(
+                level_edges, S, m2, q_cur, resolution, max_inner, min_gain,
+                parity_salt, num_buckets=num_buckets,
+            )
+            final_q = q_cur
+            if not improved:
+                break
+            S = cut_stats_lineage(S.materialize())
+            n_active = S.count()
+            mapping = S.map_batches(
+                lambda df: pd.DataFrame(
+                    {"cur": df["vertex"].to_numpy(np.int64),
+                     "new": df["comm"].to_numpy(np.int64)}
+                ),
+                batch_format="pandas",
+            )
+            A = _compose_assign_ds(A, mapping, num_buckets)
+            n_comm = hash_aggregate(
+                S.map_batches(lambda df: df[["comm"]], batch_format="pandas"),
+                ["comm"], None, num_buckets=num_buckets,
+            ).count()
+            level_edges = _contract_ds(level_edges, S, num_buckets)
+            E_level = level_edges.count()
+            if n_comm == n_active:
+                break
+
+    return _finish(A), float(final_q)
 
 
 def leiden(graph, max_levels: int = 10, max_inner: int = 20,
            resolution: float = 1.0, min_gain: float = 1e-9,
            local_edge_limit: int = 5_000_000, parity_salt: int = 0,
-           refine_inner: int = 10):
+           refine_inner: int = 10, num_buckets: int = 64):
     """Leiden community detection (Traag, Waltman & van Eck 2019) —
     reference ``community/leiden.py`` / ``cpp/src/community/legacy/
     leiden.cu`` + ``leiden.cuh``.
@@ -381,132 +826,173 @@ def leiden(graph, max_levels: int = 10, max_inner: int = 20,
     so a badly-connected community is split at contraction instead of
     being frozen into one node — the Louvain pathology Leiden fixes.
 
-    Same scale contract as :func:`louvain`: O(V) driver state, distributed
-    sweeps/aggregates past ``local_edge_limit``.
-    Returns (Dataset (vertex, partition), modularity).
+    Same scale contract as :func:`louvain` (scalars-only driver on the
+    distributed path).  Returns (Dataset (vertex, partition), modularity)
+    with dense 0..C-1 labels (bucket-offset rank, deterministic).
     """
-    import ray
-    import ray.data as rd
+    import ray  # noqa: F401
 
     from raygraph.agg import hash_aggregate
 
     if graph.directed:
         raise ValueError("leiden requires an undirected graph (directed=False)")
-    V0 = graph.num_vertices
 
     edges_ds = graph.edges_dataset(columns=["src", "dst", "weight"])
-    assign0 = np.arange(V0, dtype=np.int64)  # original → current-level vertex
-    level_edges = edges_ds
+    level_edges = cut_stats_lineage(edges_ds.materialize())
     E_level = graph.num_edges
-    V = V0
-    comm_init = np.arange(V0, dtype=np.int64)
-
-    m2 = float(level_edges.sum("weight"))
+    m2 = float(level_edges.sum("weight") or 0.0)
+    A = _init_assign(level_edges, num_buckets)
+    P = A  # phase-1 labels at original granularity
     if m2 == 0:
-        return rd.from_pandas(
-            pd.DataFrame({"vertex": np.arange(V0), "partition": assign0})
-        ), 0.0
+        return _finish(A), 0.0
 
-    final_modularity = 0.0
-    partition_out = comm_init[assign0]
+    comm_init_ds = None  # None → identity (level 0)
+    final_q = 0.0
     for level in range(max_levels):
         local = E_level <= local_edge_limit
         if local:
-            src, dst, w = _edge_arrays(level_edges)
-            k = np.bincount(src, weights=w, minlength=V)
-        else:
-            src = dst = w = None
-            k = _distributed_degrees(level_edges, V)
-        comm = comm_init.copy()
-        if local:
-            q_cur = _modularity_local(src, dst, w, comm, k, m2, resolution)
-        else:
-            q_cur = _distributed_modularity(
-                level_edges, ray.put(comm), comm, k, m2, resolution
+            active, sc, dc, w = _local_arrays(level_edges)
+            n = len(active)
+            k = np.bincount(sc, weights=w, minlength=n)
+            if comm_init_ds is None:
+                comm = active.copy()
+            else:
+                ci = comm_init_ds.to_pandas()  # ≤ active rows (local level)
+                comm = np.empty(n, dtype=np.int64)
+                pos = np.searchsorted(active, ci["vertex"].to_numpy(np.int64))
+                comm[pos] = ci["comm"].to_numpy(np.int64)
+            q_cur = _modularity_local(sc, dc, w, comm, k, m2, resolution)
+            comm, q_cur, improved = _move_phase_local(
+                active, sc, dc, w, k, m2, comm, q_cur, resolution,
+                max_inner, min_gain, parity_salt,
             )
-
-        # phase 1: unconstrained local moves (Louvain sweep)
-        comm, q_cur, improved_level = _move_phase(
-            level_edges, V, k, m2, comm, q_cur, resolution, max_inner,
-            min_gain, parity_salt, local, src, dst, w,
-        )
-        final_modularity = q_cur
-        partition_out = comm[assign0]
-        if not improved_level:
-            break
-
-        # phase 2: refinement — singleton restart constrained to the
-        # phase-1 communities; merging only while alone in the refined
-        # community.  The refined partition's own modularity guards the
-        # sweep (it rises as fragments merge; it may sit below phase 1's
-        # q — that is the point: contraction keeps the splits).
-        rcomm = np.arange(V, dtype=np.int64)
-        if local:
-            q_ref = _modularity_local(src, dst, w, rcomm, k, m2, resolution)
-        else:
-            q_ref = _distributed_modularity(
-                level_edges, ray.put(rcomm), rcomm, k, m2, resolution
+            final_q = q_cur
+            P = _compose_assign_bcast(A, active, comm)
+            if not improved:
+                break
+            # refinement: singleton restart constrained to phase-1 comms
+            rcomm = active.copy()
+            q_ref = _modularity_local(sc, dc, w, rcomm, k, m2, resolution)
+            rcomm, q_ref, _ = _move_phase_local(
+                active, sc, dc, w, k, m2, rcomm, q_ref, resolution,
+                refine_inner, min_gain, parity_salt,
+                restrict_parent=comm, singleton_only=True,
             )
-        rcomm, q_ref, _ = _move_phase(
-            level_edges, V, k, m2, rcomm, q_ref, resolution, refine_inner,
-            min_gain, parity_salt, local, src, dst, w,
-            restrict_parent=comm, singleton_only=True,
-        )
-
-        # contract by the refined partition; next level starts from the
-        # phase-1 communities of the refined groups
-        uniq, dense = np.unique(rcomm, return_inverse=True)
-        assign0 = dense[assign0]
-        parent = np.zeros(len(uniq), dtype=np.int64)
-        parent[dense] = comm  # constant within each refined community
-        _, comm_next = np.unique(parent, return_inverse=True)
-        dref = ray.put(dense)
-
-        def contract(df: pd.DataFrame) -> pd.DataFrame:
-            dn = ray.get(dref)
-            return pd.DataFrame(
-                {
-                    "src": dn[df["src"].to_numpy(np.int64)],
-                    "dst": dn[df["dst"].to_numpy(np.int64)],
-                    "weight": df["weight"].to_numpy(),
-                }
-            )
-
-        if local:
-            cs, cd = dense[src], dense[dst]
-            key = (cs.astype(np.int64) << np.int64(32)) | cd
+            A = _compose_assign_bcast(A, active, rcomm)
+            # contract by the refined partition
+            labels, lab_inv = np.unique(rcomm, return_inverse=True)
+            n_ref = len(labels)
+            cs_l, cd_l = lab_inv[sc], lab_inv[dc]
+            key = cs_l.astype(np.int64) * n_ref + cd_l
             uk, inv = np.unique(key, return_inverse=True)
             wsum = np.bincount(inv, weights=w, minlength=len(uk))
-            level_edges = rd.from_pandas(
+            import ray.data as rd
+
+            level_edges = cut_stats_lineage(rd.from_pandas(
                 pd.DataFrame(
                     {
-                        "src": (uk >> np.int64(32)).astype(np.int64),
-                        "dst": (uk & np.int64(0xFFFFFFFF)).astype(np.int64),
+                        "src": labels[(uk // n_ref).astype(np.int64)],
+                        "dst": labels[(uk % n_ref).astype(np.int64)],
                         "weight": wsum,
                     }
                 )
-            )
-            E_level = len(uk)
-        else:
-            level_edges = cut_stats_lineage(hash_aggregate(
-                level_edges.map_batches(contract, batch_format="pandas"),
-                ["src", "dst"],
-                {"weight": ("weight", "sum")},
             ).materialize())
+            E_level = len(uk)
+            if n_ref == n:
+                break
+            # next level starts from the phase-1 communities: parent is
+            # constant within each refined community
+            parent_of_ref = np.empty(n_ref, dtype=np.int64)
+            parent_of_ref[lab_inv] = comm  # any member's parent
+            comm_init_ds = cut_stats_lineage(rd.from_pandas(
+                pd.DataFrame({"vertex": labels, "comm": parent_of_ref})
+            ).materialize())
+        else:
+            S = _level_state_ds(level_edges, comm_init_ds, num_buckets)
+            q_cur = _modularity_ds(level_edges, S, m2, resolution, num_buckets)
+            S, q_cur, improved = _move_phase_ds(
+                level_edges, S, m2, q_cur, resolution, max_inner, min_gain,
+                parity_salt, num_buckets=num_buckets,
+            )
+            final_q = q_cur
+            S = cut_stats_lineage(S.materialize())
+            P = _compose_assign_ds(
+                A,
+                S.map_batches(
+                    lambda df: pd.DataFrame(
+                        {"cur": df["vertex"].to_numpy(np.int64),
+                         "new": df["comm"].to_numpy(np.int64)}
+                    ),
+                    batch_format="pandas",
+                ),
+                num_buckets,
+            )
+            if not improved:
+                break
+            # refinement state: comm = self (singletons), parent = phase-1
+            S_ref = cut_stats_lineage(
+                S.map_batches(
+                    lambda df: pd.DataFrame(
+                        {
+                            "vertex": df["vertex"].to_numpy(np.int64),
+                            "comm": df["vertex"].to_numpy(np.int64),
+                            "k": df["k"].to_numpy(np.float64),
+                            "parent": df["comm"].to_numpy(np.int64),
+                        }
+                    ),
+                    batch_format="pandas",
+                ).materialize()
+            )
+            q_ref = _modularity_ds(level_edges, S_ref, m2, resolution,
+                                   num_buckets)
+            S_ref, q_ref, _ = _move_phase_ds(
+                level_edges, S_ref, m2, q_ref, resolution, refine_inner,
+                min_gain, parity_salt, restricted=True, singleton_only=True,
+                num_buckets=num_buckets,
+            )
+            S_ref = cut_stats_lineage(S_ref.materialize())
+            n_active = S_ref.count()
+            A = _compose_assign_ds(
+                A,
+                S_ref.map_batches(
+                    lambda df: pd.DataFrame(
+                        {"cur": df["vertex"].to_numpy(np.int64),
+                         "new": df["comm"].to_numpy(np.int64)}
+                    ),
+                    batch_format="pandas",
+                ),
+                num_buckets,
+            )
+            n_ref = hash_aggregate(
+                S_ref.map_batches(
+                    lambda df: df[["comm"]], batch_format="pandas"
+                ),
+                ["comm"], None, num_buckets=num_buckets,
+            ).count()
+            level_edges = _contract_ds(level_edges, S_ref, num_buckets)
             E_level = level_edges.count()
-        if len(uniq) == V:
-            break
-        V = len(uniq)
-        comm_init = comm_next.astype(np.int64)
+            if n_ref == n_active:
+                break
+            comm_init_ds = cut_stats_lineage(
+                hash_aggregate(
+                    S_ref.map_batches(
+                        lambda df: df[["comm", "parent"]],
+                        batch_format="pandas",
+                    ),
+                    ["comm"], {"parent": ("parent", "min")},
+                    num_buckets=num_buckets,
+                )
+                .map_batches(
+                    lambda df: pd.DataFrame(
+                        {"vertex": df["comm"].to_numpy(np.int64),
+                         "comm": df["parent"].to_numpy(np.int64)}
+                    ),
+                    batch_format="pandas",
+                )
+                .materialize()
+            )
 
-    _, compact = np.unique(partition_out, return_inverse=True)
-    out = rd.from_pandas(
-        pd.DataFrame(
-            {"vertex": np.arange(V0, dtype=np.int64),
-             "partition": compact.astype(np.int64)}
-        )
-    )
-    return out, float(final_modularity)
+    return _dense_labels(P, num_buckets), float(final_q)
 
 
 def ecg(graph, min_weight: float = 0.05, ensemble_size: int = 16,

@@ -9,12 +9,14 @@ object dtype safely).
 Decode support is honest about the environment:
 
 * **Real pure-python decoders** (no PIL/ffmpeg needed): PPM (P6) / PGM
-  (P5) images, uncompressed 24/32-bit BI_RGB BMP images, and PCM 8/16-bit
-  WAV audio — full header parse + numpy pixel/sample decode, tested
-  against hand-built fixtures.
-* Compressed formats (JPEG/PNG/MP3/...) need codec libraries that are NOT
-  in this container; passing such payloads with ``fake=False`` raises a
-  clear error, and ``fake=True`` swaps in a deterministic payload-hash
+  (P5) images, uncompressed 24/32-bit BI_RGB BMP images, 8-bit
+  non-interlaced PNG (stdlib ``zlib`` IDAT inflate + all five scanline
+  filters, gray/RGB/palette/alpha color types), and PCM 8/16-bit WAV
+  audio — full header parse + numpy pixel/sample decode, tested against
+  hand-built fixtures.
+* DCT/entropy-coded formats (JPEG/MP3/...) need codec libraries that are
+  NOT in this container; passing such payloads with ``fake=False`` raises
+  a clear error, and ``fake=True`` swaps in a deterministic payload-hash
   stub so the pipeline shape stays testable for any bytes.
 """
 
@@ -134,15 +136,127 @@ def decode_wav(b: bytes):
     return s[: n * channels].reshape(n, channels), rate
 
 
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+
+
+def decode_png(b: bytes) -> np.ndarray:
+    """Decode PNG → uint8 (h, w, channels) with stdlib ``zlib`` only.
+
+    Supports the crawl-common shapes: bit depth 8, color types 0 (gray),
+    2 (RGB), 3 (palette), 4 (gray+alpha), 6 (RGBA), non-interlaced.  All
+    five scanline filters (None/Sub/Up/Average/Paeth) are unfiltered —
+    Sub via a per-channel modular cumsum, Up vectorized across the row,
+    Average/Paeth with the sequential per-pixel recurrence the spec
+    requires (vector ops over the channel lanes inside)."""
+    import zlib
+
+    if b[:8] != _PNG_MAGIC:
+        raise ValueError("not a PNG payload")
+    i, idat, plte = 8, [], None
+    w = h = depth = ctype = interlace = None
+    while i + 8 <= len(b):
+        ln = struct.unpack_from(">I", b, i)[0]
+        cid = b[i + 4 : i + 8]
+        body = b[i + 8 : i + 8 + ln]
+        if cid == b"IHDR":
+            w, h, depth, ctype, _comp, _filt, interlace = struct.unpack(
+                ">IIBBBBB", body
+            )
+        elif cid == b"PLTE":
+            plte = np.frombuffer(body, np.uint8).reshape(-1, 3)
+        elif cid == b"IDAT":
+            idat.append(body)
+        elif cid == b"IEND":
+            break
+        i += 12 + ln  # length + type + body + crc
+    if w is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    if depth != 8 or interlace != 0 or ctype not in (0, 2, 3, 4, 6):
+        raise NotImplementedError(
+            f"PNG depth={depth} ctype={ctype} interlace={interlace} "
+            "not supported (8-bit non-interlaced only)"
+        )
+    ch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[ctype]
+    raw = np.frombuffer(zlib.decompress(b"".join(idat)), np.uint8)
+    stride = w * ch
+    if len(raw) != h * (stride + 1):
+        raise ValueError("PNG raster size mismatch")
+    rows = raw.reshape(h, stride + 1)
+    out = np.zeros((h, stride), np.uint8)
+    prev = np.zeros(stride, np.int32)
+    for y in range(h):
+        f = int(rows[y, 0])
+        line = rows[y, 1:].astype(np.int32)
+        if f == 0:
+            cur = line
+        elif f == 1:  # Sub: modular prefix sum along pixels, per channel
+            cur = (line.reshape(w, ch).cumsum(axis=0) % 256).reshape(-1)
+        elif f == 2:  # Up
+            cur = (line + prev) % 256
+        elif f == 3:  # Average
+            cur = np.empty(stride, np.int32)
+            cur[:ch] = (line[:ch] + prev[:ch] // 2) % 256
+            for x in range(ch, stride, ch):
+                cur[x:x + ch] = (
+                    line[x:x + ch]
+                    + (cur[x - ch:x] + prev[x:x + ch]) // 2
+                ) % 256
+        elif f == 4:  # Paeth
+            cur = np.empty(stride, np.int32)
+            cur[:ch] = (line[:ch] + prev[:ch]) % 256  # left=0 → pred=up
+            for x in range(ch, stride, ch):
+                a = cur[x - ch:x]
+                up = prev[x:x + ch]
+                c = prev[x - ch:x]
+                p = a + up - c
+                pa_, pb, pc = np.abs(p - a), np.abs(p - up), np.abs(p - c)
+                pred = np.where(
+                    (pa_ <= pb) & (pa_ <= pc), a, np.where(pb <= pc, up, c)
+                )
+                cur[x:x + ch] = (line[x:x + ch] + pred) % 256
+        else:
+            raise ValueError(f"unknown PNG filter {f}")
+        out[y] = cur
+        prev = cur.astype(np.int32)
+    img = out.reshape(h, w, ch)
+    if ctype == 3:
+        if plte is None:
+            raise ValueError("palette PNG without PLTE")
+        img = plte[img.reshape(h, w)]
+    return img
+
+
+def encode_png_gray(img: np.ndarray) -> bytes:
+    """Minimal PNG encoder (8-bit grayscale, filter 0, stdlib ``zlib``)
+    — the writer half of :func:`decode_png`, for thumbnails/fixtures."""
+    import zlib
+
+    h, w = img.shape
+    raster = b"".join(
+        b"\x00" + img[y].astype(np.uint8).tobytes() for y in range(h)
+    )
+
+    def chunk(cid, body):
+        return (struct.pack(">I", len(body)) + cid + body
+                + struct.pack(">I", zlib.crc32(cid + body)))
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
+    return (_PNG_MAGIC + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(raster)) + chunk(b"IEND", b""))
+
+
 def decode_image_bytes(b: bytes) -> np.ndarray:
-    """Dispatch on magic bytes → uint8 (h, w, c).  PPM/PGM/BMP are decoded
-    for real; anything else needs codec libs absent from this container."""
+    """Dispatch on magic bytes → uint8 (h, w, c).  PPM/PGM/BMP/PNG are
+    decoded for real; anything else needs codec libs absent from this
+    container."""
     if b[:2] in (b"P6", b"P5"):
         return decode_pnm(b)
     if b[:2] == b"BM":
         return decode_bmp(b)
+    if b[:8] == _PNG_MAGIC:
+        return decode_png(b)
     raise NotImplementedError(
-        "only PPM/PGM/BMP decode is available without PIL/turbojpeg "
+        "only PPM/PGM/BMP/PNG decode is available without PIL/turbojpeg "
         f"(payload magic {b[:2]!r}); use fake=True for other formats"
     )
 

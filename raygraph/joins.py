@@ -117,6 +117,126 @@ def _np_dtypes(ds) -> dict:
     return out
 
 
+def _as_pa_type(t):
+    """Schema entry (pa.DataType | numpy dtype) → concrete Arrow type, or
+    None when unknowable (pandas ``object`` blocks may hold lists)."""
+    if isinstance(t, pa.DataType):
+        return t
+    try:
+        d = np.dtype(t)
+    except Exception:
+        return None
+    if d == object:
+        return None
+    try:
+        return pa.from_numpy_dtype(d)
+    except Exception:
+        return None
+
+
+def _arrow_join_plan(left, right, keys, how):
+    """Column→Arrow-type maps for both sides when the join can run on the
+    Arrow path: inner/left only, int/string keys with equal types on both
+    sides, primitive/string payloads, and fully KNOWN types (pandas
+    ``object`` columns are ambiguous → pandas fallback)."""
+    if how not in ("inner", "left"):
+        return None
+
+    def typed(ds):
+        sch = ds.schema()
+        if sch is None:  # empty dataset with unknown schema
+            return None
+        out = {}
+        for name, t in zip(sch.names, sch.types):
+            pt = _as_pa_type(t)
+            if pt is None:
+                return None
+            ok = (
+                pa.types.is_integer(pt) or pa.types.is_floating(pt)
+                or pa.types.is_boolean(pt) or pa.types.is_string(pt)
+                or pa.types.is_large_string(pt)
+            )
+            if not ok or name.startswith("__r_"):
+                return None
+            out[name] = pt
+        return out
+
+    la, ra = typed(left), typed(right)
+    if la is None or ra is None:
+        return None
+    for k in keys:
+        if k not in la or k not in ra or la[k] != ra[k]:
+            return None
+        if pa.types.is_floating(la[k]) or pa.types.is_boolean(la[k]):
+            return None
+    return la, ra
+
+
+def _key_hash_arrow(cols) -> np.ndarray:
+    h = np.zeros(len(cols[0]), dtype=np.uint64)
+    for col in cols:
+        v = col.to_numpy(zero_copy_only=False)
+        if pa.types.is_integer(col.type):
+            h ^= hash_int64(v.astype(np.int64, copy=False))
+        else:
+            h ^= hash_str_array(v).astype(np.uint64)
+        h = hash_int64(h.view(np.int64))
+    return h
+
+
+def _hash_join_arrow(left, right, keys, how, num_buckets, suffixes, plan):
+    """Arrow formulation of :func:`hash_join`: tagged sides share ONE
+    explicit unified schema (the other side's payload columns ride along
+    as typed nulls — no empty-bucket dtype flap by construction), the
+    bucket exchange moves zero-copy Arrow blocks, and each bucket merges
+    with the Acero hash join (``pa.Table.join``)."""
+    la, ra = plan
+    left_cols = list(la)
+    right_payload = [c for c in ra if c not in keys]
+    jt = "inner" if how == "inner" else "left outer"
+
+    def tag(side):
+        def fn(t: pa.Table) -> pa.Table:
+            n = len(t)
+            cols = {}
+            for c in left_cols:
+                if side == 0 or c in keys:
+                    cols[c] = t.column(c)
+                else:
+                    cols[c] = pa.nulls(n, la[c])
+            for c in right_payload:
+                cols["__r_" + c] = (
+                    t.column(c) if side == 1 else pa.nulls(n, ra[c])
+                )
+            h = _key_hash_arrow([cols[k] for k in keys]) if n else np.empty(
+                0, np.uint64
+            )
+            cols["__side"] = pa.array(np.full(n, side, np.uint8))
+            cols["__bucket"] = pa.array(
+                (h % np.uint64(num_buckets)).astype(np.int32)
+            )
+            return pa.table(cols)
+
+        return fn
+
+    lt = left.map_batches(tag(0), batch_format="pyarrow")
+    rt = right.map_batches(tag(1), batch_format="pyarrow")
+    both = coalesce_for_exchange(lt.union(rt), num_buckets)
+
+    rsel = keys + ["__r_" + c for c in right_payload]
+
+    def merge(t: pa.Table) -> pa.Table:
+        lmask = t.column("__side").to_numpy(zero_copy_only=False) == 0
+        l = t.filter(pa.array(lmask)).select(left_cols)
+        r = t.filter(pa.array(~lmask)).select(rsel).rename_columns(
+            keys + right_payload
+        )
+        return l.join(r, keys=keys, join_type=jt,
+                      left_suffix=suffixes[0], right_suffix=suffixes[1])
+
+    return both.groupby("__bucket").map_groups(merge, batch_format="pyarrow")
+
+
 def hash_join(
     left,
     right,
@@ -133,6 +253,10 @@ def hash_join(
     """
     keys = [on] if isinstance(on, str) else list(on)
     left, right = _pin_for_schema(left), _pin_for_schema(right)
+    plan = _arrow_join_plan(left, right, keys, how)
+    if plan is not None:
+        return _hash_join_arrow(left, right, keys, how, num_buckets,
+                                suffixes, plan)
     left_cols, left_dtypes = list(left.columns()), _np_dtypes(left)
     right_cols, right_dtypes = list(right.columns()), _np_dtypes(right)
 

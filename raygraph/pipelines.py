@@ -653,6 +653,62 @@ def q_dup_spans(sf_dir: str):
     return dedup.duplicate_ngram_spans(docs, n=8, min_docs=2)
 
 
+def q_image_decode(sf_dir: str):
+    """Multimodal decode round-trip over the documents table: each doc's
+    first 64 codepoints (zero-padded) render a deterministic 8×8
+    grayscale PNG (``multimodal.encode_png_gray``, stdlib zlib), which
+    the actor-pool ``ImageDecodeStage`` decodes back for REAL
+    (``multimodal.decode_png``) into dims + a 2×2 mean-pooled feature.
+    Emitting the per-quadrant byte SUM (integer — f32·4080 recovers it
+    exactly) makes the whole decode hash-checkable against SQL."""
+    import pyarrow as pa
+
+    from raygraph.data import multimodal
+
+    rd = _rd()
+    docs = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+
+    def render(df: pd.DataFrame) -> "pa.Table":
+        payloads = []
+        for t in df["text"]:
+            b = t[:64].encode("ascii")  # corpus contract: pure ASCII
+            arr = np.zeros(64, np.uint8)
+            arr[: len(b)] = np.frombuffer(b, np.uint8)
+            payloads.append(multimodal.encode_png_gray(arr.reshape(8, 8)))
+        return pa.table(
+            {
+                "item_id": pa.array(df["doc_id"].to_numpy(np.int64)),
+                "payload": pa.array(payloads, pa.binary()),
+            }
+        )
+
+    dec = multimodal.decode_images(
+        docs.map_batches(render, batch_format="pandas"), feature_dim=4
+    )
+
+    def fin(t: "pa.Table") -> "pa.Table":
+        f = np.asarray(t.column("feature").to_pylist(), dtype=np.float64)
+        if f.size == 0:
+            f = f.reshape(0, 4)
+        sums = np.rint(f * 4080.0).astype(np.int64)  # mean/255 → byte sum
+        return pa.table(
+            {
+                "doc_id": t.column("item_id"),
+                "width": t.column("width").cast(pa.int64()),
+                "height": t.column("height").cast(pa.int64()),
+                "channels": t.column("channels").cast(pa.int64()),
+                "f0": pa.array(sums[:, 0]),
+                "f1": pa.array(sums[:, 1]),
+                "f2": pa.array(sums[:, 2]),
+                "f3": pa.array(sums[:, 3]),
+            }
+        )
+
+    return dec.map_batches(fin, batch_format="pyarrow")
+
+
 def q_json_extract(sf_dir: str):
     """Semi-structured extraction: events.props is a JSON payload; pull
     field ``k`` as int64 and aggregate per event_type."""
@@ -2333,6 +2389,8 @@ QUERIES = {
     "bfs_paths": q_bfs_paths,
     "random_walks": q_random_walks,
     "biased_walks": q_biased_walks,
+    # -- round 5: multimodal decode round-trip (SQL-oracled) --
+    "image_decode": q_image_decode,
 }
 
 # Coreness as a recursive fixpoint: iterate h_{i+1}(v) = H-operator over
@@ -4039,4 +4097,22 @@ paths(dest, vtx) AS (
 )
 SELECT p.dest, md.d AS pos, p.vtx AS vertex
 FROM paths p JOIN md ON md.vertex = p.vtx
+"""
+
+ORACLES["image_decode"] = """
+WITH pos AS (SELECT unnest(generate_series(0, 63)) AS p),
+b AS (
+  SELECT d.doc_id,
+         ((pos.p // 8) // 4) * 2 + ((pos.p % 8) // 4) AS q,
+         ascii(substr(d.text, pos.p + 1, 1)) AS v
+  FROM documents d CROSS JOIN pos
+)
+SELECT doc_id,
+       CAST(8 AS BIGINT) AS width, CAST(8 AS BIGINT) AS height,
+       CAST(1 AS BIGINT) AS channels,
+       CAST(SUM(CASE WHEN q = 0 THEN v ELSE 0 END) AS BIGINT) AS f0,
+       CAST(SUM(CASE WHEN q = 1 THEN v ELSE 0 END) AS BIGINT) AS f1,
+       CAST(SUM(CASE WHEN q = 2 THEN v ELSE 0 END) AS BIGINT) AS f2,
+       CAST(SUM(CASE WHEN q = 3 THEN v ELSE 0 END) AS BIGINT) AS f3
+FROM b GROUP BY doc_id
 """

@@ -2130,6 +2130,38 @@ class PartitionWorker:
 class SuperstepEngine:
     """Driver-side BSP loop + checkpoint/lineage/resume over PartitionWorkers."""
 
+    @staticmethod
+    def _alive_nodes() -> int:
+        try:
+            return max(1, sum(1 for n in ray.nodes() if n.get("Alive")))
+        except Exception:
+            return 1
+
+    def _auto_exchange_mode(self) -> str:
+        """Topology-gated default (measured — see BASELINE.md exchange
+        A/B): on ONE node every packed read is a zero-copy plasma map, so
+        packed wins at every W (sliced/tree only add object count and a
+        combine hop with no network to save).  Across nodes the wire is
+        the cost: tree's per-group combine collapses duplicate (dst,
+        partial) messages before they cross the network (measured 78×
+        fewer inter-group bytes/worker/iter than packed) and needs ≥2
+        workers per node to have anything to combine; otherwise sliced
+        at least bounds per-node inbound to its own slice."""
+        nodes = self._alive_nodes()
+        if nodes <= 1:
+            return "packed"
+        return "tree" if self.W >= 2 * nodes else "sliced"
+
+    def _auto_tree_group(self) -> int:
+        """Tree combine-group size: one group ≈ one node's workers when
+        the cluster shape is known (combines exactly what shares a plasma
+        store), else ~√W (balances combine fan-in vs residual receiver
+        fan-in)."""
+        nodes = self._alive_nodes()
+        if nodes > 1 and self.W >= nodes:
+            return max(1, self.W // nodes)
+        return max(1, int(round(self.W ** 0.5)))
+
     def __init__(self, graph, num_workers: Optional[int] = None,
                  checkpoint_dir: Optional[str] = None, checkpoint_every: int = 1,
                  exchange_mode: Optional[str] = None,
@@ -2150,9 +2182,12 @@ class SuperstepEngine:
         # zero-copy within the node).  "sliced": one object per
         # (sender, receiver) pair (O(W²) objects; each receiver fetches only
         # its own bytes — the multi-node shape: per-node inbound volume
-        # drops ~W×).  Default from $RAYGRAPH_EXCHANGE, else packed.
+        # drops ~W×).  Default: $RAYGRAPH_EXCHANGE if set, else
+        # self-gating by topology (see _auto_exchange_mode).
         if exchange_mode is None:
-            exchange_mode = os.environ.get("RAYGRAPH_EXCHANGE", "packed")
+            exchange_mode = os.environ.get("RAYGRAPH_EXCHANGE") or (
+                self._auto_exchange_mode()
+            )
         if exchange_mode not in ("packed", "sliced", "tree"):
             raise ValueError(f"unknown exchange_mode {exchange_mode!r}")
         self.exchange_mode = exchange_mode
@@ -2165,8 +2200,10 @@ class SuperstepEngine:
         # $RAYGRAPH_TREE_GROUP, default ~√W (balances combine fan-in against
         # residual receiver fan-in).
         if exchange_mode == "tree":
-            G = int(os.environ.get("RAYGRAPH_TREE_GROUP", "0")) or max(
-                1, int(round(self.W ** 0.5)))
+            G = (
+                int(os.environ.get("RAYGRAPH_TREE_GROUP", "0"))
+                or self._auto_tree_group()
+            )
             self.groups = [list(range(g, min(g + G, self.W)))
                            for g in range(0, self.W, G)]
         else:

@@ -695,3 +695,43 @@ def test_engine_reuse_rejects_other_graph(tmp_path):
             pagerank(g2, engine=eng)
     finally:
         eng.shutdown()
+
+
+def test_exchange_mode_auto_selection(tmp_path, monkeypatch):
+    """Self-gating exchange: single node → packed (zero-copy plasma, the
+    measured best at every W here); multi-node → tree when each node
+    hosts ≥2 workers (group ≈ one node's workers), else sliced."""
+    from raygraph.superstep import SuperstepEngine
+
+    g = build(fixtures.karate_df(), False, tmp_path, "kauto")
+    monkeypatch.delenv("RAYGRAPH_EXCHANGE", raising=False)
+    eng = SuperstepEngine(g, num_workers=4)
+    eng._keep_alive = True
+    try:
+        assert eng.exchange_mode == "packed"
+    finally:
+        eng._keep_alive = False
+        eng.shutdown()
+
+    # simulate an 2-node cluster: auto must pick tree with per-node groups
+    monkeypatch.setattr(SuperstepEngine, "_alive_nodes",
+                        staticmethod(lambda: 2))
+    eng2 = SuperstepEngine(g, num_workers=4)
+    eng2._keep_alive = True
+    try:
+        assert eng2.exchange_mode == "tree"
+        assert [len(m) for m in eng2.groups] == [2, 2]
+    finally:
+        eng2._keep_alive = False
+        eng2.shutdown()
+
+    # 4 nodes × 1 worker each: nothing to combine on-node → sliced
+    monkeypatch.setattr(SuperstepEngine, "_alive_nodes",
+                        staticmethod(lambda: 4))
+    eng3 = SuperstepEngine(g, num_workers=4)
+    eng3._keep_alive = True
+    try:
+        assert eng3.exchange_mode == "sliced"
+    finally:
+        eng3._keep_alive = False
+        eng3.shutdown()

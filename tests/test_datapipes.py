@@ -956,3 +956,108 @@ def test_stratified_sample_matches_hash_rank_oracle():
     sizes = got.groupby("g").size()
     assert (sizes <= 7).all()
     assert sizes["rare"] == min(7, (df["g"] == "rare").sum())
+
+
+def _png_bytes(img: np.ndarray, filters=None, ctype=None) -> bytes:
+    """Minimal PNG encoder for fixtures: 8-bit non-interlaced, one
+    chosen filter per row (exercises every unfilter branch)."""
+    import struct
+    import zlib
+
+    h, w = img.shape[:2]
+    ch = 1 if img.ndim == 2 else img.shape[2]
+    if ctype is None:
+        ctype = {1: 0, 2: 4, 3: 2, 4: 6}[ch]
+    flat = img.reshape(h, w * ch).astype(np.int32)
+    filters = filters or [0] * h
+    raster = bytearray()
+    prev = np.zeros(w * ch, np.int32)
+    for y in range(h):
+        f = filters[y]
+        cur = flat[y]
+        if f == 0:
+            enc = cur
+        elif f == 1:  # Sub
+            left = np.zeros_like(cur)
+            left[ch:] = cur[:-ch]
+            enc = (cur - left) % 256
+        elif f == 2:  # Up
+            enc = (cur - prev) % 256
+        elif f == 3:  # Average
+            left = np.zeros_like(cur)
+            left[ch:] = cur[:-ch]
+            enc = (cur - (left + prev) // 2) % 256
+        elif f == 4:  # Paeth
+            left = np.zeros_like(cur)
+            left[ch:] = cur[:-ch]
+            ul = np.zeros_like(cur)
+            ul[ch:] = prev[:-ch]
+            p = left + prev - ul
+            pa_, pb, pc = np.abs(p - left), np.abs(p - prev), np.abs(p - ul)
+            pred = np.where((pa_ <= pb) & (pa_ <= pc), left,
+                            np.where(pb <= pc, prev, ul))
+            enc = (cur - pred) % 256
+        raster.append(f)
+        raster.extend(enc.astype(np.uint8).tobytes())
+        prev = cur
+
+    def chunk(cid, body):
+        return (struct.pack(">I", len(body)) + cid + body
+                + struct.pack(">I", zlib.crc32(cid + body)))
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
+    return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(bytes(raster)))
+            + chunk(b"IEND", b""))
+
+
+def test_multimodal_real_png_decode():
+    """Real PNG decode (stdlib zlib): every filter type, gray / RGB /
+    RGBA / palette color types, and the decode_images pipeline."""
+    import pyarrow as pa
+
+    rng = np.random.RandomState(11)
+    rgb = rng.randint(0, 256, size=(7, 5, 3), dtype=np.uint8)
+    for filters in ([0] * 7, [1] * 7, [2] * 7, [3] * 7, [4] * 7,
+                    [0, 1, 2, 3, 4, 2, 1]):
+        got = multimodal.decode_png(_png_bytes(rgb, filters=filters))
+        np.testing.assert_array_equal(got, rgb)
+    gray = rng.randint(0, 256, size=(4, 6), dtype=np.uint8)
+    np.testing.assert_array_equal(
+        multimodal.decode_png(_png_bytes(gray, filters=[4, 3, 2, 1])),
+        gray[:, :, None],
+    )
+    rgba = rng.randint(0, 256, size=(3, 3, 4), dtype=np.uint8)
+    np.testing.assert_array_equal(
+        multimodal.decode_png(_png_bytes(rgba, filters=[1, 4, 3])), rgba
+    )
+    # palette: encode indices with ctype 3 + hand-built PLTE chunk
+    import struct
+    import zlib as _z
+    pal = rng.randint(0, 256, size=(16, 3), dtype=np.uint8)
+    idx = rng.randint(0, 16, size=(5, 4), dtype=np.uint8)
+    png = _png_bytes(idx, filters=[0, 1, 2, 3, 4], ctype=3)
+    plte_body = pal.tobytes()
+    plte = (struct.pack(">I", len(plte_body)) + b"PLTE" + plte_body
+            + struct.pack(">I", _z.crc32(b"PLTE" + plte_body)))
+    head_end = 8 + 12 + 13  # magic + IHDR chunk
+    png = png[:head_end] + plte + png[head_end:]
+    np.testing.assert_array_equal(multimodal.decode_png(png), pal[idx])
+    # dispatch + pipeline
+    np.testing.assert_array_equal(
+        multimodal.decode_image_bytes(_png_bytes(rgb)), rgb)
+    ds = rd.from_arrow(pa.table({
+        "item_id": pa.array([1, 2], pa.int64()),
+        "payload": pa.array(
+            [_png_bytes(rgb, filters=[4] * 7), _png_bytes(gray)],
+            pa.binary()),
+    }))
+    out = multimodal.decode_images(ds, feature_dim=4).to_pandas()
+    out = out.sort_values("item_id").reset_index(drop=True)
+    assert list(out["width"]) == [5, 6] and list(out["height"]) == [7, 4]
+    assert list(out["channels"]) == [3, 1]
+    # interlaced / 16-bit rejected honestly
+    bad = bytearray(_png_bytes(rgb))
+    bad[8 + 8 + 12] = 1  # interlace byte inside IHDR
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_png(bytes(bad))

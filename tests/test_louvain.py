@@ -67,14 +67,18 @@ def test_louvain_two_cliques(tmp_path):
 
 
 def test_louvain_distributed_path_matches_local(tmp_path):
-    # force the distributed sweep/modularity path (local_edge_limit=0) on
-    # the same weight>=3 subgraph the q_louvain query uses, and require the
-    # exact partition the local numpy fast path produces
-    from raygraph.pipelines import _w3_subgraph
-
-    g = _w3_subgraph("/root/testdata/sf0.001", "louv-dist-test")
+    # force the Dataset backend (local_edge_limit=0 — scalars-only driver,
+    # state/moves/modularity all distributed) and require the exact
+    # partition the local numpy fast path produces; num_buckets only
+    # changes exchange salting, never decisions
+    g = Graph.from_edges(
+        rd.from_pandas(fixtures.karate_df()),
+        src="src", dst="dst", weight="weight",
+        directed=False, renumber=False, num_partitions=4,
+        out_dir=str(tmp_path / "lvd"),
+    )
     res_local, q_local = louvain(g)
-    res_dist, q_dist = louvain(g, local_edge_limit=0)
+    res_dist, q_dist = louvain(g, local_edge_limit=0, num_buckets=8)
     a = res_local.to_pandas().sort_values("vertex").reset_index(drop=True)
     b = res_dist.to_pandas().sort_values("vertex").reset_index(drop=True)
     assert a.equals(b)
@@ -153,7 +157,7 @@ def test_leiden_distributed_path_matches_local(tmp_path):
         out_dir=str(tmp_path / "ldd"),
     )
     a, qa = leiden(g)
-    b, qb = leiden(g, local_edge_limit=0)  # force distributed sweeps
+    b, qb = leiden(g, local_edge_limit=0, num_buckets=8)  # force Dataset backend
     assert abs(qa - qb) < 1e-9
     assert a.to_pandas().sort_values("vertex").reset_index(drop=True).equals(
         b.to_pandas().sort_values("vertex").reset_index(drop=True)
@@ -191,3 +195,36 @@ def test_ecg_join_path_matches_broadcast(tmp_path):
     assert a.to_pandas().sort_values("vertex").reset_index(drop=True).equals(
         b.to_pandas().sort_values("vertex").reset_index(drop=True)
     )
+
+
+def test_louvain_no_vertex_sized_driver_state(tmp_path):
+    """Vertex ids near 4e12 (sparse, renumber=False): any V-sized
+    allocation (np.zeros(V), bincount(minlength=max_id)) would need
+    ~32 TB and MemoryError instantly — passing proves both backends hold
+    only active-sized (local) / Dataset (distributed) vertex state."""
+    BASE = 4_000_000_000_000
+    edges = []
+    for b in (0, 5):
+        for a in range(5):
+            for c in range(a + 1, 5):
+                edges.append((BASE + b + a, BASE + b + c))
+    edges.append((BASE, BASE + 5))
+    df = pd.DataFrame(
+        {"src": [e[0] for e in edges], "dst": [e[1] for e in edges],
+         "weight": np.ones(len(edges))}
+    )
+    g = Graph.from_edges(
+        rd.from_pandas(df), src="src", dst="dst", weight="weight",
+        directed=False, renumber=False, num_partitions=2,
+        out_dir=str(tmp_path / "huge"),
+    )
+    res_local, q_local = louvain(g)
+    p = res_local.to_pandas().sort_values("vertex")["partition"].to_numpy()
+    assert len(set(p[:5])) == 1 and len(set(p[5:])) == 1 and p[0] != p[5]
+    assert q_local > 0.4
+    # forced-distributed path: scalars-only driver, same result
+    res_dist, q_dist = louvain(g, local_edge_limit=0, num_buckets=8)
+    b = res_dist.to_pandas().sort_values("vertex").reset_index(drop=True)
+    a = res_local.to_pandas().sort_values("vertex").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+    assert abs(q_local - q_dist) < 1e-9
