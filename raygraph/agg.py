@@ -31,13 +31,18 @@ import pyarrow as pa
 from raygraph.joins import _key_hash, coalesce_for_exchange
 
 
-def _pa_type(np_dtype) -> pa.DataType:
-    """numpy dtype → explicit Arrow type (object columns hold strings in
-    this module's partials; pinning the type keeps empty-batch schemas
-    identical to populated ones)."""
-    if np_dtype == object:
-        return pa.string()
-    return pa.from_numpy_dtype(np_dtype)
+def _pa_array(s: pd.Series) -> pa.Array:
+    """pandas Series → Arrow array with an EXPLICIT type (keeps
+    empty-batch schemas identical to populated ones).  Object columns
+    hold strings in this module's partials; pandas extension dtypes
+    (nullable Int64 etc.) convert through Arrow's own pandas bridge."""
+    if s.dtype == object:
+        return pa.array(s.to_numpy(), type=pa.string())
+    try:
+        t = pa.from_numpy_dtype(s.dtype)
+    except (TypeError, ValueError):
+        return pa.array(s)  # extension dtype: Arrow infers from the dtype
+    return pa.array(s.to_numpy(), type=t)
 
 # agg spec: out_col -> (in_col | None, op)
 AggSpec = Dict[str, Tuple[Optional[str], str]]
@@ -88,12 +93,7 @@ def hash_aggregate(
         # emit the partials as Arrow with EXPLICIT types: the bucket
         # exchange then moves zero-copy Arrow blocks (the BASELINE.md
         # contract) instead of pickled pandas frames
-        return pa.table(
-            {
-                c: pa.array(out[c].to_numpy(), type=_pa_type(out[c].dtype))
-                for c in out.columns
-            }
-        )
+        return pa.table({c: _pa_array(out[c]) for c in out.columns})
 
     combined = ds.map_batches(combine, batch_format="pandas")
 
