@@ -207,3 +207,55 @@ def test_read_parquet_dir_flat_and_hive(tmp_path):
     # past the driver-files cap the stock reader handles flat dirs too
     big = read_parquet_dir(str(flat), max_driver_files=2)
     assert big.count() == 6
+
+
+def test_networkx_interop_roundtrip(tmp_path):
+    """nx_factory.py parity: nx → Graph → algorithms → dict helpers →
+    back to nx."""
+    nx = pytest.importorskip("networkx")
+    from raygraph import nx_interop
+    from raygraph.algos.pagerank import pagerank
+
+    G = nx.karate_club_graph()
+    g = nx_interop.from_networkx(G, num_partitions=4,
+                                 out_dir=str(tmp_path / "nxg"))
+    assert not g.directed
+    assert g.num_vertices == 34
+    assert g.num_edges == 2 * G.number_of_edges()
+
+    pr = pagerank(g, tol=1e-8).to_pandas()
+    pr = g.unrenumber(
+        __import__("ray").data.from_pandas(pr), "vertex"
+    ).to_pandas()
+    d = nx_interop.df_score_to_dictionary(pr, "pagerank")
+    # numpy power-iteration oracle (nx.pagerank needs scipy, absent here)
+    A = np.zeros((34, 34))
+    for a, b, attrs in G.edges(data=True):
+        A[a, b] = A[b, a] = float(attrs.get("weight", 1.0))
+    deg = A.sum(axis=1)
+    x = np.full(34, 1 / 34)
+    for _ in range(500):
+        x = 0.15 / 34 + 0.85 * (A.T / deg).dot(x)
+    for v in range(34):
+        key = v if v in d else str(v)
+        assert abs(d[key] - x[v]) < 1e-4
+
+    back = nx_interop.to_networkx(g)
+    # renumbered graphs come back with their external (string) keys
+    assert back.number_of_nodes() == 34
+    assert back.number_of_edges() == G.number_of_edges()
+    assert {tuple(sorted((int(a), int(b)))) for a, b in back.edges()} == {
+        tuple(sorted(e)) for e in G.edges()
+    }
+
+    # weighted DiGraph direction + weight attr
+    D = nx.DiGraph()
+    D.add_edge(1, 2, weight=3.0)
+    D.add_edge(2, 3, weight=0.5)
+    gd = nx_interop.from_networkx(D, renumber=False, num_partitions=2,
+                                  out_dir=str(tmp_path / "nxd"))
+    assert gd.directed and gd.num_edges == 2
+    e = gd.edges_dataset(columns=["src", "dst", "weight"]).to_pandas()
+    assert nx_interop.df_edge_score_to_dictionary(e, "weight") == {
+        (1, 2): 3.0, (2, 3): 0.5
+    }
