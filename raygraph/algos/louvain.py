@@ -1035,11 +1035,65 @@ def ecg(graph, min_weight: float = 0.05, ensemble_size: int = 16,
         if k not in ("max_levels", "parity_salt")
     }
     V = graph.num_vertices
-    member_ds = []
-    for i in range(ensemble_size):
+    salts = [
+        int(hash_int64(np.array([seed * 1_000_003 + i]))[0]) & 0x7FFFFFFF
+        for i in range(ensemble_size)
         # int() BEFORE the mask: uint64 & python-int silently promotes to
         # float64 (the Graph.neighbors gotcha)
-        salt = int(hash_int64(np.array([seed * 1_000_003 + i]))[0]) & 0x7FFFFFFF
+    ]
+
+    local_limit = ensemble_kwargs.get("local_edge_limit", 5_000_000)
+    if graph.num_edges <= local_limit and V <= broadcast_limit:
+        # local fast ensemble: ONE edge pull, shared compact arrays, all
+        # members run the same numpy sweep louvain's local path uses
+        # (bit-identical labels to ensemble_size louvain(max_levels=1)
+        # calls — the dataset plumbing per member collapses to nothing),
+        # and co-membership reduces to comm_i[sc]==comm_i[dc] per edge
+        import ray.data as _rd2
+
+        edges_ds = cut_stats_lineage(
+            graph.edges_dataset(columns=["src", "dst", "weight"]).materialize()
+        )
+        active, sc, dc, w = _local_arrays(edges_ds)
+        n = len(active)
+        k = np.bincount(sc, weights=w, minlength=n)
+        m2 = float(w.sum())
+        max_inner = ensemble_kwargs.get("max_inner", 20)
+        min_gain = ensemble_kwargs.get("min_gain", 1e-9)
+        resolution = ensemble_kwargs.get("resolution", 1.0)
+        same = np.zeros(len(sc), dtype=np.int64)
+        if m2 > 0:
+            for salt in salts:
+                comm = active.copy()
+                q0 = _modularity_local(sc, dc, w, comm, k, m2, resolution)
+                comm, _q, _imp = _move_phase_local(
+                    active, sc, dc, w, k, m2, comm, q0, resolution,
+                    max_inner, min_gain, salt,
+                )
+                same += comm[sc] == comm[dc]
+        else:
+            same += ensemble_size  # singleton self-comms; no edges move
+        rw = _rd2.from_pandas(
+            pd.DataFrame(
+                {
+                    "src": active[sc],
+                    "dst": active[dc],
+                    "weight": min_weight
+                    + (1.0 - min_weight) * same / ensemble_size,
+                }
+            )
+        )
+        g2 = Graph.from_edges(
+            rw, src="src", dst="dst", weight="weight",
+            directed=True, renumber=False,
+            num_partitions=graph.num_partitions,
+        )
+        g2.meta["directed"] = False
+        g2._save_meta()
+        return louvain(g2, **louvain_kwargs)
+
+    member_ds = []
+    for salt in salts:
         res, _q = louvain(graph, max_levels=1, parity_salt=salt,
                           **ensemble_kwargs)
         member_ds.append(res)
