@@ -459,7 +459,17 @@ def semi_join(
         num_buckets=num_buckets,
     ).drop_columns(["__n"]).materialize()  # consumed by count + filter
 
-    if dk.count() <= broadcast_limit:
+    n_keys = dk.count()
+    if n_keys == 0:
+        # empty key set (found by the hypothesis sweep: an all-empty
+        # Dataset's to_pandas drops columns, so the broadcast path below
+        # would KeyError) — anti keeps everything, semi keeps nothing
+        if anti:
+            return left
+        return left.map_batches(
+            lambda df: df.head(0), batch_format="pandas"
+        )
+    if n_keys <= broadcast_limit:
         import ray
 
         kdf = dk.to_pandas()

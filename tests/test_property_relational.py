@@ -1,0 +1,138 @@
+"""Property-based tests: relational primitives vs pandas oracles.
+
+Hypothesis drives randomized small frames (duplicate keys, empty sides,
+int AND string key domains, NaN payloads) through the shared primitives
+on BOTH execution paths — Arrow-typed inputs exercise the Acero join /
+pyarrow group_by internals, pandas-object inputs the pandas fallback —
+and compares against the straightforward pandas computation.
+"""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+import ray.data as rd
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from raygraph import joins
+from raygraph.agg import grouped_topk, hash_aggregate
+
+SETTINGS = dict(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[
+        HealthCheck.too_slow,
+        HealthCheck.function_scoped_fixture,
+        HealthCheck.data_too_large,
+    ],
+)
+
+
+@st.composite
+def key_frames(draw, max_rows=30):
+    str_keys = draw(st.booleans())
+    domain = draw(st.integers(min_value=1, max_value=6))
+    n_l = draw(st.integers(min_value=0, max_value=max_rows))
+    n_r = draw(st.integers(min_value=0, max_value=max_rows))
+    rng = np.random.RandomState(draw(st.integers(0, 2**31 - 1)))
+
+    def keys(n):
+        k = rng.randint(0, domain, n)
+        return np.array([f"k{v:02d}" for v in k]) if str_keys else k.astype(
+            np.int64
+        )
+
+    left = pd.DataFrame(
+        {
+            "k": keys(n_l),
+            "v": np.where(rng.rand(n_l) < 0.15, np.nan, rng.randn(n_l)),
+            "s": np.array([f"L{i}" for i in range(n_l)], dtype=object),
+        }
+    )
+    right = pd.DataFrame(
+        {
+            "k": keys(n_r),
+            "w": rng.randn(n_r),
+        }
+    )
+    return left, right, str_keys
+
+
+def _mk(df: pd.DataFrame, arrow: bool):
+    if arrow:
+        return rd.from_arrow(pa.Table.from_pandas(df, preserve_index=False))
+    return rd.from_pandas(df)
+
+
+def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].reset_index(drop=True)
+    return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+
+def _assert_same(got: pd.DataFrame, want: pd.DataFrame):
+    if len(got) == 0 and len(want) == 0:
+        # all-empty Datasets drop columns in to_pandas (known Ray
+        # limitation — see memory pitfall #4); rows-empty equality only
+        return
+    pd.testing.assert_frame_equal(_canon(got), _canon(want),
+                                  check_dtype=False)
+
+
+@settings(**SETTINGS)
+@given(data=key_frames(), arrow=st.booleans(), how=st.sampled_from(
+    ["inner", "left"]))
+def test_hash_join_matches_pandas(ray_session, data, arrow, how):
+    left, right, _ = data
+    got = joins.hash_join(
+        _mk(left, arrow), _mk(right, arrow), on="k", how=how, num_buckets=8
+    ).to_pandas()
+    want = left.merge(right, on="k", how=how, suffixes=("", "_r"))
+    _assert_same(got, want)
+
+
+@settings(**SETTINGS)
+@given(data=key_frames(), arrow=st.booleans())
+def test_hash_aggregate_matches_pandas(ray_session, data, arrow):
+    left, _right, _ = data
+    got = hash_aggregate(
+        _mk(left, arrow), ["k"],
+        {"n": (None, "count"), "sv": ("v", "sum"),
+         "mn": ("v", "min"), "mx": ("v", "max")},
+        num_buckets=8,
+    ).to_pandas()
+    g = left.groupby("k", as_index=False, sort=False)
+    want = g.size().rename(columns={"size": "n"}).merge(
+        g.agg(sv=("v", "sum"), mn=("v", "min"), mx=("v", "max")), on="k"
+    )[["k", "n", "sv", "mn", "mx"]]
+    _assert_same(got, want)
+
+
+@settings(**SETTINGS)
+@given(data=key_frames(), forced_dist=st.booleans(), anti=st.booleans())
+def test_semi_anti_join_matches_pandas(ray_session, data, forced_dist, anti):
+    left, right, _ = data
+    kw = dict(broadcast_limit=0) if forced_dist else {}
+    got = joins.semi_join(
+        rd.from_pandas(left), rd.from_pandas(right), on="k", anti=anti,
+        num_buckets=8, **kw
+    ).to_pandas()
+    m = left["k"].isin(set(right["k"]))
+    want = left[~m] if anti else left[m]
+    _assert_same(got, want)
+
+
+@settings(**SETTINGS)
+@given(data=key_frames(), k=st.integers(min_value=1, max_value=4))
+def test_grouped_topk_matches_pandas(ray_session, data, k):
+    left, _right, _ = data
+    left = left.dropna(subset=["v"])  # NaN ordering is not a total order
+    got = grouped_topk(
+        rd.from_pandas(left), ["k"], ["v", "s"], k, num_buckets=8
+    ).to_pandas()
+    want = (
+        left.sort_values(["v", "s"], ascending=False)
+        .groupby("k", sort=False)
+        .head(k)
+    )
+    _assert_same(got, want)
