@@ -136,3 +136,48 @@ def test_grouped_topk_matches_pandas(ray_session, data, k):
         .head(k)
     )
     _assert_same(got, want)
+
+
+@st.composite
+def asof_frames(draw, max_rows=25):
+    domain = draw(st.integers(min_value=1, max_value=4))
+    n_l = draw(st.integers(min_value=0, max_value=max_rows))
+    n_r = draw(st.integers(min_value=0, max_value=max_rows))
+    rng = np.random.RandomState(draw(st.integers(0, 2**31 - 1)))
+    left = pd.DataFrame(
+        {
+            "u": rng.randint(0, domain, n_l).astype(np.int64),
+            "t": rng.randint(0, 50, n_l).astype(np.int64),
+            "x": rng.randn(n_l),
+        }
+    )
+    # right unique per (u, t): the asof contract (duplicate right
+    # timestamps make the picked row order-dependent)
+    right = pd.DataFrame(
+        {
+            "u": rng.randint(0, domain, n_r).astype(np.int64),
+            "t": rng.randint(0, 50, n_r).astype(np.int64),
+            "y": rng.randn(n_r),
+        }
+    ).drop_duplicates(["u", "t"])
+    return left, right
+
+
+@settings(**SETTINGS)
+@given(data=asof_frames())
+def test_asof_join_matches_pandas(ray_session, data):
+    left, right = data
+    got = joins.asof_join(
+        rd.from_pandas(left), rd.from_pandas(right), on="t", by="u",
+        num_buckets=8,
+    ).to_pandas()
+    if len(left) and len(right):
+        want = pd.merge_asof(
+            left.sort_values("t", kind="mergesort"),
+            right.sort_values("t", kind="mergesort"),
+            on="t", by="u", direction="backward", suffixes=("", "_r"),
+        )
+        want = want[want["y"].notna()]
+    else:
+        want = left.head(0).assign(y=np.nan)
+    _assert_same(got, want)
