@@ -176,19 +176,101 @@ def _edge_support(e, num_buckets: int = 16, wide: bool = False):
     return hash_aggregate(partial, ["src", "dst"], {"support": ("n", "sum")})
 
 
+def _k_truss_local(src, dst, w, k: int, max_rounds: int):
+    """All-numpy peel over canonical (src<dst) edge arrays — bit-equal to
+    the Dataset rounds (the k-truss is the UNIQUE maximal subgraph, so
+    any correct peel converges to the same edge set).  Per round: rank
+    vertices by (degree, id), orient edges low→high rank, enumerate
+    wedges per apex from the rank-sorted adjacency (vectorized
+    ragged-triu in bounded chunks), close them against the sorted packed
+    oriented-edge key set, credit all three edges per triangle, drop
+    edges below k−2."""
+    from raygraph.algos.similarity import _ragged_triu_chunks
+
+    for _ in range(max_rounds):
+        E = len(src)
+        if E == 0:
+            break
+        verts = np.unique(np.concatenate([src, dst]))
+        nv = len(verts)
+        si = np.searchsorted(verts, src)
+        di = np.searchsorted(verts, dst)
+        deg = np.bincount(si, minlength=nv) + np.bincount(di, minlength=nv)
+        order = np.lexsort((verts, deg))  # total order: (deg, id)
+        r = np.empty(nv, np.int64)
+        r[order] = np.arange(nv)
+        fwd = r[si] < r[di]
+        ou = np.where(fwd, si, di)
+        ov = np.where(fwd, di, si)
+        eid = np.arange(E, dtype=np.int64)
+        o2 = np.lexsort((r[ov], ou))  # apex-major, heads ascending by rank
+        av, ae = ov[o2], eid[o2]
+        au = ou[o2]
+        starts = np.flatnonzero(np.r_[True, au[1:] != au[:-1]])
+        sizes = np.diff(np.r_[starts, len(au)])
+        key = ou * nv + ov
+        ksort = np.argsort(key)
+        ksorted, k_eid = key[ksort], eid[ksort]
+        support = np.zeros(E, np.int64)
+        for row_idx, off in _ragged_triu_chunks(sizes, 1 << 22):
+            i1 = row_idx
+            i2 = row_idx + off + 1
+            wkey = av[i1] * nv + av[i2]  # rank order ⇒ stored orientation
+            pos = np.searchsorted(ksorted, wkey)
+            posc = np.minimum(pos, len(ksorted) - 1)
+            hit = ksorted[posc] == wkey
+            cred = np.concatenate(
+                [ae[i1[hit]], ae[i2[hit]], k_eid[posc[hit]]]
+            )
+            support += np.bincount(cred, minlength=E)
+        keep = support >= k - 2
+        if keep.all():
+            break
+        src, dst, w = src[keep], dst[keep], w[keep]
+    else:
+        raise RuntimeError(f"k_truss did not settle in {max_rounds} rounds")
+    return src, dst, w
+
+
 def k_truss(graph, k: int, max_rounds: int = 100,
-            wide_keys: "bool | None" = None):
+            wide_keys: "bool | None" = None,
+            local_edge_limit: int = 5_000_000):
     """K-truss subgraph edges — Dataset (src, dst, weight), canonical
     src < dst, every edge in ≥ k−2 triangles of the result.
 
     ``wide_keys``: support counting keys edges as packed (src<<32|dst)
     int64s below 2^32 vertices, and by two-pass lexsort above (auto;
-    forceable for tests)."""
+    forceable for tests).  Canonical edge sets ≤ ``local_edge_limit``
+    peel in one numpy pass on the driver (identical result — the
+    k-truss is unique); the Dataset rounds are the scale path."""
     if graph.directed:
         raise ValueError("k_truss requires an undirected graph")
     wide = (graph.num_vertices >= 2 ** 32) if wide_keys is None else bool(wide_keys)
     e = cut_stats_lineage(_canonical_edges(graph).materialize())
     n = e.count()
+    if n <= local_edge_limit:
+        import ray.data as rd
+
+        df = e.to_pandas() if n else pd.DataFrame(
+            {"src": pd.Series(dtype=np.int64),
+             "dst": pd.Series(dtype=np.int64),
+             "weight": pd.Series(dtype=np.float64)}
+        )
+        src, dst, w = _k_truss_local(
+            df["src"].to_numpy(np.int64) if n else np.empty(0, np.int64),
+            df["dst"].to_numpy(np.int64) if n else np.empty(0, np.int64),
+            df["weight"].to_numpy(np.float64) if n else np.empty(0),
+            k, max_rounds,
+        )
+        return rd.from_pandas(
+            pd.DataFrame(
+                {"src": src, "dst": dst, "weight": w}
+            ) if len(src) else pd.DataFrame(
+                {"src": pd.Series(dtype=np.int64),
+                 "dst": pd.Series(dtype=np.int64),
+                 "weight": pd.Series(dtype=np.float64)}
+            )
+        )
     for _ in range(max_rounds):
         if n == 0:
             break

@@ -523,3 +523,23 @@ def test_pairwise_similarity_hub_exact_without_cap():
     assert (got["common"] == 1).all()
     leaf = got[(got["a"] > 0) & (got["b"] > 0)]
     assert np.allclose(leaf["coeff"], 1.0)  # deg 1+1-1
+
+
+def test_k_truss_local_matches_dataset_path(tmp_path):
+    """Forced Dataset peel (local_edge_limit=0) equals the numpy local
+    peel — the k-truss is the unique maximal subgraph."""
+    from raygraph.algos.truss import k_truss
+    from raygraph.graph import Graph
+
+    g = Graph.from_edges(
+        rd.from_pandas(fixtures.karate_df()),
+        src="src", dst="dst", weight="weight",
+        directed=False, renumber=False, num_partitions=4,
+        out_dir=str(tmp_path / "ktl"),
+    )
+    for k in (3, 4, 5):
+        a = (k_truss(g, k).to_pandas()
+             .sort_values(["src", "dst"]).reset_index(drop=True))
+        b = (k_truss(g, k, local_edge_limit=0).to_pandas()
+             .sort_values(["src", "dst"]).reset_index(drop=True))
+        pd.testing.assert_frame_equal(a, b)
