@@ -20,6 +20,8 @@ from __future__ import annotations
 
 from typing import Optional
 
+import numpy as np
+import pandas as pd
 import ray
 
 from raygraph.superstep import SuperstepEngine, ref_list
@@ -67,12 +69,70 @@ def weakly_connected_components(
             engine.shutdown()
 
 
+def _scc_local(V: int, src: np.ndarray, dst: np.ndarray) -> np.ndarray:
+    """Iterative Tarjan over a CSR of the edge arrays → canonical labels
+    (min vertex id per SCC) for vertices 0..V-1.  Exact — identical to
+    the engine's forward-backward labels by the canonical-label
+    contract."""
+    order = np.argsort(src, kind="stable")
+    ss, dd = src[order], dst[order]
+    indptr = np.searchsorted(ss, np.arange(V + 1))
+    index = np.full(V, -1, np.int64)
+    low = np.zeros(V, np.int64)
+    onstk = np.zeros(V, bool)
+    comp_id = np.full(V, -1, np.int64)
+    stk: list = []
+    counter = 0
+    ncomp = 0
+    for root in range(V):
+        if index[root] != -1:
+            continue
+        work = [(root, 0)]
+        while work:
+            v, pi = work[-1]
+            if pi == 0:
+                index[v] = low[v] = counter
+                counter += 1
+                stk.append(v)
+                onstk[v] = True
+            advanced = False
+            for i in range(indptr[v] + pi, indptr[v + 1]):
+                u = int(dd[i])
+                if index[u] == -1:
+                    work[-1] = (v, i - indptr[v] + 1)
+                    work.append((u, 0))
+                    advanced = True
+                    break
+                elif onstk[u]:
+                    if index[u] < low[v]:
+                        low[v] = index[u]
+            if advanced:
+                continue
+            work.pop()
+            if work:
+                pv = work[-1][0]
+                if low[v] < low[pv]:
+                    low[pv] = low[v]
+            if low[v] == index[v]:
+                while True:
+                    u = stk.pop()
+                    onstk[u] = False
+                    comp_id[u] = ncomp
+                    if u == v:
+                        break
+                ncomp += 1
+    lab = np.full(ncomp, np.iinfo(np.int64).max)
+    np.minimum.at(lab, comp_id, np.arange(V, dtype=np.int64))
+    return lab[comp_id]
+
+
 def strongly_connected_components(
     graph,
     max_outer: int = 200,
     max_iter: int = 10_000,
     num_workers: Optional[int] = None,
     out_dir: Optional[str] = None,
+    local_edge_limit: int = 500_000,
 ):
     """SCC on a directed graph via forward-backward coloring with trim.
 
@@ -85,12 +145,35 @@ def strongly_connected_components(
     color class) via the dst-property fetch; (4) assign marked vertices
     ``scc = color`` and deactivate.  Labels are canonical: the minimum
     vertex id in each SCC.  Output: Dataset ``(vertex, labels)``.
+
+    Graphs under ``local_edge_limit`` edges (and ≤2M vertices) run an
+    iterative Tarjan on the driver — identical canonical labels (the
+    label is a function of the partition, not the algorithm), no engine
+    spin-up.  Pass 0 to force the distributed path.
     """
     if not graph.directed:
         raise ValueError(
             "strongly_connected_components requires a directed graph; "
             "for undirected graphs use weakly_connected_components"
         )
+    V = graph.num_vertices
+    if graph.num_edges <= local_edge_limit and V <= 2_000_000:
+        import ray.data as rd
+
+        df = graph.edges_dataset(columns=["src", "dst"]).to_pandas()
+        labels = _scc_local(
+            V,
+            df["src"].to_numpy(np.int64),
+            df["dst"].to_numpy(np.int64),
+        )
+        out = rd.from_pandas(
+            pd.DataFrame(
+                {"vertex": np.arange(V, dtype=np.int64), "labels": labels}
+            )
+        )
+        if out_dir is not None:
+            out.write_parquet(out_dir)
+        return out
     engine = SuperstepEngine(graph, num_workers=num_workers)
     W = engine.W
     try:

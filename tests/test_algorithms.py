@@ -735,3 +735,24 @@ def test_exchange_mode_auto_selection(tmp_path, monkeypatch):
     finally:
         eng3._keep_alive = False
         eng3.shutdown()
+
+
+def test_scc_local_matches_engine(tmp_path):
+    """Forced engine path (local_edge_limit=0) equals the Tarjan local
+    path bit-for-bit (canonical min-member labels)."""
+    from raygraph.algos import strongly_connected_components
+
+    rng = np.random.RandomState(7)
+    V = 80
+    src = rng.randint(0, V, 400)
+    dst = rng.randint(0, V, 400)
+    keep = src != dst
+    df = pd.DataFrame(
+        {"src": src[keep], "dst": dst[keep], "weight": np.ones(keep.sum())}
+    ).drop_duplicates(["src", "dst"])
+    g = build(df, True, tmp_path, "scceq")
+    a = (strongly_connected_components(g).to_pandas()
+         .sort_values("vertex").reset_index(drop=True))
+    b = (strongly_connected_components(g, local_edge_limit=0).to_pandas()
+         .sort_values("vertex").reset_index(drop=True))
+    pd.testing.assert_frame_equal(a, b)
