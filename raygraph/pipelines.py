@@ -1469,13 +1469,27 @@ def _min_key_vids(g, n: int) -> list:
     return [int(v) for v in part.sort_values("vertex_key").head(n)["vid"]]
 
 
+_W3_CACHE: dict = {}
+
+
 def _w3_subgraph(sf_dir: str, tag: str):
     """Undirected graph over the weight≥3 ps subgraph (the same sparse
-    subgraph the wcc oracle uses — keeps recursive-CTE oracles tractable)."""
-    edges = ps_edges_str(sf_dir).map_batches(
-        lambda df: df[df["weight"] >= 3.0], batch_format="pandas"
-    )
-    return _build_graph_from_keys(edges, directed=False, tag=tag)
+    subgraph the wcc oracle uses — keeps recursive-CTE oracles tractable).
+
+    17 queries consume this identical immutable graph; it is built ONCE
+    per (process, sf_dir) and shared — a Graph handle is read-only after
+    construction, so reuse is side-effect free (the per-query ``tag``
+    only ever named the scratch dir).  Saves ~3s × 16 rebuilds in a
+    same-process sweep; a fresh process per query (the driver's shape)
+    simply rebuilds once."""
+    g = _W3_CACHE.get(sf_dir)
+    if g is None:
+        edges = ps_edges_str(sf_dir).map_batches(
+            lambda df: df[df["weight"] >= 3.0], batch_format="pandas"
+        )
+        g = _build_graph_from_keys(edges, directed=False, tag="w3shared")
+        _W3_CACHE[sf_dir] = g
+    return g
 
 
 def q_bfs(sf_dir: str):
