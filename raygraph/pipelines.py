@@ -447,10 +447,7 @@ def q_wcc(sf_dir: str):
     from raygraph.agg import hash_aggregate
     from raygraph.algos import weakly_connected_components
 
-    edges = ps_edges_str(sf_dir).map_batches(
-        lambda df: df[df["weight"] >= 3.0], batch_format="pandas"
-    )
-    g = _build_graph_from_keys(edges, directed=False, tag="wcc")
+    g = _w3_subgraph(sf_dir, "wcc")
     res = weakly_connected_components(g)
     keyed = g.unrenumber(res, "vertex")  # (vertex: str key, labels: vid)
     comp = hash_aggregate(keyed, ["labels"], {"component": ("vertex", "min")})
@@ -1250,10 +1247,7 @@ def q_louvain(sf_dir: str):
     deterministic: fixed tie-breaks + hash-parity half sweeps)."""
     from raygraph.algos.louvain import louvain
 
-    edges = ps_edges_str(sf_dir).map_batches(
-        lambda df: df[df["weight"] >= 3.0], batch_format="pandas"
-    )
-    g = _build_graph_from_keys(edges, directed=False, tag="louv")
+    g = _w3_subgraph(sf_dir, "louv")
     res, _q = louvain(g)
     return g.unrenumber(res, "vertex").map_batches(
         lambda df: pd.DataFrame(
