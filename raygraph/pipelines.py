@@ -338,14 +338,18 @@ def q_hypergraph_events(sf_dir: str):
     )
 
 
-def _user_similarity(sf_dir: str, kind: str, weighted: bool = False):
-    """Shared pipeline for the jaccard/sorensen/overlap user queries:
-    user–etype bipartite graph → pairwise coefficient over user pairs.
+_USER_SYM_CACHE: dict = {}
 
-    ``weighted=True`` → reference ``wjaccard.py`` semantics with vertex
-    weight w(v) = deg(v) (popularity-weighted; integer-valued doubles so
-    every sum is exact and the coefficient is bit-reproducible in SQL)."""
-    from raygraph.algos.similarity import pairwise_similarity
+
+def _user_etype_sym(sf_dir: str):
+    """Symmetrized user–etype bipartite edge set, built ONCE per
+    (process, sf_dir) and shared by the four similarity queries (the
+    materialized Dataset is immutable, so reuse is side-effect free;
+    a fresh process per query simply rebuilds once)."""
+    sym = _USER_SYM_CACHE.get(sf_dir)
+    if sym is not None:
+        return sym
+    from raygraph.agg import distinct
     from raygraph.graph import symmetrize
 
     rd = _rd()
@@ -361,8 +365,6 @@ def _user_similarity(sf_dir: str, kind: str, weighted: bool = False):
             }
         )
 
-    from raygraph.agg import distinct
-
     e = ev.map_batches(key, batch_format="pandas")
     dedup = distinct(e, ["src_key", "dst_key"])
     dedup = dedup.map_batches(
@@ -374,7 +376,23 @@ def _user_similarity(sf_dir: str, kind: str, weighted: bool = False):
             batch_format="pandas",
         ),
         dedup="min",
-    ).map_batches(lambda df: df[["src", "dst"]], batch_format="pandas")
+    ).map_batches(
+        lambda df: df[["src", "dst"]], batch_format="pandas"
+    ).materialize()
+    _USER_SYM_CACHE[sf_dir] = sym
+    return sym
+
+
+def _user_similarity(sf_dir: str, kind: str, weighted: bool = False):
+    """Shared pipeline for the jaccard/sorensen/overlap user queries:
+    user–etype bipartite graph → pairwise coefficient over user pairs.
+
+    ``weighted=True`` → reference ``wjaccard.py`` semantics with vertex
+    weight w(v) = deg(v) (popularity-weighted; integer-valued doubles so
+    every sum is exact and the coefficient is bit-reproducible in SQL)."""
+    from raygraph.algos.similarity import pairwise_similarity
+
+    sym = _user_etype_sym(sf_dir)
     if weighted:
         from raygraph.agg import hash_aggregate
 
