@@ -453,8 +453,16 @@ def test_split_graph_guards_unsupported_algos(tmp_path):
     )
     from raygraph.algos import strongly_connected_components
 
+    # the engine path still lacks split-graph support — guard must hold
     with pytest.raises(Exception):
-        strongly_connected_components(g, num_workers=2)
+        strongly_connected_components(g, num_workers=2, local_edge_limit=0)
+
+    # but the local gate handles it (vids are unchanged by splitting —
+    # only physical partition placement differs), so small split graphs
+    # now get correct labels: a star DAG is all singleton SCCs
+    res = strongly_connected_components(g, num_workers=2).to_pandas()
+    assert len(res) == 301
+    assert res["labels"].nunique() == 301
 
 
 # ---------------------------------------------------------- betweenness
