@@ -617,6 +617,27 @@ def _init_assign(edges_ds, num_buckets):
     )
 
 
+def _dense_labels_local(out_df: pd.DataFrame, num_buckets: int = 64
+                        ) -> pd.DataFrame:
+    """Array replica of :func:`_dense_labels` — the dense id is a pure
+    function of the distinct label set (hash-bucket offset + ascending
+    rank within the bucket), so both paths yield identical labels."""
+    from raygraph.hashing import hash_int64
+
+    cur = out_df["cur"].to_numpy(np.int64)
+    u = np.unique(cur)
+    b = (hash_int64(u) % np.uint64(num_buckets)).astype(np.int64)
+    order = np.lexsort((u, b))  # bucket-major, label ascending within
+    dense_of = np.empty(len(u), dtype=np.int64)
+    dense_of[order] = np.arange(len(u), dtype=np.int64)
+    return pd.DataFrame(
+        {
+            "vertex": out_df["vertex"].to_numpy(np.int64),
+            "partition": dense_of[np.searchsorted(u, cur)],
+        }
+    )
+
+
 def _dense_labels(out_ds, num_buckets: int = 64):
     """(vertex, cur) → (vertex, partition) with dense 0..C-1 labels.
 
@@ -711,6 +732,117 @@ def _finish(A):
 # public API
 # --------------------------------------------------------------------------
 
+def _apply_map_local(cur, active, new_labels):
+    """Array compose — exactly ``_compose_assign_bcast``'s lookup
+    semantics (values of ``cur`` found in ``active`` are replaced by the
+    aligned ``new_labels``; others kept)."""
+    n = len(active)
+    pos = np.searchsorted(active, cur)
+    found = (pos < n) & (active[np.minimum(pos, n - 1)] == cur)
+    out = cur.copy()
+    out[found] = new_labels[pos[found]]
+    return out
+
+
+def _louvain_local_full(level_edges, m2, max_levels, max_inner, resolution,
+                        min_gain, parity_salt):
+    """Entire level loop on driver arrays, for graphs whose ENTRY edge
+    count is under the local gate (contraction only shrinks it).  Same
+    decisions as the per-level local branch — identical helpers, same
+    contraction packing, same edge-row order — minus the per-level
+    Dataset round-trips (compose / from_pandas / materialize)."""
+    active, sc, dc, w = _local_arrays(level_edges)
+    vert0 = active
+    cur = active.copy()
+    final_q = 0.0
+    for _level in range(max_levels):
+        n = len(active)
+        k = np.bincount(sc, weights=w, minlength=n)
+        comm = active.copy()  # label = own id
+        q_cur = _modularity_local(sc, dc, w, comm, k, m2, resolution)
+        comm, q_cur, improved = _move_phase_local(
+            active, sc, dc, w, k, m2, comm, q_cur, resolution,
+            max_inner, min_gain, parity_salt,
+        )
+        final_q = q_cur
+        if not improved:
+            break
+        cur = _apply_map_local(cur, active, comm)
+        n_comm = len(np.unique(comm))
+        labels, lab_inv = np.unique(comm, return_inverse=True)
+        cs_l, cd_l = lab_inv[sc], lab_inv[dc]
+        key = cs_l.astype(np.int64) * len(labels) + cd_l
+        uk, inv = np.unique(key, return_inverse=True)
+        w = np.bincount(inv, weights=w, minlength=len(uk))
+        src = labels[(uk // len(labels)).astype(np.int64)]
+        dst = labels[(uk % len(labels)).astype(np.int64)]
+        active = np.unique(np.concatenate([src, dst]))
+        sc = np.searchsorted(active, src)
+        dc = np.searchsorted(active, dst)
+        if n_comm == n:
+            break
+    return pd.DataFrame({"vertex": vert0, "cur": cur}), float(final_q)
+
+
+def _leiden_local_full(level_edges, m2, max_levels, max_inner, resolution,
+                       min_gain, parity_salt, refine_inner):
+    """Leiden's level loop on driver arrays under the entry gate — the
+    array mirror of the per-level local branch (phase-1 move, refinement
+    restricted to phase-1 parents, contraction by the refined
+    partition, next level seeded from phase-1 communities)."""
+    active, sc, dc, w = _local_arrays(level_edges)
+    vert0 = active
+    curA = active.copy()  # refined composition (A)
+    curP = active.copy()  # phase-1 composition (P)
+    comm_init = None      # (vertices, comms) of the contracted level
+    final_q = 0.0
+    for _level in range(max_levels):
+        n = len(active)
+        k = np.bincount(sc, weights=w, minlength=n)
+        if comm_init is None:
+            comm = active.copy()
+        else:
+            ci_v, ci_c = comm_init
+            comm = np.empty(n, dtype=np.int64)
+            comm[np.searchsorted(active, ci_v)] = ci_c
+        q_cur = _modularity_local(sc, dc, w, comm, k, m2, resolution)
+        comm, q_cur, improved = _move_phase_local(
+            active, sc, dc, w, k, m2, comm, q_cur, resolution,
+            max_inner, min_gain, parity_salt,
+        )
+        final_q = q_cur
+        curP = _apply_map_local(curA, active, comm)
+        if not improved:
+            break
+        # refinement: singleton restart constrained to phase-1 comms
+        rcomm = active.copy()
+        q_ref = _modularity_local(sc, dc, w, rcomm, k, m2, resolution)
+        rcomm, q_ref, _ = _move_phase_local(
+            active, sc, dc, w, k, m2, rcomm, q_ref, resolution,
+            refine_inner, min_gain, parity_salt,
+            restrict_parent=comm, singleton_only=True,
+        )
+        curA = _apply_map_local(curA, active, rcomm)
+        # contract by the refined partition
+        labels, lab_inv = np.unique(rcomm, return_inverse=True)
+        n_ref = len(labels)
+        cs_l, cd_l = lab_inv[sc], lab_inv[dc]
+        key = cs_l.astype(np.int64) * n_ref + cd_l
+        uk, inv = np.unique(key, return_inverse=True)
+        w = np.bincount(inv, weights=w, minlength=len(uk))
+        src = labels[(uk // n_ref).astype(np.int64)]
+        dst = labels[(uk % n_ref).astype(np.int64)]
+        if n_ref == n:
+            break
+        parent_of_ref = np.empty(n_ref, dtype=np.int64)
+        parent_of_ref[lab_inv] = comm  # any member's parent
+        comm_init = (labels, parent_of_ref)
+        active = np.unique(np.concatenate([src, dst]))
+        sc = np.searchsorted(active, src)
+        dc = np.searchsorted(active, dst)
+    return pd.DataFrame({"vertex": vert0, "cur": curP}), float(final_q)
+
+
 def louvain(graph, max_levels: int = 10, max_inner: int = 20,
             resolution: float = 1.0, min_gain: float = 1e-9,
             local_edge_limit: int = 5_000_000, parity_salt: int = 0,
@@ -733,6 +865,16 @@ def louvain(graph, max_levels: int = 10, max_inner: int = 20,
     level_edges = cut_stats_lineage(edges_ds.materialize())
     E_level = graph.num_edges
     m2 = float(level_edges.sum("weight") or 0.0)
+    if E_level <= local_edge_limit and m2 > 0:
+        # contraction only shrinks E — run the whole level loop on
+        # driver arrays (identical decisions, no per-level Dataset ops)
+        import ray.data as rd
+
+        out_df, q = _louvain_local_full(
+            level_edges, m2, max_levels, max_inner, resolution, min_gain,
+            parity_salt,
+        )
+        return _finish(cut_stats_lineage(rd.from_pandas(out_df))), q
     A = _init_assign(level_edges, num_buckets)
     if m2 == 0:
         return _finish(A), 0.0
@@ -841,6 +983,16 @@ def leiden(graph, max_levels: int = 10, max_inner: int = 20,
     level_edges = cut_stats_lineage(edges_ds.materialize())
     E_level = graph.num_edges
     m2 = float(level_edges.sum("weight") or 0.0)
+    if E_level <= local_edge_limit and m2 > 0:
+        import ray.data as rd
+
+        out_df, q = _leiden_local_full(
+            level_edges, m2, max_levels, max_inner, resolution, min_gain,
+            parity_salt, refine_inner,
+        )
+        return rd.from_pandas(
+            _dense_labels_local(out_df, num_buckets)
+        ), q
     A = _init_assign(level_edges, num_buckets)
     P = A  # phase-1 labels at original granularity
     if m2 == 0:

@@ -32,6 +32,7 @@ import math
 from typing import Optional
 
 import numpy as np
+import pandas as pd
 import ray
 
 from raygraph.superstep import SuperstepEngine
@@ -130,23 +131,105 @@ def _cluster_embedding(engine, names, num_clusters, kmean_tol, kmean_max_iter,
     return assigns
 
 
-def spectral_balanced_cut_clustering(
-    graph, num_clusters: int, num_eigen_vects: int = 2,
-    evs_tolerance: float = 1e-5, evs_max_iter: int = 100,
-    kmean_tolerance: float = 1e-5, kmean_max_iter: int = 100,
-    num_workers: Optional[int] = None, out_dir=None,
-):
-    """Dataset (vertex, cluster) — k-means over the num_eigen_vects
-    smallest eigenvectors of the normalized Laplacian
-    (``spectral_clustering.py:20-101``)."""
+def _spectral_local(graph, num_clusters, k, mode, tol, max_iter,
+                    kmean_max_iter, out_dir):
+    """Driver-local replica of the distributed path for small graphs: the
+    SAME math (hash init, Cholesky-QR, fused power step, id-seeded Lloyd
+    k-means with lowest-cid tie-break) on in-memory numpy arrays — no
+    engine spin-up, no per-iteration barriers.  Labels match the
+    distributed path up to float summation order."""
+    import ray.data as rd
+
+    from raygraph.hashing import hash_int64
+
+    V = graph.num_vertices
+    df = graph.edges_dataset(columns=["src", "dst", "weight"]).to_pandas()
+    src = df["src"].to_numpy(np.int64)
+    dst = df["dst"].to_numpy(np.int64)
+    w = df["weight"].to_numpy(np.float64)
+    deg = np.bincount(src, weights=w, minlength=V)
+    dmax = float(deg.max(initial=0.0))
+    m2 = float(deg.sum())
+    if m2 == 0:
+        raise ValueError("spectral clustering on an empty graph")
+    dinv = np.zeros(V)
+    nz = deg != 0
+    dinv[nz] = deg[nz] ** -0.5
+
+    vids = np.arange(V, dtype=np.int64)
+
+    def hash_col(salt: int) -> np.ndarray:
+        mix = np.uint64((int(salt) * 0x9E3779B97F4A7C15) & 0xFFFFFFFFFFFFFFFF)
+        h = hash_int64((vids.view(np.uint64) + mix).view(np.int64))
+        return h.astype(np.float64) / np.float64(2 ** 64) - 0.5
+
+    Y = np.stack([hash_col(j + 1) for j in range(k)], axis=1)
+
+    def orth(Y):
+        G = Y.T @ Y + 1e-12 * np.eye(k)
+        return Y @ np.linalg.inv(np.linalg.cholesky(G).T)
+
+    Y = orth(Y)
+    theta = np.full(k, np.inf)
+    for _ in range(max_iter):
+        new_theta = np.zeros(k)
+        for j in range(k):
+            f = Y[:, j]
+            if mode == "laplacian":
+                g = np.bincount(dst, weights=w * (dinv * f)[src], minlength=V)
+                z = 0.5 * f + 0.5 * dinv * g
+            else:
+                g = np.bincount(dst, weights=w * f[src], minlength=V)
+                z = g - (float(deg @ f) / m2) * deg + 2.0 * dmax * f
+            new_theta[j] = float(f @ z)
+            Y[:, j] = z
+        Y = orth(Y)
+        if np.all(np.abs(new_theta - theta)
+                  <= tol * np.maximum(1.0, np.abs(new_theta))):
+            break
+        theta = new_theta
+
+    # Lloyd k-means, mirroring data/kmeans.py: centroids seeded from the
+    # k smallest ids, argmin lowest-cid tie-break, empty clusters keep
+    # their previous centroid
+    C = Y[:num_clusters].copy()
+    nc = len(C)  # fewer rows than k degrades gracefully (kmeans.py)
+    for it in range(kmean_max_iter + 1):
+        d2 = ((C * C).sum(axis=1)[None, :] - 2.0 * (Y @ C.T)
+              + (Y * Y).sum(axis=1)[:, None])
+        a = np.argmin(d2, axis=1)
+        if it == kmean_max_iter:
+            break
+        n = np.bincount(a, minlength=nc)
+        S = np.zeros((nc, k))
+        np.add.at(S, a, Y)
+        live = n > 0
+        C[live] = S[live] / n[live, None]
+    out = rd.from_pandas(
+        pd.DataFrame({"vertex": vids, "cluster": a.astype(np.int64)})
+    )
+    if out_dir is not None:
+        out.write_parquet(out_dir)
+        out = rd.read_parquet(out_dir)
+    return out
+
+
+def _spectral_clustering(graph, num_clusters, num_eigen_vects, mode,
+                         evs_tolerance, evs_max_iter, kmean_tolerance,
+                         kmean_max_iter, num_workers, out_dir,
+                         local_edge_limit):
     if num_clusters < 2:
         raise ValueError("num_clusters must be > 1")
     if num_eigen_vects > num_clusters:
         raise ValueError("num_eigen_vects must be <= num_clusters")
     if graph.directed:
         raise ValueError("spectral clustering requires an undirected graph")
+    if graph.num_edges <= local_edge_limit and graph.num_vertices <= 2_000_000:
+        return _spectral_local(graph, num_clusters, num_eigen_vects, mode,
+                               evs_tolerance, evs_max_iter, kmean_max_iter,
+                               out_dir)
     engine, names = _spectral_embedding(
-        graph, num_eigen_vects, "laplacian", evs_tolerance, evs_max_iter,
+        graph, num_eigen_vects, mode, evs_tolerance, evs_max_iter,
         num_workers=num_workers,
     )
     try:
@@ -157,30 +240,41 @@ def spectral_balanced_cut_clustering(
         engine.shutdown()  # idempotent; result_dataset already released
 
 
+def spectral_balanced_cut_clustering(
+    graph, num_clusters: int, num_eigen_vects: int = 2,
+    evs_tolerance: float = 1e-5, evs_max_iter: int = 100,
+    kmean_tolerance: float = 1e-5, kmean_max_iter: int = 100,
+    num_workers: Optional[int] = None, out_dir=None,
+    local_edge_limit: int = 500_000,
+):
+    """Dataset (vertex, cluster) — k-means over the num_eigen_vects
+    smallest eigenvectors of the normalized Laplacian
+    (``spectral_clustering.py:20-101``).  Graphs under
+    ``local_edge_limit`` edges run the identical math driver-local
+    (pass 0 to force the distributed engine)."""
+    return _spectral_clustering(
+        graph, num_clusters, num_eigen_vects, "laplacian",
+        evs_tolerance, evs_max_iter, kmean_tolerance, kmean_max_iter,
+        num_workers, out_dir, local_edge_limit,
+    )
+
+
 def spectral_modularity_maximization_clustering(
     graph, num_clusters: int, num_eigen_vects: int = 2,
     evs_tolerance: float = 1e-5, evs_max_iter: int = 100,
     kmean_tolerance: float = 1e-5, kmean_max_iter: int = 100,
     num_workers: Optional[int] = None, out_dir=None,
+    local_edge_limit: int = 500_000,
 ):
     """Dataset (vertex, cluster) — k-means over the top eigenvectors of
-    the modularity matrix (``spectral_clustering.py:103-185``)."""
-    if num_clusters < 2:
-        raise ValueError("num_clusters must be > 1")
-    if num_eigen_vects > num_clusters:
-        raise ValueError("num_eigen_vects must be <= num_clusters")
-    if graph.directed:
-        raise ValueError("spectral clustering requires an undirected graph")
-    engine, names = _spectral_embedding(
-        graph, num_eigen_vects, "modularity", evs_tolerance, evs_max_iter,
-        num_workers=num_workers,
+    the modularity matrix (``spectral_clustering.py:103-185``).  Graphs
+    under ``local_edge_limit`` edges run the identical math driver-local
+    (pass 0 to force the distributed engine)."""
+    return _spectral_clustering(
+        graph, num_clusters, num_eigen_vects, "modularity",
+        evs_tolerance, evs_max_iter, kmean_tolerance, kmean_max_iter,
+        num_workers, out_dir, local_edge_limit,
     )
-    try:
-        return _cluster_embedding(engine, names, num_clusters,
-                                  kmean_tolerance, kmean_max_iter,
-                                  out_dir=out_dir)
-    finally:
-        engine.shutdown()
 
 
 # ---------------------------------------------------------------- metrics

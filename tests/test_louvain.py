@@ -228,3 +228,26 @@ def test_louvain_no_vertex_sized_driver_state(tmp_path):
     a = res_local.to_pandas().sort_values("vertex").reset_index(drop=True)
     pd.testing.assert_frame_equal(a, b)
     assert abs(q_local - q_dist) < 1e-9
+
+
+def test_dense_labels_local_matches_dataset(tmp_path):
+    """_dense_labels_local is a pure-function replica of the bucketed
+    Dataset ranking — identical dense ids on the same (vertex, cur)."""
+    import ray.data as rd2
+
+    from raygraph.algos.louvain import _dense_labels, _dense_labels_local
+
+    rng = np.random.RandomState(7)
+    labs = rng.choice(np.int64([3, 17, 99, 1048576, -5, 0, 42]), size=200)
+    df = pd.DataFrame(
+        {"vertex": np.arange(200, dtype=np.int64), "cur": labs}
+    )
+    a = _dense_labels_local(df, num_buckets=8).sort_values("vertex")
+    b = (
+        _dense_labels(rd2.from_pandas(df), num_buckets=8)
+        .to_pandas()
+        .sort_values("vertex")
+    )
+    assert np.array_equal(
+        a["partition"].to_numpy(), b["partition"].to_numpy()
+    )

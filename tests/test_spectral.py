@@ -112,3 +112,26 @@ def test_spectral_validates_args(tmp_path):
         spectral_balanced_cut_clustering(g, 1)
     with pytest.raises(ValueError):
         spectral_balanced_cut_clustering(g, 2, num_eigen_vects=5)
+
+
+def test_local_gate_matches_distributed(tmp_path):
+    """The driver-local small-graph path replicates the engine path's
+    math (hash init, Cholesky-QR, id-seeded Lloyd): same partition on
+    the clique fixture, and the forced-engine run agrees."""
+    g = build(two_cliques_df(), tmp_path, "lg")
+    loc = _labels(spectral_balanced_cut_clustering(g, 2, 2), 16)
+    dist = _labels(
+        spectral_balanced_cut_clustering(g, 2, 2, num_workers=4,
+                                         local_edge_limit=0), 16
+    )
+    # same partition up to label permutation
+    import itertools
+    ok = any(
+        np.array_equal(loc, np.array(perm)[dist])
+        for perm in itertools.permutations(range(2))
+    )
+    assert ok
+    # modularity flavor: local path recovers the cliques too
+    labs = _labels(spectral_modularity_maximization_clustering(g, 2, 2), 16)
+    assert len(set(labs[:8])) == 1 and len(set(labs[8:])) == 1
+    assert labs[0] != labs[8]
