@@ -574,10 +574,17 @@ class Graph:
         if not self.renumbered:
             return ds
         if self.num_vertices <= broadcast_limit:
-            vdf = self.vmap_dataset().to_pandas().sort_values("vid")
             import ray
 
-            ref = ray.put((vdf["vid"].to_numpy(), vdf["vertex_key"].to_numpy()))
+            # the vmap is immutable — pull + ray.put once per handle, so
+            # a query unrenumbering several columns pays one driver pull
+            ref = getattr(self, "_unrenumber_ref", None)
+            if ref is None:
+                vdf = self.vmap_dataset().to_pandas().sort_values("vid")
+                ref = ray.put(
+                    (vdf["vid"].to_numpy(), vdf["vertex_key"].to_numpy())
+                )
+                self._unrenumber_ref = ref
 
             def fn(df: pd.DataFrame) -> pd.DataFrame:
                 karr, varr = ray.get(ref)

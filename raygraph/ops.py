@@ -115,28 +115,106 @@ def count_multi_edges(graph) -> int:
     ).sum("n")
 
 
-def two_hop_neighbors(graph):
-    """Distinct (first, second) pairs connected by a path of exactly 2 edges,
-    excluding trivial first==second pairs — ``traversal/two_hop_neighbors.cu``,
-    ``simpleGraph.py:544-566``.
+def _two_hop_local(src, dst) -> pd.DataFrame:
+    """Vectorized in×out wedge enumeration on driver arrays → distinct
+    ordered (first, second) pairs, first ≠ second.  For each mid, pairs
+    are in-neighbors(mid) × out-neighbors(mid) — the same semantics as
+    the self-join formulation, minus two bucketed exchanges."""
+    empty = pd.DataFrame(
+        {"first": pd.Series(dtype=np.int64),
+         "second": pd.Series(dtype=np.int64)}
+    )
+    if not len(src):
+        return empty
+    oi = np.argsort(dst, kind="stable")
+    in_mid, in_first = dst[oi], src[oi]
+    oo = np.argsort(src, kind="stable")
+    out_mid, out_second = src[oo], dst[oo]
+    um_in, in_start = np.unique(in_mid, return_index=True)
+    um_out, out_start = np.unique(out_mid, return_index=True)
+    p_all = np.diff(np.r_[in_start, len(in_mid)])
+    q_all = np.diff(np.r_[out_start, len(out_mid)])
+    _, ii, io = np.intersect1d(um_in, um_out, return_indices=True)
+    p, q = p_all[ii], q_all[io]
+    ins, outs = in_start[ii], out_start[io]
+    total = int((p.astype(np.int64) * q).sum())
+    if total == 0:
+        return empty
+    # one block per (mid, in-element); block length = q of its mid
+    sp = int(p.sum())
+    in_el = np.repeat(ins, p) + (
+        np.arange(sp) - np.repeat(np.cumsum(p) - p, p)
+    )
+    firsts_per_block = in_first[in_el]
+    blk_out_start = np.repeat(outs, p)
+    blk_q = np.repeat(q, p)
+    first_idx = np.repeat(np.arange(sp, dtype=np.int64), blk_q)
+    off = np.arange(total) - np.repeat(np.cumsum(blk_q) - blk_q, blk_q)
+    first = firsts_per_block[first_idx]
+    second = out_second[blk_out_start[first_idx] + off]
+    m = first != second
+    first, second = first[m], second[m]
+    if not len(first):
+        return empty
+    C = np.int64(max(int(first.max()), int(second.max())) + 1)
+    pk = np.unique(first * C + second)
+    return pd.DataFrame({"first": pk // C, "second": pk % C})
+
+
+def two_hop_pairs(edges_ds, num_edges=None, local_edge_limit: int = 500_000,
+                  local_pair_limit: int = 50_000_000):
+    """Distinct 2-path (first, second) pairs over an (src, dst) edge
+    Dataset.  Small inputs (≤ ``local_edge_limit`` edges, nonnegative
+    ids, expanded wedge volume ≤ ``local_pair_limit``) enumerate on the
+    driver; otherwise the bucketed self-join + distinct pipeline runs.
     """
-    e = graph.edges_dataset(columns=["src", "dst"])
-    a = e.map_batches(
+    from raygraph.agg import distinct
+
+    if num_edges is None:
+        edges_ds = edges_ds.materialize()
+        num_edges = edges_ds.count()
+    if num_edges <= local_edge_limit:
+        import ray.data as rd
+
+        df = edges_ds.to_pandas()
+        src = df["src"].to_numpy(np.int64)
+        dst = df["dst"].to_numpy(np.int64)
+        # wedge volume Σ indeg·outdeg (hub-blowup guard) + nonneg check
+        if len(src) == 0 or (src.min() >= 0 and dst.min() >= 0):
+            _, ic = np.unique(dst, return_counts=True)
+            um_out, ocnt = np.unique(src, return_counts=True)
+            _, ii, io = np.intersect1d(
+                np.unique(dst), um_out, return_indices=True
+            )
+            vol = int((ic[ii].astype(np.int64) * ocnt[io]).sum())
+            if vol <= local_pair_limit:
+                return rd.from_pandas(_two_hop_local(src, dst))
+    a = edges_ds.map_batches(
         lambda df: df.rename(columns={"src": "first", "dst": "mid"}),
         batch_format="pandas",
     )
-    b = e.map_batches(
+    b = edges_ds.map_batches(
         lambda df: df.rename(columns={"src": "mid", "dst": "second"}),
         batch_format="pandas",
     )
-    from raygraph.agg import distinct
-
     joined = joins.hash_join(a, b, on="mid")
     pairs = joined.map_batches(
         lambda df: df.loc[df["first"] != df["second"], ["first", "second"]],
         batch_format="pandas",
     )
     return distinct(pairs, ["first", "second"])
+
+
+def two_hop_neighbors(graph, local_edge_limit: int = 500_000):
+    """Distinct (first, second) pairs connected by a path of exactly 2 edges,
+    excluding trivial first==second pairs — ``traversal/two_hop_neighbors.cu``,
+    ``simpleGraph.py:544-566``.  Small graphs enumerate wedges on the
+    driver (pass ``local_edge_limit=0`` to force the join pipeline).
+    """
+    return two_hop_pairs(
+        graph.edges_dataset(columns=["src", "dst"]),
+        num_edges=graph.num_edges, local_edge_limit=local_edge_limit,
+    )
 
 
 def induced_subgraph(graph, vertices):

@@ -233,30 +233,17 @@ def q_distinct_vertices(sf_dir: str):
 
 def q_two_hop(sf_dir: str):
     """Two-hop pairs over the weight≥3 symmetrized ps subgraph."""
-    from raygraph import joins
     from raygraph.graph import symmetrize
+    from raygraph.ops import two_hop_pairs
 
     e = ps_edges(sf_dir).map_batches(
         lambda t: t.filter(pa.compute.greater_equal(t.column("weight"), 3.0)),
         batch_format="pyarrow",
     )
-    sym = symmetrize(e, dedup="min")
-    a = sym.map_batches(
-        lambda df: df.rename(columns={"src": "first", "dst": "mid"})[["first", "mid"]],
-        batch_format="pandas",
+    sym = symmetrize(e, dedup="min").map_batches(
+        lambda df: df[["src", "dst"]], batch_format="pandas"
     )
-    b = sym.map_batches(
-        lambda df: df.rename(columns={"src": "mid", "dst": "second"})[["mid", "second"]],
-        batch_format="pandas",
-    )
-    j = joins.hash_join(a, b, on="mid")
-    from raygraph.agg import distinct
-
-    pairs = j.map_batches(
-        lambda df: df.loc[df["first"] != df["second"], ["first", "second"]],
-        batch_format="pandas",
-    )
-    return distinct(pairs, ["first", "second"])
+    return two_hop_pairs(sym)
 
 
 def q_induced_subgraph(sf_dir: str):

@@ -543,3 +543,22 @@ def test_k_truss_local_matches_dataset_path(tmp_path):
         b = (k_truss(g, k, local_edge_limit=0).to_pandas()
              .sort_values(["src", "dst"]).reset_index(drop=True))
         pd.testing.assert_frame_equal(a, b)
+
+
+def test_two_hop_local_matches_join(tmp_path):
+    """Random directed graph: the driver-local wedge enumeration and the
+    forced self-join pipeline return the identical distinct pair set."""
+    rng = np.random.RandomState(11)
+    df = pd.DataFrame(
+        {
+            "src": rng.randint(0, 40, 300).astype(np.int64),
+            "dst": rng.randint(0, 40, 300).astype(np.int64),
+        }
+    ).drop_duplicates()
+    ds = rd.from_pandas(df)
+    loc = ops.two_hop_pairs(ds).to_pandas().sort_values(
+        ["first", "second"]).reset_index(drop=True)
+    dist = ops.two_hop_pairs(ds, local_edge_limit=0).to_pandas().sort_values(
+        ["first", "second"]).reset_index(drop=True)
+    assert loc.equals(dist)
+    assert (loc["first"] != loc["second"]).all()
