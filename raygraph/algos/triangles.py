@@ -47,9 +47,11 @@ def triangle_count(graph, broadcast_limit: int = 20_000_000,
             "triangle_count requires an undirected graph (build with directed=False)"
         )
     if method == "auto":
-        method = "intersect" if graph.num_edges > 400_000 else "wedge"
+        method = "intersect" if graph.num_edges > 400_000 else "local"
     if method == "intersect":
         return _triangle_count_intersect(graph, num_workers=num_workers)
+    if method == "local":
+        return _triangle_count_local(graph)
     import ray
 
     edges = graph.edges_dataset(columns=["src", "dst"])
@@ -186,6 +188,52 @@ def triangle_count(graph, broadcast_limit: int = 20_000_000,
 
     partial = triangles.map_batches(corner_partials, batch_format="pandas")
     return ops._vertex_zero_fill(partial, V, ["counts"])
+
+
+def _triangle_count_local(graph):
+    """Driver-local exact count for small graphs: same (deg, id)
+    low→high orientation and rank-ordered wedge closure as the Dataset
+    paths (the ``_k_truss_local`` trick, crediting corners), one
+    zero-filled (vertex, counts) result — no engine, no shuffles."""
+    import ray.data as rd
+
+    from raygraph.algos.similarity import _ragged_triu_chunks
+
+    V = graph.num_vertices
+    df = graph.edges_dataset(columns=["src", "dst"]).to_pandas()
+    src = df["src"].to_numpy(np.int64)
+    dst = df["dst"].to_numpy(np.int64)
+    counts = np.zeros(V, np.int64)
+    if len(src):
+        # both directions stored (undirected) → src bincount IS the degree
+        deg = np.bincount(src, minlength=V)
+        keep = (src != dst) & (
+            (deg[src] < deg[dst]) | ((deg[src] == deg[dst]) & (src < dst))
+        )
+        ou, ov = src[keep], dst[keep]
+        order = np.lexsort((np.arange(V), deg))  # total order (deg, id)
+        r = np.empty(V, np.int64)
+        r[order] = np.arange(V)
+        o2 = np.lexsort((r[ov], ou))  # apex-major, heads ascending by rank
+        au, av = ou[o2], ov[o2]
+        starts = np.flatnonzero(np.r_[True, au[1:] != au[:-1]])
+        sizes = np.diff(np.r_[starts, len(au)])
+        ksorted = np.sort(ou * V + ov)
+        for row_idx, off in _ragged_triu_chunks(sizes, 1 << 22):
+            a1, a2 = av[row_idx], av[row_idx + off + 1]
+            wkey = a1 * V + a2  # rank order ⇒ stored orientation
+            pos = np.searchsorted(ksorted, wkey)
+            posc = np.minimum(pos, len(ksorted) - 1)
+            hit = ksorted[posc] == wkey
+            corners = np.concatenate(
+                [au[row_idx][hit], a1[hit], a2[hit]]
+            )
+            counts += np.bincount(corners, minlength=V)
+    return rd.from_pandas(
+        pd.DataFrame(
+            {"vertex": np.arange(V, dtype=np.int64), "counts": counts}
+        )
+    )
 
 
 def _triangle_count_intersect(graph, num_workers=None):

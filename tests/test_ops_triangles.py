@@ -114,10 +114,12 @@ def test_triangles_karate(karate_und):
 
 
 def test_triangles_degree_join_path(karate_und):
-    # forced join orientation (broadcast_limit=0) must match the broadcast
-    # path exactly — the scale path for V past the broadcast limit
+    # forced join orientation (broadcast_limit=0, method pinned to the
+    # wedge pipeline — auto picks the driver-local path for small graphs)
+    # must match the broadcast path exactly — the scale path for V past
+    # the broadcast limit
     got = (
-        triangle_count(karate_und, broadcast_limit=0)
+        triangle_count(karate_und, broadcast_limit=0, method="wedge")
         .to_pandas()
         .sort_values("vertex")["counts"]
         .to_numpy()
@@ -562,3 +564,17 @@ def test_two_hop_local_matches_join(tmp_path):
         ["first", "second"]).reset_index(drop=True)
     assert loc.equals(dist)
     assert (loc["first"] != loc["second"]).all()
+
+
+def test_triangles_local_matches_wedge(karate_und):
+    """auto picks the driver-local path for small graphs; it must match
+    the wedge pipeline (and the numpy oracle) exactly."""
+    loc = (
+        triangle_count(karate_und, method="local")
+        .to_pandas().sort_values("vertex")["counts"].to_numpy()
+    )
+    wedge = (
+        triangle_count(karate_und, method="wedge")
+        .to_pandas().sort_values("vertex")["counts"].to_numpy()
+    )
+    assert np.array_equal(loc, wedge)
