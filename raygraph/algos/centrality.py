@@ -283,9 +283,70 @@ def _brandes_sweep(engine, sources, edge_acc: bool = False):
             ray.get([w.bc_accumulate.remote(s) for w in engine.workers])
 
 
+def _bc_local(graph, sources, edge_acc: bool = False):
+    """Driver-local Brandes for small graphs: per-source vectorized BFS
+    over a CSR of the stored edge rows + reverse-level dependency sweep
+    (edge contributions credited to the stored row, as the engine does).
+    Returns (bc[V], ebc[E], src, dst) — raw sums, caller rescales."""
+    import numpy as np
+
+    V = graph.num_vertices
+    df = graph.edges_dataset(columns=["src", "dst"]).to_pandas()
+    src = df["src"].to_numpy(np.int64)
+    dst = df["dst"].to_numpy(np.int64)
+    E = len(src)
+    order = np.argsort(src, kind="stable")
+    nbr = dst[order]
+    indptr = np.zeros(V + 1, np.int64)
+    indptr[1:] = np.cumsum(np.bincount(src, minlength=V))
+    bc = np.zeros(V)
+    ebc = np.zeros(E) if edge_acc else None
+    for s in sources:
+        dist = np.full(V, -1, np.int64)
+        dist[int(s)] = 0
+        sigma = np.zeros(V)
+        sigma[int(s)] = 1.0
+        cur = np.array([int(s)], dtype=np.int64)
+        level = 0
+        while len(cur):
+            p0 = indptr[cur]
+            deg = indptr[cur + 1] - p0
+            tot = int(deg.sum())
+            if tot == 0:
+                break
+            idx = np.repeat(p0, deg) + (
+                np.arange(tot) - np.repeat(np.cumsum(deg) - deg, deg)
+            )
+            tails = np.repeat(cur, deg)
+            heads = nbr[idx]
+            new_heads = np.unique(heads[dist[heads] == -1])
+            dist[new_heads] = level + 1
+            m = dist[heads] == level + 1
+            np.add.at(sigma, heads[m], sigma[tails[m]])
+            cur = new_heads
+            level += 1
+        delta = np.zeros(V)
+        pe = np.flatnonzero((dist[src] >= 0) & (dist[dst] == dist[src] + 1))
+        if len(pe):
+            lv = dist[dst[pe]]
+            for L in range(int(lv.max()), 0, -1):
+                sel = pe[lv == L]
+                contrib = (
+                    sigma[src[sel]] / sigma[dst[sel]]
+                    * (1.0 + delta[dst[sel]])
+                )
+                np.add.at(delta, src[sel], contrib)
+                if edge_acc:
+                    ebc[sel] += contrib
+        delta[int(s)] = 0.0
+        bc += delta
+    return bc, ebc, src, dst
+
+
 def betweenness_centrality(graph, k: Optional[int] = None, sources=None,
                            normalized: bool = True, seed: int = 42,
-                           num_workers: Optional[int] = None, out_dir=None):
+                           num_workers: Optional[int] = None, out_dir=None,
+                           local_edge_limit: int = 500_000):
     """Sampled Brandes betweenness (unweighted shortest paths) on the BSP
     engine — ``cpp/src/centrality/betweenness_centrality.cu`` /
     ``centrality/betweenness_centrality.py`` semantics.
@@ -306,22 +367,40 @@ def betweenness_centrality(graph, k: Optional[int] = None, sources=None,
     V = graph.num_vertices
     sources = _bc_select_sources(V, k, sources, seed)
 
+    scale = 1.0
+    rescaled = False
+    if normalized:
+        if V > 2:
+            scale /= (V - 1) * (V - 2)
+            rescaled = True
+    elif not graph.directed:
+        scale *= 0.5
+        rescaled = True
+    if rescaled and len(sources) < V:
+        scale *= V / len(sources)
+
+    if (num_workers is None and graph.num_edges <= local_edge_limit
+            and V <= 2_000_000):
+        import pandas as pd
+        import ray.data as rd
+
+        bc, _, _, _ = _bc_local(graph, sources)
+        out = rd.from_pandas(
+            pd.DataFrame(
+                {"vertex": np.arange(V, dtype=np.int64),
+                 "betweenness_centrality": bc * scale}
+            )
+        )
+        if out_dir is not None:
+            out.write_parquet(out_dir)
+            out = rd.read_parquet(out_dir)
+        return out
+
     engine = SuperstepEngine(graph, num_workers=num_workers)
     try:
         ray.get([w.bc_init.remote() for w in engine.workers])
         _brandes_sweep(engine, sources)
 
-        scale = 1.0
-        rescaled = False
-        if normalized:
-            if V > 2:
-                scale /= (V - 1) * (V - 2)
-                rescaled = True
-        elif not graph.directed:
-            scale *= 0.5
-            rescaled = True
-        if rescaled and len(sources) < V:
-            scale *= V / len(sources)
         if scale != 1.0:
             ray.get([w.scale_state.remote("bc", scale) for w in engine.workers])
         ds = engine.result_dataset(["bc"], out_dir=out_dir)
@@ -341,7 +420,8 @@ def betweenness_centrality(graph, k: Optional[int] = None, sources=None,
 def edge_betweenness_centrality(graph, k: Optional[int] = None, sources=None,
                                 normalized: bool = True, seed: int = 42,
                                 num_workers: Optional[int] = None,
-                                out_dir=None):
+                                out_dir=None,
+                                local_edge_limit: int = 500_000):
     """Edge betweenness on the BSP engine —
     ``cpp/src/centrality/betweenness_centrality.cu``
     ``edge_betweenness_centrality_impl`` /
@@ -361,17 +441,34 @@ def edge_betweenness_centrality(graph, k: Optional[int] = None, sources=None,
     V = graph.num_vertices
     sources = _bc_select_sources(V, k, sources, seed)
 
+    scale = 1.0
+    if normalized:
+        if V > 1:
+            scale /= V * (V - 1)
+    elif not graph.directed:
+        scale *= 0.5
+
+    if (num_workers is None and graph.num_edges <= local_edge_limit
+            and V <= 2_000_000):
+        import pandas as pd
+        import ray.data as rd
+
+        _, ebc, e_src, e_dst = _bc_local(graph, sources, edge_acc=True)
+        out = rd.from_pandas(
+            pd.DataFrame(
+                {"src": e_src, "dst": e_dst,
+                 "betweenness_centrality": ebc * scale}
+            )
+        )
+        if out_dir is not None:
+            out.write_parquet(out_dir)
+            out = rd.read_parquet(out_dir)
+        return out
+
     engine = SuperstepEngine(graph, num_workers=num_workers)
     try:
         ray.get([w.ebc_init.remote() for w in engine.workers])
         _brandes_sweep(engine, sources, edge_acc=True)
-
-        scale = 1.0
-        if normalized:
-            if V > 1:
-                scale /= V * (V - 1)
-        elif not graph.directed:
-            scale *= 0.5
         if scale != 1.0:
             ray.get(
                 [w.scale_state.remote("ebc", scale) for w in engine.workers]

@@ -31,6 +31,50 @@ import ray
 from raygraph.superstep import SuperstepEngine
 
 
+def _lpa_local(graph, max_iter, out_dir):
+    """Driver-local synchronous LPA for small graphs — identical
+    decisions to the engine rounds (argmax incident label weight, ties
+    to the MIN label; sums are exact for integral weights, where the
+    contract is bit-reproducible)."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    V = graph.num_vertices
+    df = graph.edges_dataset(columns=["src", "dst", "weight"]).to_pandas()
+    src = df["src"].to_numpy(np.int64)
+    dst = df["dst"].to_numpy(np.int64)
+    w = df["weight"].to_numpy(np.float64)
+    lab = np.arange(V, dtype=np.int64)
+    for _ in range(max_iter):
+        key = dst * V + lab[src]
+        uk, inv = np.unique(key, return_inverse=True)
+        s = np.bincount(inv, weights=w)
+        d_of, l_of = uk // V, uk % V
+        starts = np.flatnonzero(np.r_[True, d_of[1:] != d_of[:-1]])
+        sizes = np.diff(np.r_[starts, len(uk)])
+        maxs = np.maximum.reduceat(s, starts)
+        grp = np.repeat(np.arange(len(starts)), sizes)
+        cand = np.flatnonzero(s == maxs[grp])
+        # uk ascending ⇒ labels ascend within a dst group; the first
+        # max-weight candidate per group IS the min-label tie-break
+        _, firstpos = np.unique(grp[cand], return_index=True)
+        pick = cand[firstpos]
+        new = lab.copy()
+        new[d_of[pick]] = l_of[pick]
+        if (new == lab).all():
+            lab = new
+            break
+        lab = new
+    out = rd.from_pandas(
+        pd.DataFrame({"vertex": np.arange(V, dtype=np.int64), "label": lab})
+    )
+    if out_dir is not None:
+        out.write_parquet(out_dir)
+        out = rd.read_parquet(out_dir)
+    return out
+
+
 def label_propagation(
     graph,
     max_iter: int = 30,
@@ -40,11 +84,18 @@ def label_propagation(
     resume: bool = False,
     out_dir: Optional[str] = None,
     engine: Optional[SuperstepEngine] = None,
+    local_edge_limit: int = 500_000,
 ):
     if graph.directed:
         raise ValueError(
             "label_propagation requires a symmetrized graph; build with directed=False"
         )
+    # explicit num_workers / engine / checkpointing pins the engine path
+    # (tests + resume flows); the default small-graph call runs local
+    if (engine is None and num_workers is None and checkpoint_dir is None
+            and not resume and graph.num_edges <= local_edge_limit
+            and graph.num_vertices <= 2_000_000):
+        return _lpa_local(graph, max_iter, out_dir)
     own_engine = engine is None
     if own_engine:
         engine = SuperstepEngine(

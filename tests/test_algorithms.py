@@ -764,3 +764,52 @@ def test_scc_local_matches_engine(tmp_path):
     b = (strongly_connected_components(g, local_edge_limit=0).to_pandas()
          .sort_values("vertex").reset_index(drop=True))
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_lpa_local_gate_matches_engine(tmp_path):
+    """The driver-local LPA replica must make identical decisions to the
+    engine rounds (exact integral weight sums on karate)."""
+    df = fixtures.karate_df()
+    g = build(df, False, tmp_path, "klpaloc")
+    loc = (
+        label_propagation(g, max_iter=15)  # gate: local
+        .to_pandas().sort_values("vertex")["label"].to_numpy()
+    )
+    eng = (
+        label_propagation(g, max_iter=15, num_workers=4)  # pinned engine
+        .to_pandas().sort_values("vertex")["label"].to_numpy()
+    )
+    assert np.array_equal(loc, eng)
+
+
+def test_betweenness_local_gate_matches_engine(tmp_path):
+    """The driver-local Brandes replica agrees with the BSP engine path
+    (forced via local_edge_limit=0) on vertex and edge betweenness."""
+    from raygraph.algos.centrality import (
+        betweenness_centrality,
+        edge_betweenness_centrality,
+    )
+
+    g = build(fixtures.karate_df(), False, tmp_path, "kbcpar")
+    loc = (
+        betweenness_centrality(g, normalized=True)
+        .to_pandas().sort_values("vertex")["betweenness_centrality"].to_numpy()
+    )
+    eng = (
+        betweenness_centrality(g, normalized=True, local_edge_limit=0)
+        .to_pandas().sort_values("vertex")["betweenness_centrality"].to_numpy()
+    )
+    assert np.allclose(loc, eng, atol=1e-12)
+    el = (
+        edge_betweenness_centrality(g, normalized=True)
+        .to_pandas().sort_values(["src", "dst"]).reset_index(drop=True)
+    )
+    ee = (
+        edge_betweenness_centrality(g, normalized=True, local_edge_limit=0)
+        .to_pandas().sort_values(["src", "dst"]).reset_index(drop=True)
+    )
+    assert np.array_equal(el["src"].to_numpy(), ee["src"].to_numpy())
+    assert np.allclose(
+        el["betweenness_centrality"].to_numpy(),
+        ee["betweenness_centrality"].to_numpy(), atol=1e-12,
+    )
