@@ -57,8 +57,17 @@ def _tmpdir(tag: str) -> str:
 # edge derivations
 
 
+_PS_EDGES_CACHE: dict = {}
+
+
 def ps_edges(sf_dir: str):
-    """lineitem → deduped weighted edge table (src,dst,weight)."""
+    """lineitem → deduped weighted edge table (src,dst,weight).  Built
+    once per (process, sf_dir) — ~25 queries consume this immutable
+    table, and a materialized Dataset is side-effect-free to share (a
+    fresh process per query simply rebuilds once)."""
+    cached = _PS_EDGES_CACHE.get(("int", sf_dir))
+    if cached is not None:
+        return cached
     rd = _rd()
     li = rd.read_parquet(
         os.path.join(sf_dir, "lineitem.parquet"), columns=["l_partkey", "l_suppkey"]
@@ -76,7 +85,7 @@ def ps_edges(sf_dir: str):
 
     e = li.map_batches(project, batch_format="pyarrow", zero_copy_batch=True)
     g = hash_aggregate(e, ["src", "dst"], {"n": (None, "count")})
-    return g.map_batches(
+    out = g.map_batches(
         lambda df: pd.DataFrame(
             {
                 "src": df["src"].to_numpy(np.int64),
@@ -85,7 +94,9 @@ def ps_edges(sf_dir: str):
             }
         ),
         batch_format="pandas",
-    )
+    ).materialize()
+    _PS_EDGES_CACHE[("int", sf_dir)] = out
+    return out
 
 
 PS_EDGES_SQL = (
@@ -95,7 +106,11 @@ PS_EDGES_SQL = (
 
 
 def ps_edges_str(sf_dir: str):
-    """Same edges with category-qualified string keys (for renumbered graphs)."""
+    """Same edges with category-qualified string keys (for renumbered
+    graphs).  Cached per (process, sf_dir) like :func:`ps_edges`."""
+    cached = _PS_EDGES_CACHE.get(("str", sf_dir))
+    if cached is not None:
+        return cached
     rd = _rd()
     li = rd.read_parquet(
         os.path.join(sf_dir, "lineitem.parquet"), columns=["l_partkey", "l_suppkey"]
@@ -113,7 +128,7 @@ def ps_edges_str(sf_dir: str):
 
     e = li.map_batches(project, batch_format="pandas")
     g = hash_aggregate(e, ["src_key", "dst_key"], {"n": (None, "count")})
-    return g.map_batches(
+    out = g.map_batches(
         lambda df: pd.DataFrame(
             {
                 "src_key": df["src_key"],
@@ -122,7 +137,9 @@ def ps_edges_str(sf_dir: str):
             }
         ),
         batch_format="pandas",
-    )
+    ).materialize()
+    _PS_EDGES_CACHE[("str", sf_dir)] = out
+    return out
 
 
 def hyper_edges(sf_dir: str):
