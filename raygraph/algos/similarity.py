@@ -189,9 +189,16 @@ def pairwise_similarity(
     max_wedge_degree: Optional[int] = None,
     vertex_weights=None,
     broadcast_limit: int = 20_000_000,
+    shared_state: Optional[dict] = None,
 ):
     """edges_ds: symmetrized simple (src,dst) Dataset. Returns
     (a, b, common, coeff) for a<b pairs with common>0.
+
+    ``shared_state``: optional caller-owned dict memoizing the resident
+    path's kind-independent core (the materialized per-pair ``common``
+    table + degree/dictionary broadcasts) — pass the SAME dict across
+    jaccard/sorensen/overlap calls over the SAME edge set and only the
+    finalize map re-runs per kind.
 
     Fast path (V ≤ ``broadcast_limit``): vertices are renumbered to dense
     ints via one broadcast dictionary (sorted, so int order ≡ key order),
@@ -217,8 +224,17 @@ def pairwise_similarity(
     from raygraph.agg import hash_aggregate
     from raygraph.hashing import hash_int64
 
-    edges_ds = edges_ds.materialize()
     weighted = vertex_weights is not None
+    ck = ("resident_core", weighted)
+    core = shared_state.get(ck) if shared_state is not None else None
+    if core is not None:
+        common_c, dref_c, vref_c, V_c = core
+        return _resident_fin(
+            common_c, dref_c, vref_c, V_c, kind,
+            np.float64 if weighted else np.int64,
+        )
+
+    edges_ds = edges_ds.materialize()
 
     verts = hash_aggregate(
         edges_ds.map_batches(
@@ -331,6 +347,17 @@ def pairwise_similarity(
     common = hash_aggregate(
         parts, ["pk"], {"common": (cnt_col, "sum")}, num_buckets=num_buckets
     )
+    if shared_state is not None:
+        common = common.materialize()
+        shared_state[ck] = (common, dref, vref, V)
+    return _resident_fin(common, dref, vref, V, kind, cnt_dtype)
+
+
+def _resident_fin(common, dref, vref, V, kind, cnt_dtype):
+    """Kind-specific finalize over the resident path's per-pair common
+    table (broadcast degree + dictionary lookups; the only stage that
+    differs between jaccard / sorensen / overlap)."""
+    import ray
 
     def fin(df: pd.DataFrame) -> pd.DataFrame:
         deg = ray.get(dref)

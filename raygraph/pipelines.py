@@ -343,6 +343,7 @@ def q_hypergraph_events(sf_dir: str):
 
 
 _USER_SYM_CACHE: dict = {}
+_USER_SIM_CORE: dict = {}
 
 
 def _user_etype_sym(sf_dir: str):
@@ -407,9 +408,18 @@ def _user_similarity(sf_dir: str, kind: str, weighted: bool = False):
             ),
             batch_format="pandas",
         )
-        sim = pairwise_similarity(sym, kind=kind, vertex_weights=wts)
+        sim = pairwise_similarity(
+            sym, kind=kind, vertex_weights=wts,
+            shared_state=_USER_SIM_CORE.setdefault(sf_dir, {}),
+        )
     else:
-        sim = pairwise_similarity(sym, kind=kind)
+        # the kind-independent core (pair common counts + degree
+        # broadcasts) is shared across the jaccard/sorensen/overlap
+        # queries in one process — only the finalize map differs
+        sim = pairwise_similarity(
+            sym, kind=kind,
+            shared_state=_USER_SIM_CORE.setdefault(sf_dir, {}),
+        )
     out = sim.map_batches(
         lambda df: df.loc[
             df["a"].str.startswith("user::") & df["b"].str.startswith("user::")
