@@ -189,6 +189,24 @@ def _build_graph_from_keys(edges, directed, tag, num_partitions=8):
     )
 
 
+_PS_GRAPH_CACHE: dict = {}
+
+
+def _ps_graph_und(sf_dir: str, tag: str):
+    """Undirected renumbered full-ps graph — 7 queries (pagerank, katz,
+    hits, core_number, betweenness pair, degree_centrality, unrenumber
+    tests) build this identical immutable graph; built once per
+    (process, sf_dir) like :func:`_w3_subgraph` (the ``tag`` only ever
+    named the scratch dir)."""
+    g = _PS_GRAPH_CACHE.get(sf_dir)
+    if g is None:
+        g = _build_graph_from_keys(
+            ps_edges_str(sf_dir), directed=False, tag="psund-shared"
+        )
+        _PS_GRAPH_CACHE[sf_dir] = g
+    return g
+
+
 # ---------------------------------------------------------------------------
 # graph structural queries
 
@@ -502,7 +520,7 @@ def q_pagerank(sf_dir: str):
     edge), so the oracle omits the dangling-mass term."""
     from raygraph.algos import pagerank
 
-    g = _build_graph_from_keys(ps_edges_str(sf_dir), directed=False, tag="pr")
+    g = _ps_graph_und(sf_dir, "pr")
     res = pagerank(g, alpha=0.85, tol=0.0, max_iter=20,
                    fail_on_nonconvergence=False)
     return g.unrenumber(res, "vertex").map_batches(
@@ -1441,7 +1459,7 @@ def q_katz(sf_dir: str):
     unrolled as chained CTEs in DuckDB; both sides round to 6 decimals."""
     from raygraph.algos.centrality import katz_centrality
 
-    g = _build_graph_from_keys(ps_edges_str(sf_dir), directed=False, tag="katz")
+    g = _ps_graph_und(sf_dir, "katz")
     res = katz_centrality(g, alpha=0.005, beta=1.0, tol=0.0, max_iter=30,
                           fail_on_nonconvergence=False)
     return g.unrenumber(res, "vertex").map_batches(
@@ -1461,7 +1479,7 @@ def q_hits(sf_dir: str):
     sides round to 6 decimals."""
     from raygraph.algos.centrality import hits
 
-    g = _build_graph_from_keys(ps_edges_str(sf_dir), directed=False, tag="hits")
+    g = _ps_graph_und(sf_dir, "hits")
     res = hits(g, tol=0.0, max_iter=30)
     return g.unrenumber(res, "vertex").map_batches(
         lambda df: pd.DataFrame(
@@ -1633,7 +1651,7 @@ def q_core_number(sf_dir: str):
     """Core numbers of the undirected ps graph (rows-only; exact peeling)."""
     from raygraph.algos.cores import core_number
 
-    g = _build_graph_from_keys(ps_edges_str(sf_dir), directed=False, tag="core")
+    g = _ps_graph_und(sf_dir, "core")
     res = core_number(g)
     return g.unrenumber(res, "vertex").map_batches(
         lambda df: pd.DataFrame(
@@ -2014,7 +2032,7 @@ def q_biased_walks(sf_dir: str):
     pytest distribution/extreme-weight tests."""
     from raygraph.algos.sampling import biased_random_walks
 
-    g = _build_graph_from_keys(ps_edges_str(sf_dir), directed=False, tag="bw")
+    g = _ps_graph_und(sf_dir, "bw")
     vmap_part = g.vmap_dataset().map_batches(
         lambda df: df[df["vertex_key"].str.startswith("part::")]
         .sort_values("vertex_key").head(5),
@@ -2212,7 +2230,7 @@ def q_degree_centrality(sf_dir: str):
     Hash-checked: degree (both stored directions) / (V-1)."""
     from raygraph.algos.centrality import degree_centrality
 
-    g = _build_graph_from_keys(ps_edges_str(sf_dir), directed=False, tag="dc")
+    g = _ps_graph_und(sf_dir, "dc")
     res = degree_centrality(g)
     return g.unrenumber(res, "vertex").map_batches(
         lambda df: pd.DataFrame(
@@ -2313,7 +2331,7 @@ def q_neighbor_sample(sf_dir: str):
     part vertices (rows-only; seeded counter-stream RNG)."""
     from raygraph.algos.sampling import uniform_neighbor_sample
 
-    g = _build_graph_from_keys(ps_edges_str(sf_dir), directed=False, tag="uns")
+    g = _ps_graph_und(sf_dir, "uns")
     # partial top-5 per batch, tiny driver merge (the _min_key_vids
     # pattern — never materializes the vmap on the driver)
     part = g.vmap_dataset().map_batches(
