@@ -190,6 +190,20 @@ def _build_graph_from_keys(edges, directed, tag, num_partitions=8):
 
 
 _PS_GRAPH_CACHE: dict = {}
+_HYPER_GRAPH_CACHE: dict = {}
+
+
+def _hyper_graph_und(sf_dir: str):
+    """Undirected renumbered tripartite hyper graph — shared by the
+    triangles / k_truss / eigenvector queries (identical immutable
+    build; once per process+sf_dir)."""
+    g = _HYPER_GRAPH_CACHE.get(sf_dir)
+    if g is None:
+        g = _build_graph_from_keys(
+            hyper_edges(sf_dir), directed=False, tag="hyper-shared"
+        )
+        _HYPER_GRAPH_CACHE[sf_dir] = g
+    return g
 
 
 def _ps_graph_und(sf_dir: str, tag: str):
@@ -571,7 +585,7 @@ def q_triangles(sf_dir: str):
     """Exact per-vertex triangle counts on the tripartite hyper graph."""
     from raygraph.algos.triangles import triangle_count
 
-    g = _build_graph_from_keys(hyper_edges(sf_dir), directed=False, tag="tri")
+    g = _hyper_graph_und(sf_dir)
     res = triangle_count(g)
     return g.unrenumber(res, "vertex").map_batches(
         lambda df: pd.DataFrame(
@@ -1722,7 +1736,7 @@ def q_k_truss(sf_dir: str):
     the reference polbooks golden-file replay in tests/."""
     from raygraph.algos.truss import k_truss
 
-    g = _build_graph_from_keys(hyper_edges(sf_dir), directed=False, tag="ktruss")
+    g = _hyper_graph_und(sf_dir)
     e = k_truss(g, 3)
     e = g.unrenumber(e, "src")
     e = g.unrenumber(e, "dst")
@@ -1879,7 +1893,7 @@ def q_eigenvector(sf_dir: str):
     the ±λ eigenpair.  The tol-driven path stays pinned by pytest."""
     from raygraph.algos.centrality import eigenvector_centrality
 
-    g = _build_graph_from_keys(hyper_edges(sf_dir), directed=False, tag="eig")
+    g = _hyper_graph_und(sf_dir)
     res = eigenvector_centrality(g, tol=0.0, max_iter=50,
                                  fail_on_nonconvergence=False)
     return g.unrenumber(res, "vertex").map_batches(
