@@ -485,6 +485,119 @@ def partition_and_write(edges_ds, out_dir: str, num_partitions: int,
     withpart.write_parquet(os.path.join(out_dir, "edges"), partition_cols=["part"])
 
 
+def _from_edges_local(ds, out_dir, directed, renumber, dedup,
+                      num_partitions, weight, src_spec, dst_spec):
+    """Driver-local build for small inputs — a bit-faithful replica of
+    the distributed stages (bucket-rank renumber, canonical-pair
+    symmetrize with the self-loop "sum" doubling, splitmix64 src-hash
+    partitioning, per-part (src,dst)-sorted hive parquet), minus the
+    per-stage Dataset round-trips.  The caller already normalized the
+    edge table to (src, dst, weight:float64) and holds the gate."""
+    import pyarrow.parquet as pq
+
+    from raygraph.hashing import hash_int64, hash_str_array, part_of_vertex
+
+    df = ds.to_pandas()
+    s_raw = df["src"].to_numpy()
+    d_raw = df["dst"].to_numpy()
+    w = df["weight"].to_numpy(np.float64)
+
+    os.makedirs(out_dir, exist_ok=True)
+    if renumber:
+        key_is_str = not pd.api.types.is_integer_dtype(df["src"])
+        keys = np.unique(np.concatenate([s_raw, d_raw]))
+        V = len(keys)
+        h = hash_str_array(keys) if key_is_str else hash_int64(
+            keys.astype(np.int64))
+        bucket = (h % np.uint64(64)).astype(np.int64)
+        # vid = bucket-offset + ascending rank within bucket — keys are
+        # already ascending, so bucket-major stable order IS the rank
+        order = np.argsort(bucket, kind="stable")
+        vid_of_key = np.empty(V, dtype=np.int64)
+        vid_of_key[order] = np.arange(V, dtype=np.int64)
+        s = vid_of_key[np.searchsorted(keys, s_raw)]
+        d = vid_of_key[np.searchsorted(keys, d_raw)]
+        vmap_dir = os.path.join(out_dir, "vmap")
+        os.makedirs(vmap_dir, exist_ok=True)
+        pq.write_table(
+            pa.table({"vertex_key": pa.array(keys), "vid": vid_of_key}),
+            os.path.join(vmap_dir, "part-0.parquet"),
+        )
+    else:
+        s = np.asarray(s_raw, dtype=np.int64)
+        d = np.asarray(d_raw, dtype=np.int64)
+        V = int(max(s.max(initial=-1), d.max(initial=-1))) + 1 if len(s) else 0
+
+    mirror = False
+    how = None
+    if not directed:
+        how = dedup or "min"
+        if how == "sum":
+            sl = s == d
+            if sl.any():
+                w = w.copy()
+                w[sl] *= 2.0
+        s, d = np.minimum(s, d), np.maximum(s, d)
+        mirror = True
+    elif dedup is not None:
+        how = dedup
+    if how is not None and len(s):
+        # combine parallel (src,dst) rows — lexsort + segment reduce
+        o = np.lexsort((d, s))
+        s, d, w = s[o], d[o], w[o]
+        newseg = np.r_[True, (s[1:] != s[:-1]) | (d[1:] != d[:-1])]
+        starts = np.flatnonzero(newseg)
+        red = np.minimum.reduceat if how == "min" else np.add.reduceat
+        w = red(w, starts)
+        s, d = s[starts], d[starts]
+
+    if mirror and len(s):
+        keep = s != d  # a self-loop is one undirected edge — never doubled
+        s, d, w = (
+            np.concatenate([s, d[keep]]),
+            np.concatenate([d, s[keep]]),
+            np.concatenate([w, w[keep]]),
+        )
+
+    E = len(s)
+    edges_dir = os.path.join(out_dir, "edges")
+    os.makedirs(edges_dir, exist_ok=True)
+    if E:
+        part = part_of_vertex(s, num_partitions)
+        o = np.lexsort((d, s))
+        s, d, w, part = s[o], d[o], w[o], part[o]
+        for p in np.unique(part):
+            m = part == p
+            pdir = os.path.join(edges_dir, f"part={int(p)}")
+            os.makedirs(pdir, exist_ok=True)
+            pq.write_table(
+                pa.table(
+                    {"src": pa.array(s[m], pa.int64()),
+                     "dst": pa.array(d[m], pa.int64()),
+                     "weight": pa.array(w[m], pa.float64())}
+                ),
+                os.path.join(pdir, "data.parquet"),
+            )
+
+    meta = {
+        "num_vertices": V,
+        "num_edges": E,
+        "num_partitions": num_partitions,
+        "directed": directed,
+        "renumbered": renumber,
+        "dedup": dedup if directed else (dedup or "min"),
+        "weighted": weight is not None,
+        "split_degree_threshold": None,
+        "order_by_degree": False,
+        "src_key": src_spec if isinstance(src_spec, str) else list(src_spec),
+        "dst_key": dst_spec if isinstance(dst_spec, str) else list(dst_spec),
+        "schema_version": 1,
+    }
+    g = Graph(out_dir, meta)
+    g._save_meta()
+    return g
+
+
 # ---------------------------------------------------------------------------
 # Graph handle
 
@@ -671,6 +784,7 @@ class Graph:
         broadcast_limit: int = DEFAULT_BROADCAST_LIMIT,
         split_degree_threshold: Optional[int] = None,
         order_by_degree: bool = False,
+        local_edge_limit: int = 500_000,
     ) -> "Graph":
         """Build a partitioned Graph from an edge Dataset.
 
@@ -737,6 +851,15 @@ class Graph:
             # merge costs a re-execution per consumer but keeps exactly
             # one persistent copy.
             ds = ds.repartition(tgt, shuffle=False)
+
+        if (split_degree_threshold is None and not order_by_degree
+                and ds.count() <= local_edge_limit):
+            g = _from_edges_local(
+                ds, out_dir, directed, renumber, dedup, num_partitions,
+                weight, src, dst,
+            )
+            _tick("local_build")
+            return g
 
         if renumber:
             # detect key type from schema

@@ -274,3 +274,38 @@ def test_order_by_degree_requires_renumber(tmp_path):
             renumber=False, order_by_degree=True,
             out_dir=str(tmp_path / "x"),
         )
+
+
+def test_local_build_matches_distributed(tmp_path):
+    """The driver-local small-input build must replicate the distributed
+    stages bit-for-bit: same vids (bucket-rank), same canonical-pair
+    symmetrize + self-loop sum doubling, same splitmix64 partition
+    placement."""
+    rng = np.random.RandomState(5)
+    n = 300
+    df = pd.DataFrame(
+        {
+            "src": "k::" + pd.Series(rng.randint(0, 50, n)).astype(str),
+            "dst": "k::" + pd.Series(rng.randint(0, 50, n)).astype(str),
+            "weight": rng.uniform(0.5, 2.0, n).round(3),
+        }
+    )
+    kw = dict(src="src", dst="dst", weight="weight", directed=False,
+              dedup="sum", num_partitions=4)
+    ga = Graph.from_edges(rd.from_pandas(df),
+                          out_dir=str(tmp_path / "loc"), **kw)
+    gb = Graph.from_edges(rd.from_pandas(df), local_edge_limit=0,
+                          out_dir=str(tmp_path / "dist"), **kw)
+    assert (ga.num_vertices, ga.num_edges) == (gb.num_vertices, gb.num_edges)
+    cols = ["src", "dst", "weight"]
+    ea = ga.edges_dataset().to_pandas()
+    eb = gb.edges_dataset().to_pandas()
+    sa = ea.sort_values(cols).reset_index(drop=True)
+    sb = eb.sort_values(cols).reset_index(drop=True)
+    assert sa[cols].equals(sb[cols])
+    assert np.array_equal(
+        sa["part"].to_numpy(np.int64), sb["part"].to_numpy(np.int64)
+    )
+    va = ga.vmap_dataset().to_pandas().sort_values("vid").reset_index(drop=True)
+    vb = gb.vmap_dataset().to_pandas().sort_values("vid").reset_index(drop=True)
+    assert va[["vertex_key", "vid"]].equals(vb[["vertex_key", "vid"]])
