@@ -190,9 +190,12 @@ def pairwise_similarity(
     vertex_weights=None,
     broadcast_limit: int = 20_000_000,
     shared_state: Optional[dict] = None,
+    local_edge_limit: int = 500_000,
 ):
     """edges_ds: symmetrized simple (src,dst) Dataset. Returns
-    (a, b, common, coeff) for a<b pairs with common>0.
+    (a, b, common, coeff) for a<b pairs with common>0.  Edge sets under
+    ``local_edge_limit`` run the identical expansion on driver arrays
+    (pass 0 to force the distributed resident/join paths).
 
     ``shared_state``: optional caller-owned dict memoizing the resident
     path's kind-independent core (the materialized per-pair ``common``
@@ -233,8 +236,18 @@ def pairwise_similarity(
             common_c, dref_c, vref_c, V_c, kind,
             np.float64 if weighted else np.int64,
         )
+    lk = ("local_core", weighted)
+    lcore = shared_state.get(lk) if shared_state is not None else None
+    if lcore is not None:
+        return _similarity_fin_local(*lcore, kind, weighted)
 
     edges_ds = edges_ds.materialize()
+    if edges_ds.count() <= local_edge_limit:
+        lcore = _similarity_core_local(
+            edges_ds, max_wedge_degree, vertex_weights)
+        if shared_state is not None:
+            shared_state[lk] = lcore
+        return _similarity_fin_local(*lcore, kind, weighted)
 
     verts = hash_aggregate(
         edges_ds.map_batches(
@@ -351,6 +364,84 @@ def pairwise_similarity(
         common = common.materialize()
         shared_state[ck] = (common, dref, vref, V)
     return _resident_fin(common, dref, vref, V, kind, cnt_dtype)
+
+
+def _similarity_core_local(edges_ds, max_wedge_degree, vertex_weights):
+    """Driver-local kind-independent similarity core for small edge sets:
+    the SAME per-apex ragged-triu expansion and degree math as the
+    resident path, on numpy arrays.  Returns (upk, common, deg, varr, V)
+    — common counts are exact sums, so the single-division coefficients
+    match the distributed path bit-for-bit."""
+    df = edges_ds.to_pandas()
+    varr = np.unique(df["src"].to_numpy())
+    V = len(varr)
+    s = np.searchsorted(varr, df["src"].to_numpy())
+    d = np.searchsorted(varr, df["dst"].to_numpy())
+    weighted = vertex_weights is not None
+    if weighted:
+        wdf = vertex_weights.to_pandas()
+        widx = pd.Index(varr).get_indexer(wdf["vertex"].to_numpy())
+        wt = np.zeros(V, dtype=np.float64)
+        ok = widx >= 0
+        wt[widx[ok]] = wdf["weight"].to_numpy(np.float64)[ok]
+        deg = np.bincount(s, weights=wt[d], minlength=V)
+    else:
+        wt = None
+        deg = np.bincount(s, minlength=V).astype(np.float64)
+    order = np.lexsort((d, s))  # apex-major, neighbors ascending
+    s, d = s[order], d[order]
+    starts = np.flatnonzero(np.r_[True, s[1:] != s[:-1]])
+    sizes = np.diff(np.r_[starts, len(s)])
+    if max_wedge_degree is not None:
+        keep = np.repeat(sizes <= max_wedge_degree, sizes)
+        s, d = s[keep], d[keep]
+        starts = np.flatnonzero(np.r_[True, s[1:] != s[:-1]])
+        sizes = np.diff(np.r_[starts, len(s)])
+    pks, cnts = [], []
+    for row_idx, off in _ragged_triu_chunks(sizes, 1 << 22):
+        pk = d[row_idx] * V + d[row_idx + off + 1]
+        upk, inv = np.unique(pk, return_inverse=True)
+        pks.append(upk)
+        if weighted:
+            cnts.append(np.bincount(inv, weights=wt[s[row_idx]]))
+        else:
+            cnts.append(np.bincount(inv).astype(np.float64))
+    if pks:
+        allpk = np.concatenate(pks)
+        allc = np.concatenate(cnts)
+        upk, inv = np.unique(allpk, return_inverse=True)
+        common = np.bincount(inv, weights=allc)
+    else:
+        upk = np.empty(0, np.int64)
+        common = np.empty(0, np.float64)
+    return upk, common, deg, varr, V
+
+
+def _similarity_fin_local(upk, common, deg, varr, V, kind, weighted):
+    import ray.data as rd
+
+    ai, bi = upk // V, upk % V
+    c = common.astype(np.float64)
+    da, db = deg[ai], deg[bi]
+    if kind == "jaccard":
+        v = c / (da + db - c)
+    elif kind == "sorensen":
+        v = 2.0 * c / (da + db)
+    elif kind == "overlap":
+        v = c / np.minimum(da, db)
+    else:
+        raise ValueError(kind)
+    return rd.from_pandas(
+        pd.DataFrame(
+            {
+                "a": varr[ai],
+                "b": varr[bi],
+                "common": common.astype(
+                    np.float64 if weighted else np.int64),
+                "coeff": v,
+            }
+        )
+    )
 
 
 def _resident_fin(common, dref, vref, V, kind, cnt_dtype):

@@ -456,7 +456,7 @@ def test_weighted_similarity_join_fallback_matches_broadcast(ray_session):
     )
     jn = (
         pairwise_similarity(_sym_ds(df), kind="jaccard", vertex_weights=wts,
-                            broadcast_limit=0)
+                            local_edge_limit=0, broadcast_limit=0)
         .to_pandas().sort_values(["a", "b"]).reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(bc, jn[bc.columns])
@@ -494,20 +494,28 @@ def test_pairwise_similarity_fast_matches_join_fallback():
 
     for weighted in (False, True):
         wts = rd.from_pandas(wts_df) if weighted else None
-        fast = norm(pairwise_similarity(
+        loc = norm(pairwise_similarity(
             _sym_ds(df), kind="jaccard", vertex_weights=wts))
+        fast = norm(pairwise_similarity(
+            _sym_ds(df), kind="jaccard", vertex_weights=wts,
+            local_edge_limit=0))  # forces the resident Dataset path
         slow = norm(pairwise_similarity(
             _sym_ds(df), kind="jaccard", vertex_weights=wts,
+            local_edge_limit=0,
             broadcast_limit=0))  # forces the join fallback
+        pd.testing.assert_frame_equal(loc, fast)
         pd.testing.assert_frame_equal(fast, slow)
 
     # string keys: int order of the sorted dictionary ≡ key order
     sdf = df.copy()
     sdf["src"] = "v::" + sdf["src"].astype(str).str.zfill(3)
     sdf["dst"] = "v::" + sdf["dst"].astype(str).str.zfill(3)
-    fast = norm(pairwise_similarity(_sym_ds(sdf), kind="sorensen"))
+    loc = norm(pairwise_similarity(_sym_ds(sdf), kind="sorensen"))
+    fast = norm(pairwise_similarity(_sym_ds(sdf), kind="sorensen",
+                                    local_edge_limit=0))
     slow = norm(pairwise_similarity(_sym_ds(sdf), kind="sorensen",
-                                    broadcast_limit=0))
+                                    local_edge_limit=0, broadcast_limit=0))
+    pd.testing.assert_frame_equal(loc, fast)
     pd.testing.assert_frame_equal(fast, slow)
     assert (fast["a"] < fast["b"]).all()
 
