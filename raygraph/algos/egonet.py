@@ -23,16 +23,67 @@ import pandas as pd
 
 
 def batched_ego_graphs(graph, seeds: Sequence[int], radius: int = 1,
-                       num_workers=None, broadcast_limit: int = 20_000_000):
+                       num_workers=None, broadcast_limit: int = 20_000_000,
+                       local_edge_limit: int = 500_000):
     """Edges ``(seed, src, dst, weight)`` of each seed's radius-hop egonet.
 
     Returns one Dataset with a ``seed`` column (the reference's batched
-    contract), unioned across seeds.
+    contract), unioned across seeds.  Small graphs run the per-seed BFS +
+    induced filter on driver arrays (one edge pull instead of one engine
+    spin-up per seed; ``local_edge_limit=0`` forces the engine path).
     """
     import ray.data  # noqa: F401  (Dataset union)
 
     from raygraph import joins, ops
     from raygraph.algos.traversal import bfs
+
+    if (num_workers is None and graph.num_edges <= local_edge_limit
+            and graph.num_vertices <= 2_000_000):
+        import ray.data as rd
+
+        V = graph.num_vertices
+        df = graph.edges_dataset(columns=["src", "dst", "weight"]).to_pandas()
+        src = df["src"].to_numpy(np.int64)
+        dst = df["dst"].to_numpy(np.int64)
+        w = df["weight"].to_numpy(np.float64)
+        order = np.argsort(src, kind="stable")
+        nbr = dst[order]
+        indptr = np.zeros(V + 1, np.int64)
+        indptr[1:] = np.cumsum(np.bincount(src, minlength=V))
+        frames = []
+        for seed in seeds:
+            reach = np.zeros(V, dtype=bool)
+            reach[int(seed)] = True
+            cur = np.array([int(seed)], dtype=np.int64)
+            for _ in range(radius):
+                if not len(cur):
+                    break
+                p0 = indptr[cur]
+                deg = indptr[cur + 1] - p0
+                tot = int(deg.sum())
+                if tot == 0:
+                    break
+                idx = np.repeat(p0, deg) + (
+                    np.arange(tot) - np.repeat(np.cumsum(deg) - deg, deg)
+                )
+                heads = nbr[idx]
+                new = np.unique(heads[~reach[heads]])
+                reach[new] = True
+                cur = new
+            m = reach[src] & reach[dst]
+            frames.append(
+                pd.DataFrame(
+                    {"seed": np.int64(int(seed)), "src": src[m],
+                     "dst": dst[m], "weight": w[m]}
+                )
+            )
+        out = pd.concat(frames, ignore_index=True) if frames else (
+            pd.DataFrame({"seed": pd.Series(dtype=np.int64),
+                          "src": pd.Series(dtype=np.int64),
+                          "dst": pd.Series(dtype=np.int64),
+                          "weight": pd.Series(dtype=np.float64)})
+        )
+        return rd.from_pandas(out[["seed", "src", "dst", "weight"]])
 
     outs = []
     for seed in seeds:

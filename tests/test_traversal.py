@@ -157,11 +157,15 @@ def test_batched_ego_graphs_join_path(karate):
     from raygraph.algos.egonet import batched_ego_graphs
 
     key = ["seed", "src", "dst"]
-    a = (batched_ego_graphs(karate, [0], radius=2)
+    a = (batched_ego_graphs(karate, [0], radius=2)  # local gate
          .to_pandas()[key].sort_values(key).reset_index(drop=True))
-    b = (batched_ego_graphs(karate, [0], radius=2, broadcast_limit=0)
+    e = (batched_ego_graphs(karate, [0], radius=2, local_edge_limit=0)
          .to_pandas()[key].sort_values(key).reset_index(drop=True))
-    assert a.equals(b)
+    b = (batched_ego_graphs(karate, [0], radius=2, local_edge_limit=0,
+                            broadcast_limit=0)
+         .to_pandas()[key].sort_values(key).reset_index(drop=True))
+    assert a.equals(e)
+    assert e.equals(b)
 
 
 def test_multi_source_bfs_matches_per_source(karate):
