@@ -829,6 +829,19 @@ class Graph:
         # as spillable object-store blocks, so this stays streaming-safe.
         ds = ds.materialize()
         _tick("normalize+materialize")
+
+        if (split_degree_threshold is None and not order_by_degree
+                and ds.count() <= local_edge_limit):
+            # small input: driver-local replica of every stage below
+            # (bit-faithful; see _from_edges_local) — checked BEFORE the
+            # lazy coalesce so count() stays a metadata read
+            g = _from_edges_local(
+                ds, out_dir, directed, renumber, dedup, num_partitions,
+                weight, src, dst,
+            )
+            _tick("local_build")
+            return g
+
         # The derivation inherits the source's block granularity (often
         # hundreds of tiny blocks for a narrow 3-column table), and every
         # downstream stage of the build pays per-block overhead: at sf0.1
@@ -851,15 +864,6 @@ class Graph:
             # merge costs a re-execution per consumer but keeps exactly
             # one persistent copy.
             ds = ds.repartition(tgt, shuffle=False)
-
-        if (split_degree_threshold is None and not order_by_degree
-                and ds.count() <= local_edge_limit):
-            g = _from_edges_local(
-                ds, out_dir, directed, renumber, dedup, num_partitions,
-                weight, src, dst,
-            )
-            _tick("local_build")
-            return g
 
         if renumber:
             # detect key type from schema
