@@ -36,6 +36,7 @@ def weakly_connected_components(
     resume: bool = False,
     out_dir: Optional[str] = None,
     engine: Optional[SuperstepEngine] = None,
+    local_edge_limit: int = 500_000,
 ):
     """Min-label propagation; requires a symmetrized (undirected) graph.
 
@@ -51,6 +52,34 @@ def weakly_connected_components(
             "weakly_connected_components requires a symmetrized graph; "
             "build with directed=False"
         )
+    # labels are canonical (min vid per component) — a pure function of
+    # the partition — so the local union-find gives identical output
+    if (engine is None and num_workers is None and checkpoint_dir is None
+            and not resume and graph.num_edges <= local_edge_limit
+            and graph.num_vertices <= 2_000_000):
+        import ray.data as rd
+
+        V = graph.num_vertices
+        df = graph.edges_dataset(columns=["src", "dst"]).to_pandas()
+        src = df["src"].to_numpy(np.int64)
+        dst = df["dst"].to_numpy(np.int64)
+        labels = np.arange(V, dtype=np.int64)
+        while True:
+            prev = labels
+            m = np.minimum(labels, labels[labels])  # pointer-jump compress
+            np.minimum.at(m, dst, m[src])  # edge relax (sym edges)
+            labels = np.minimum(m, m[m])
+            if np.array_equal(labels, prev):
+                break
+        out = rd.from_pandas(
+            pd.DataFrame(
+                {"vertex": np.arange(V, dtype=np.int64), "labels": labels}
+            )
+        )
+        if out_dir is not None:
+            out.write_parquet(out_dir)
+            out = rd.read_parquet(out_dir)
+        return out
     own_engine = engine is None
     if own_engine:
         engine = SuperstepEngine(

@@ -813,3 +813,15 @@ def test_betweenness_local_gate_matches_engine(tmp_path):
         el["betweenness_centrality"].to_numpy(),
         ee["betweenness_centrality"].to_numpy(), atol=1e-12,
     )
+
+
+def test_wcc_local_gate_matches_engine(tmp_path):
+    """Canonical min-vid labels are a pure function of the partition —
+    local union-find output must equal the engine fixpoint exactly."""
+    df = fixtures.two_components_df()
+    g = build(df, False, tmp_path, "2cpar")
+    loc = (weakly_connected_components(g).to_pandas()
+           .sort_values("vertex")["labels"].to_numpy())
+    eng = (weakly_connected_components(g, local_edge_limit=0).to_pandas()
+           .sort_values("vertex")["labels"].to_numpy())
+    assert np.array_equal(loc, eng)
