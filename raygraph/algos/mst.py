@@ -122,8 +122,72 @@ def _distributed_roots(sel, nb: int):
     raise RuntimeError("MST pointer doubling did not converge")
 
 
+def _mst_local(graph, max_rounds):
+    """Driver-local Borůvka replica: the same per-component argmin on
+    (w, a, b), the same min-root union-find merge (only the PARTITION
+    feeds later rounds, so root labels can't change the edge set), on
+    numpy arrays — the chosen edges match the Dataset rounds exactly."""
+    import ray.data as rd
+
+    df = _canonical_edges(graph).to_pandas()
+    a = df["src"].to_numpy(np.int64)
+    b = df["dst"].to_numpy(np.int64)
+    w = df["weight"].to_numpy(np.float64)
+    ca, cb = a.copy(), b.copy()
+    V = max(graph.num_vertices, 1)
+    out_a, out_b, out_w = [], [], []
+    for _ in range(max_rounds):
+        if len(a) == 0:
+            break
+        comp = np.concatenate([ca, cb])
+        other = np.concatenate([cb, ca])
+        ww, aa, bb = np.tile(w, 2), np.tile(a, 2), np.tile(b, 2)
+        order = np.lexsort((bb, aa, ww, comp))
+        cs = comp[order]
+        pick = order[np.r_[True, cs[1:] != cs[:-1]]]
+        # distinct (a, b, w): canonical pairs are unique per (a, b)
+        _, di = np.unique(aa[pick] * V + bb[pick], return_index=True)
+        out_a.append(aa[pick][di])
+        out_b.append(bb[pick][di])
+        out_w.append(ww[pick][di])
+        roots = _driver_roots(
+            pd.DataFrame({"comp": comp[pick], "other": other[pick]})
+        )
+        rk = roots["comp"].to_numpy(np.int64)
+        rv = roots["root"].to_numpy(np.int64)
+        o = np.argsort(rk)
+        rk, rv = rk[o], rv[o]
+
+        def relabel(c):
+            pos = np.searchsorted(rk, c)
+            posc = np.minimum(pos, len(rk) - 1) if len(rk) else pos
+            hit = (len(rk) > 0) & (rk[posc] == c)
+            out = c.copy()
+            out[hit] = rv[posc[hit]]
+            return out
+
+        ca, cb = relabel(ca), relabel(cb)
+        keep = ca != cb
+        a, b, w, ca, cb = a[keep], b[keep], w[keep], ca[keep], cb[keep]
+    else:
+        raise RuntimeError(f"Borůvka did not settle in {max_rounds} rounds")
+    if not out_a:
+        return rd.from_pandas(
+            pd.DataFrame({"src": pd.Series(dtype=np.int64),
+                          "dst": pd.Series(dtype=np.int64),
+                          "weight": pd.Series(dtype=np.float64)})
+        )
+    return rd.from_pandas(
+        pd.DataFrame(
+            {"src": np.concatenate(out_a), "dst": np.concatenate(out_b),
+             "weight": np.concatenate(out_w)}
+        )
+    )
+
+
 def minimum_spanning_tree(graph, max_rounds: int = 64,
-                          driver_limit: int = 2_000_000):
+                          driver_limit: int = 2_000_000,
+                          local_edge_limit: int = 500_000):
     """MSF edges of an undirected weighted graph — Dataset
     (src, dst, weight) with src < dst (internal vids).
 
@@ -136,6 +200,10 @@ def minimum_spanning_tree(graph, max_rounds: int = 64,
     equal)."""
     if graph.directed:
         raise ValueError("minimum_spanning_tree requires an undirected graph")
+
+    if (graph.num_edges <= local_edge_limit
+            and graph.num_vertices <= 2_000_000):
+        return _mst_local(graph, max_rounds)
 
     # canonical (a < b) edges, min weight per pair (multi-edge rule: the
     # cheapest parallel edge is the only MST candidate)
@@ -286,6 +354,8 @@ def maximum_spanning_tree(graph, max_rounds: int = 64,
         def __init__(self, g):
             self._g = g
             self.directed = g.directed
+            self.num_vertices = g.num_vertices
+            self.num_edges = g.num_edges
 
         def edges_dataset(self, columns=None):
             ds = self._g.edges_dataset(columns=columns)

@@ -102,12 +102,16 @@ def test_mst_partition_count_invariance(tmp_path):
 
 
 def test_mst_forced_distributed_path_matches(tmp_path):
-    # driver_limit=0 forces the pointer-doubling scale path
+    # local_edge_limit=0 + driver_limit=0 force the pointer-doubling
+    # scale path; the default (local) run must match it exactly
     df = fixtures.karate_df()
     g = _build(df, tmp_path)
-    dist = _sorted(minimum_spanning_tree(g, driver_limit=0).to_pandas())
+    dist = _sorted(minimum_spanning_tree(g, driver_limit=0,
+                                         local_edge_limit=0).to_pandas())
     want = _sorted(_kruskal(df))
     pd.testing.assert_frame_equal(dist, want)
+    loc = _sorted(minimum_spanning_tree(g).to_pandas())
+    pd.testing.assert_frame_equal(loc, dist)
 
 
 def test_maximum_spanning_tree(tmp_path):
